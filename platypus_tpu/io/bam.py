@@ -1,0 +1,486 @@
+"""BAM reader: binary record parsing, BAI index random access, and
+fixed-shape structure-of-arrays read batches.
+
+Replaces the reference's htslib binding layer
+(/root/reference/src/cython/htslibWrapper.pyx):
+
+* record decode mirrors ReadIterator.get (htslibWrapper.pyx:328-406):
+  reads with zero-length sequence or absent quality are skipped, the 4-bit
+  packed sequence decodes through "=ACMGRSVTWYHKDBN", the mapping position is
+  shifted left by any leading soft-clip so `pos` addresses the first base of
+  the stored sequence, and `end` is the htslib bam_endpos (reference-consuming
+  CIGAR span from the *unadjusted* position).
+* the output is a NumPy SoA (`ReadSet`) rather than malloc'd C structs —
+  downstream QC/trim and batch building are vectorised, and the arrays ship
+  straight into device tensors.
+
+A small BAM writer is included for synthetic test data.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .bgzf import BGZFReader, BGZFWriter
+
+# BAM flag bits (standard).
+FLAG_PAIRED = 1
+FLAG_PROPER_PAIR = 2
+FLAG_UNMAP = 4
+FLAG_MUNMAP = 8
+FLAG_REVERSE = 16
+FLAG_MREVERSE = 32
+FLAG_READ1 = 64
+FLAG_READ2 = 128
+FLAG_SECONDARY = 256
+FLAG_QCFAIL = 512
+FLAG_DUP = 1024
+FLAG_SUPPLEMENTARY = 2048
+
+_SEQ_LOOKUP = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
+
+# CIGAR op codes.
+CIGAR_M, CIGAR_I, CIGAR_D, CIGAR_N, CIGAR_S, CIGAR_H, CIGAR_P, CIGAR_EQ, CIGAR_X = range(9)
+_CONSUMES_REF = {CIGAR_M, CIGAR_D, CIGAR_N, CIGAR_EQ, CIGAR_X}
+
+
+@dataclass
+class ReadSet:
+    """Structure-of-arrays read batch for one (sample, region)."""
+
+    seq: np.ndarray          # uint8 [N, L] ASCII bases, zero-padded
+    qual: np.ndarray         # uint8 [N, L] phred (0..93), zero-padded
+    rlen: np.ndarray         # int32 [N]
+    pos: np.ndarray          # int64 [N] leftmost base of stored sequence
+    end: np.ndarray          # int64 [N] reference end (exclusive)
+    mapq: np.ndarray         # int32 [N]
+    flag: np.ndarray         # int32 [N]
+    chrom_id: np.ndarray     # int32 [N]
+    mate_chrom_id: np.ndarray  # int32 [N]
+    mate_pos: np.ndarray     # int64 [N]
+    insert_size: np.ndarray  # int32 [N]
+    cigar_flat: np.ndarray   # uint32 [sum n_cigar] raw BAM cigar words
+    cigar_off: np.ndarray    # int64 [N+1] CSR offsets into cigar_flat
+    qc_fail: np.ndarray      # bool [N] set by QC (reference's software flag)
+    rg_id: Optional[List[Optional[bytes]]] = None
+
+    def __len__(self) -> int:
+        return int(self.rlen.shape[0])
+
+    def cigar_ops(self, i: int) -> np.ndarray:
+        """CIGAR for read i as an [k, 2] array of (op, length)."""
+        words = self.cigar_flat[self.cigar_off[i] : self.cigar_off[i + 1]]
+        return np.stack([words & 0xF, words >> 4], axis=1).astype(np.int64)
+
+    def take(self, idx: np.ndarray) -> "ReadSet":
+        idx = np.asarray(idx)
+        cigars = [self.cigar_flat[self.cigar_off[i] : self.cigar_off[i + 1]] for i in idx]
+        lens = np.array([len(c) for c in cigars], dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(lens)])
+        return ReadSet(
+            seq=self.seq[idx],
+            qual=self.qual[idx],
+            rlen=self.rlen[idx],
+            pos=self.pos[idx],
+            end=self.end[idx],
+            mapq=self.mapq[idx],
+            flag=self.flag[idx],
+            chrom_id=self.chrom_id[idx],
+            mate_chrom_id=self.mate_chrom_id[idx],
+            mate_pos=self.mate_pos[idx],
+            insert_size=self.insert_size[idx],
+            cigar_flat=np.concatenate(cigars) if cigars else np.zeros(0, np.uint32),
+            cigar_off=off,
+            qc_fail=self.qc_fail[idx],
+            rg_id=[self.rg_id[i] for i in idx] if self.rg_id is not None else None,
+        )
+
+
+def empty_read_set(max_len: int = 0) -> ReadSet:
+    z = np.zeros
+    return ReadSet(
+        seq=z((0, max_len), np.uint8),
+        qual=z((0, max_len), np.uint8),
+        rlen=z(0, np.int32),
+        pos=z(0, np.int64),
+        end=z(0, np.int64),
+        mapq=z(0, np.int32),
+        flag=z(0, np.int32),
+        chrom_id=z(0, np.int32),
+        mate_chrom_id=z(0, np.int32),
+        mate_pos=z(0, np.int64),
+        insert_size=z(0, np.int32),
+        cigar_flat=z(0, np.uint32),
+        cigar_off=z(1, np.int64),
+        qc_fail=z(0, bool),
+        rg_id=[],
+    )
+
+
+# ----------------------------------------------------------------------------
+# BAI index
+# ----------------------------------------------------------------------------
+
+def _reg2bins(beg: int, end: int) -> List[int]:
+    """All index bins overlapping [beg, end) in the standard 6-level scheme."""
+    end -= 1
+    bins = [0]
+    for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
+    return bins
+
+
+class BaiIndex:
+    def __init__(self, filename: str):
+        with open(filename, "rb") as fh:
+            data = fh.read()
+        if data[:4] != b"BAI\x01":
+            raise ValueError(f"{filename}: not a BAI index")
+        off = 4
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        self.bins: List[Dict[int, List[Tuple[int, int]]]] = []
+        self.linear: List[np.ndarray] = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            ref_bins: Dict[int, List[Tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    cbeg, cend = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((cbeg, cend))
+                ref_bins[bin_id] = chunks
+            (n_intv,) = struct.unpack_from("<i", data, off)
+            off += 4
+            ioffs = np.frombuffer(data, dtype="<u8", count=n_intv, offset=off).copy()
+            off += 8 * n_intv
+            self.bins.append(ref_bins)
+            self.linear.append(ioffs)
+
+    def chunks_for_region(self, ref_id: int, beg: int, end: int) -> List[Tuple[int, int]]:
+        if ref_id < 0 or ref_id >= len(self.bins):
+            return []
+        ref_bins = self.bins[ref_id]
+        linear = self.linear[ref_id]
+        min_off = 0
+        widx = beg >> 14
+        if len(linear):
+            widx = min(widx, len(linear) - 1)
+            min_off = int(linear[widx])
+        chunks = []
+        for b in _reg2bins(beg, end):
+            if b == 37450:  # pseudo-bin with metadata
+                continue
+            for cbeg, cend in ref_bins.get(b, ()):
+                if cend > min_off:
+                    chunks.append((max(cbeg, min_off), cend))
+        chunks.sort()
+        merged: List[Tuple[int, int]] = []
+        for cbeg, cend in chunks:
+            if merged and cbeg <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], cend))
+            else:
+                merged.append((cbeg, cend))
+        return merged
+
+
+# ----------------------------------------------------------------------------
+# BAM reader
+# ----------------------------------------------------------------------------
+
+class BamFile:
+    def __init__(self, filename: str, index_filename: Optional[str] = None):
+        self.filename = filename
+        self._bgzf = BGZFReader(filename)
+        magic = self._bgzf.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{filename}: not a BAM file")
+        (l_text,) = struct.unpack("<i", self._bgzf.read(4))
+        self.header_text = self._bgzf.read(l_text).decode("latin-1")
+        (n_ref,) = struct.unpack("<i", self._bgzf.read(4))
+        self.references: List[Tuple[str, int]] = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", self._bgzf.read(4))
+            name = self._bgzf.read(l_name)[:-1].decode()
+            (l_ref,) = struct.unpack("<i", self._bgzf.read(4))
+            self.references.append((name, l_ref))
+        self.ref_id: Dict[str, int] = {n: i for i, (n, _) in enumerate(self.references)}
+        self._first_record_voffset = self._bgzf.virtual_offset
+        self.index: Optional[BaiIndex] = None
+        index_filename = index_filename or filename + ".bai"
+        try:
+            self.index = BaiIndex(index_filename)
+        except (FileNotFoundError, ValueError):
+            self.index = None
+
+    def close(self) -> None:
+        self._bgzf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- header -------------------------------------------------------------
+    def header_dict(self) -> Dict[str, List[Dict[str, str]]]:
+        """Parse @-lines of the SAM header into a tag dict (RG/SQ/...)."""
+        out: Dict[str, List[Dict[str, str]]] = {}
+        for line in self.header_text.splitlines():
+            if not line.startswith("@"):
+                continue
+            cols = line[1:].split("\t")
+            tag = cols[0]
+            entry = {}
+            for col in cols[1:]:
+                if ":" in col:
+                    k, v = col.split(":", 1)
+                    entry[k] = v
+            out.setdefault(tag, []).append(entry)
+        return out
+
+    def sample_names(self) -> List[str]:
+        """Samples from RG:SM tags; falls back to the file stem
+        (reference platypusutils.pyx:92-156 semantics)."""
+        header = self.header_dict()
+        rgs = header.get("RG", [])
+        samples = sorted({rg["SM"] for rg in rgs if "SM" in rg})
+        if samples:
+            return samples
+        stem = self.filename.split("/")[-1]
+        if stem.lower().endswith((".bam", ".cram")):
+            stem = stem[:-4]
+        return [stem]
+
+    # -- record iteration ----------------------------------------------------
+    def _iter_raw_records(self, chunks: Sequence[Tuple[int, int]]) -> Iterator[bytes]:
+        for cbeg, cend in chunks:
+            self._bgzf.seek_virtual(cbeg)
+            while self._bgzf.virtual_offset < cend:
+                size_bytes = self._bgzf.read(4)
+                if len(size_bytes) < 4:
+                    return
+                (block_size,) = struct.unpack("<i", size_bytes)
+                record = self._bgzf.read(block_size)
+                if len(record) < block_size:
+                    return
+                yield record
+
+    def _iter_all_records(self) -> Iterator[bytes]:
+        self._bgzf.seek_virtual(self._first_record_voffset)
+        while True:
+            size_bytes = self._bgzf.read(4)
+            if len(size_bytes) < 4:
+                return
+            (block_size,) = struct.unpack("<i", size_bytes)
+            record = self._bgzf.read(block_size)
+            if len(record) < block_size:
+                return
+            yield record
+
+    def fetch(self, chrom: str, start: int, end: int, store_rg: bool = False) -> ReadSet:
+        """All mapped records overlapping [start, end) on `chrom` as a ReadSet.
+
+        Overlap test is on the *original* alignment span (before the
+        soft-clip pos adjustment), matching htslib's iterator semantics.
+        """
+        ref_id = self.ref_id.get(chrom)
+        if ref_id is None:
+            return empty_read_set()
+        if self.index is not None:
+            records = self._iter_raw_records(self.index.chunks_for_region(ref_id, start, end))
+        else:
+            records = self._iter_all_records()
+        return _parse_records(records, ref_id, start, end, store_rg)
+
+
+def _parse_records(
+    records: Iterator[bytes], want_ref: int, start: int, end: int, store_rg: bool
+) -> ReadSet:
+    seqs: List[np.ndarray] = []
+    quals: List[np.ndarray] = []
+    cigars: List[np.ndarray] = []
+    scal: List[Tuple[int, int, int, int, int, int, int, int, int]] = []
+    rgs: List[Optional[bytes]] = []
+
+    for rec in records:
+        ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq, next_ref, next_pos, tlen = (
+            struct.unpack_from("<iiBBHHHiiii", rec, 0)
+        )
+        if ref_id != want_ref:
+            continue
+        if l_seq == 0:
+            continue
+        off = 32 + l_read_name
+        cigar = np.frombuffer(rec, dtype="<u4", count=n_cigar, offset=off)
+        off += 4 * n_cigar
+        n_seq_bytes = (l_seq + 1) // 2
+        packed = np.frombuffer(rec, dtype=np.uint8, count=n_seq_bytes, offset=off)
+        off += n_seq_bytes
+        qual = np.frombuffer(rec, dtype=np.uint8, count=l_seq, offset=off)
+        off += l_seq
+        if qual[0] == 0xFF:  # missing quality string (htslibWrapper.pyx:337)
+            continue
+
+        ops = cigar & 0xF
+        lens = (cigar >> 4).astype(np.int64)
+        ref_span = int(lens[np.isin(ops, list(_CONSUMES_REF))].sum())
+        rec_end = pos + ref_span
+        if rec_end <= start or pos >= end:
+            continue
+
+        # Decode 4-bit packed sequence to ASCII.
+        nibbles = np.empty(n_seq_bytes * 2, dtype=np.uint8)
+        nibbles[0::2] = packed >> 4
+        nibbles[1::2] = packed & 0xF
+        seq = _SEQ_LOOKUP[nibbles[:l_seq]]
+
+        # Shift pos left over a leading soft clip (htslibWrapper.pyx:386-387).
+        adj_pos = pos
+        if n_cigar > 0 and ops[0] == CIGAR_S:
+            adj_pos -= int(lens[0])
+
+        rg: Optional[bytes] = None
+        if store_rg:
+            rg = _find_rg_tag(rec, off)
+
+        seqs.append(seq)
+        quals.append(qual.copy())
+        cigars.append(cigar.astype(np.uint32))
+        scal.append((l_seq, adj_pos, rec_end, mapq, flag, ref_id, next_ref, next_pos, tlen))
+        rgs.append(rg)
+
+    if not scal:
+        return empty_read_set()
+
+    n = len(scal)
+    max_len = max(s[0] for s in scal)
+    seq_arr = np.zeros((n, max_len), np.uint8)
+    qual_arr = np.zeros((n, max_len), np.uint8)
+    for i, (s, q) in enumerate(zip(seqs, quals)):
+        seq_arr[i, : len(s)] = s
+        qual_arr[i, : len(q)] = q
+    arr = np.array(scal, dtype=np.int64)
+    lens = np.array([len(c) for c in cigars], dtype=np.int64)
+    return ReadSet(
+        seq=seq_arr,
+        qual=qual_arr,
+        rlen=arr[:, 0].astype(np.int32),
+        pos=arr[:, 1],
+        end=arr[:, 2],
+        mapq=arr[:, 3].astype(np.int32),
+        flag=arr[:, 4].astype(np.int32),
+        chrom_id=arr[:, 5].astype(np.int32),
+        mate_chrom_id=arr[:, 6].astype(np.int32),
+        mate_pos=arr[:, 7],
+        insert_size=arr[:, 8].astype(np.int32),
+        cigar_flat=np.concatenate(cigars) if cigars else np.zeros(0, np.uint32),
+        cigar_off=np.concatenate([[0], np.cumsum(lens)]),
+        qc_fail=np.zeros(n, bool),
+        rg_id=rgs if store_rg else None,
+    )
+
+
+def _find_rg_tag(rec: bytes, aux_off: int) -> Optional[bytes]:
+    """Scan the aux fields for the RG:Z tag."""
+    off = aux_off
+    n = len(rec)
+    while off + 3 <= n:
+        tag = rec[off : off + 2]
+        typ = rec[off + 2 : off + 3]
+        off += 3
+        if typ == b"Z" or typ == b"H":
+            endz = rec.index(b"\x00", off)
+            if tag == b"RG" and typ == b"Z":
+                return rec[off:endz]
+            off = endz + 1
+        elif typ in b"cC":
+            off += 1
+        elif typ in b"sS":
+            off += 2
+        elif typ in b"iIf":
+            off += 4
+        elif typ == b"A":
+            off += 1
+        elif typ == b"B":
+            sub = rec[off : off + 1]
+            (cnt,) = struct.unpack_from("<i", rec, off + 1)
+            width = {b"c": 1, b"C": 1, b"s": 2, b"S": 2, b"i": 4, b"I": 4, b"f": 4}[sub]
+            off += 5 + cnt * width
+        else:
+            break
+    return None
+
+
+# ----------------------------------------------------------------------------
+# BAM writer (tests / tooling)
+# ----------------------------------------------------------------------------
+
+_SEQ_ENCODE = {b: i for i, b in enumerate(b"=ACMGRSVTWYHKDBN")}
+
+
+def write_bam(
+    filename: str,
+    references: Sequence[Tuple[str, int]],
+    reads: Sequence[dict],
+    sample: str = "SAMPLE1",
+    extra_header: str = "",
+) -> None:
+    """Write a minimal coordinate-sorted BAM (no index).
+
+    Each read dict: name, ref_id, pos, mapq, flag, cigar [(op, len)...],
+    seq (bytes), qual (bytes of phred ints), mate_ref_id, mate_pos, tlen.
+    """
+    header_text = "@HD\tVN:1.6\tSO:coordinate\n"
+    for name, length in references:
+        header_text += f"@SQ\tSN:{name}\tLN:{length}\n"
+    header_text += f"@RG\tID:rg1\tSM:{sample}\n" + extra_header
+
+    with BGZFWriter(filename) as out:
+        out.write(b"BAM\x01")
+        ht = header_text.encode()
+        out.write(struct.pack("<i", len(ht)) + ht)
+        out.write(struct.pack("<i", len(references)))
+        for name, length in references:
+            nb = name.encode() + b"\x00"
+            out.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", length))
+        for rd in reads:
+            name = rd["name"].encode() + b"\x00"
+            cigar_words = [(ln << 4) | op for op, ln in rd["cigar"]]
+            seq = rd["seq"]
+            l_seq = len(seq)
+            packed = bytearray((l_seq + 1) // 2)
+            for i, base in enumerate(seq):
+                code = _SEQ_ENCODE.get(base, 15)
+                if i % 2 == 0:
+                    packed[i // 2] |= code << 4
+                else:
+                    packed[i // 2] |= code
+            qual = bytes(rd["qual"])
+            aux = b"RGZrg1\x00"
+            body = struct.pack(
+                "<iiBBHHHiiii",
+                rd["ref_id"],
+                rd["pos"],
+                len(name),
+                rd.get("mapq", 60),
+                0,
+                len(cigar_words),
+                rd.get("flag", 0),
+                l_seq,
+                rd.get("mate_ref_id", -1),
+                rd.get("mate_pos", -1),
+                rd.get("tlen", 0),
+            )
+            body += name + b"".join(struct.pack("<I", w) for w in cigar_words)
+            body += bytes(packed) + qual + aux
+            out.write(struct.pack("<i", len(body)) + body)

@@ -1,0 +1,104 @@
+"""Special functions used by the calling model and filters.
+
+These reproduce the numeric contracts of the reference implementation
+(/root/reference/src/cython/platypusutils.pyx:178-337): Stirling-series
+log-factorial, log-beta, a 3F2-based beta-binomial CDF (used for REFCALL
+quality and the strand/allele bias filters) and an optimised binomial pmf.
+All are host-side scalar math (they run per emitted variant, not per read),
+so plain Python/NumPy is the right tool here.
+"""
+
+from __future__ import annotations
+
+import math
+
+_TWO_PI = 2.0 * math.pi
+
+
+def log_factorial(x: int) -> float:
+    """ln(x!) — exact below 15, Stirling series above (platypusutils.pyx:178)."""
+    if x < 15:
+        ans = 0.0
+        for i in range(1, x + 1):
+            ans += math.log(i)
+        return ans
+    y = float(x)
+    return (
+        y * math.log(y)
+        + math.log(_TWO_PI * y) / 2.0
+        - y
+        + (y ** -1) / 12.0
+        - (y ** -3) / 360.0
+        + (y ** -5) / 1260.0
+        - (y ** -7) / 1680.0
+        + (y ** -9) / 1188.0
+    )
+
+
+def log_beta(x: int, y: int) -> float:
+    """ln B(x, y) for positive integers (platypusutils.pyx:213)."""
+    return log_factorial(x - 1) + log_factorial(y - 1) - log_factorial(x + y - 1)
+
+
+def _three_f_two(k: int, n: int, alpha: int, beta: int) -> float:
+    """Generalised hypergeometric 3F2 term sum (platypusutils.pyx:267-294)."""
+    a_2 = alpha + k + 1.0
+    a_3 = k - n + 1.0
+    b_1 = k + 2.0
+    b_2 = -beta - n + k + 2.0
+    the_sum = 1.0
+    last_term = 1.0
+    for i in range(1, abs(k - n + 1) + 1):
+        new_term = last_term * (a_2 + i - 1) * (a_3 + i - 1) / ((b_1 + i - 1) * (b_2 + i - 1))
+        the_sum += new_term
+        last_term = new_term
+    return the_sum
+
+
+def beta_binomial_cdf(k: int, n: int, alpha: int, beta: int) -> float:
+    """P(X <= k) for X ~ BetaBinomial(n, alpha, beta) (platypusutils.pyx:306-315).
+
+    Returns max(1e-30, value) exactly as the reference does; note the reference
+    computes 1 - upper-tail via the 3F2 representation.
+    """
+    if k == n:
+        return 1.0
+    numerator = log_beta(beta + n - k - 1, alpha + k + 1) + math.log(_three_f_two(k, n, alpha, beta))
+    denominator = log_beta(alpha, beta) + log_beta(n - k, k + 2) + math.log(n + 1)
+    return max(1e-30, 1.0 - math.exp(numerator - denominator))
+
+
+def binomial_pmf(x: int, size: int, prob: float) -> float:
+    """Binomial pmf with the reference's degenerate-case handling
+    (platypusutils.pyx:319-337)."""
+    if x == size and prob == 1:
+        return 1.0
+    if x != size and prob == 1:
+        return 0.0
+    if x == 0 and prob == 0:
+        return 1.0
+    if x == 0 and prob == 1:
+        return 0.0
+    if x == 0 and size == 0:
+        return 1.0
+    log_coeff = log_factorial(size) - (log_factorial(x) + log_factorial(size - x))
+    log_prob = x * math.log(prob) + (size - x) * math.log(1.0 - prob)
+    return math.exp(log_coeff + log_prob)
+
+
+def n_combinations_with_replacement(n_objects: int, n_chosen: int) -> int:
+    """C(n + k - 1, k) via log-factorials (platypusutils.pyx:371-377)."""
+    return int(
+        round(
+            math.exp(
+                log_factorial(n_chosen + n_objects - 1)
+                - (log_factorial(n_chosen) + log_factorial(n_objects - 1))
+            ),
+            2,
+        )
+    )
+
+
+# ln(10)/10 with the sign folded in: phred -> natural log conversion factor.
+MLTOT = -0.23025850929940459
+LOG10E = 0.43429448190325182
