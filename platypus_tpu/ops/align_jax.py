@@ -1,0 +1,195 @@
+"""Batched banded pair-alignment in JAX.
+
+The scalar contract lives in align_core.band_align_single (bit-exact vs the
+reference kernel /root/reference/src/c/align.c).  Here the same
+antidiagonal-wavefront recurrence is restructured for TPU execution:
+
+* the *batch* of (read, haplotype-segment) pairs is the vector axis — each
+  lane of the VPU advances one alignment; the 8-lane wavefront is the small
+  trailing axis so state tensors are [B, 8] int32;
+* the sequential dimension (two antidiagonals per step, one read base
+  consumed per step) is a `lax.scan` whose xs are the pre-transposed,
+  sentinel-padded read/qual/hap columns, so the loop body is pure
+  element-wise min/add/compare/shift work — no gathers;
+* variable read lengths inside one batch are handled by sentinel padding
+  (pad read columns with '0'/qual 64, haplotype columns with 'N', gap-open
+  columns clamped to the last real base) plus per-element extraction masks,
+  reproducing the reference's exact end conventions.
+
+Scores are integer phred, bit-identical to align_core (tested in
+tests/test_align.py on the checked-in reference goldens).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .align_core import N_LANES, POS_INF
+
+_N_CHAR = ord("N")
+_PAD_CHAR = ord("0")
+
+
+def pad_alignment_inputs(
+    hap_seg: np.ndarray,
+    gapopen_seg: np.ndarray,
+    read: np.ndarray,
+    qual: np.ndarray,
+    read_len: np.ndarray,
+):
+    """Host-side sentinel padding.
+
+    hap_seg/gapopen_seg: [B, L1max] with L1max >= max(read_len) + 15.
+    read/qual: [B, L2max].  Positions beyond each element's true length are
+    overwritten with the reference's padding conventions so the scan body
+    needs no per-element bounds checks.
+    Returns int32 arrays (hap cols, gapopen*4 cols, read cols, qual*4 cols)
+    transposed to [L, B] plus read_len int32.
+    """
+    hap_seg = np.asarray(hap_seg, dtype=np.int32)
+    gapopen_seg = np.asarray(gapopen_seg, dtype=np.int32)
+    read = np.asarray(read, dtype=np.int32)
+    qual = np.asarray(qual, dtype=np.int32)
+    read_len = np.asarray(read_len, dtype=np.int32)
+
+    B, L2max = read.shape
+    L1max = L2max + 2 * N_LANES  # covers index 8 + (L2max + 7)
+    len1 = read_len + 15
+
+    hp = np.full((B, L1max), _N_CHAR, np.int32)
+    go = np.zeros((B, L1max), np.int32)
+    hp[:, : hap_seg.shape[1]] = hap_seg
+    go[:, : gapopen_seg.shape[1]] = gapopen_seg
+    cols = np.arange(L1max)[None, :]
+    hp = np.where(cols < len1[:, None], hp, _N_CHAR)
+    # Gap-open reads index min(8+s2, len1-1): clamp by copying the last base.
+    last_go = np.take_along_axis(go, np.maximum(len1 - 1, 0)[:, None], axis=1)
+    go = np.where(cols < len1[:, None], go, last_go)
+
+    rd = np.full((B, L2max + N_LANES), _PAD_CHAR, np.int32)
+    qd = np.full((B, L2max + N_LANES), 64, np.int32)
+    rd[:, :L2max] = read
+    qd[:, :L2max] = qual
+    cols2 = np.arange(L2max + N_LANES)[None, :]
+    rd = np.where(cols2 < read_len[:, None], rd, _PAD_CHAR)
+    qd = np.where(cols2 < read_len[:, None], qd, 64)
+
+    return (
+        jnp.asarray(hp.T),
+        jnp.asarray(4 * go.T),
+        jnp.asarray(rd.T),
+        jnp.asarray(4 * qd.T),
+        jnp.asarray(read_len),
+    )
+
+
+def _shift_up(v: jnp.ndarray, new_col: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([new_col[:, None], v[:, :-1]], axis=1)
+
+
+def _shift_down(v: jnp.ndarray, new_col) -> jnp.ndarray:
+    if jnp.ndim(new_col) == 0:
+        new_col = jnp.full((v.shape[0],), new_col, v.dtype)
+    return jnp.concatenate([v[:, 1:], new_col[:, None]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("gapextend", "nucprior"))
+def band_align_padded(
+    hap_cols: jnp.ndarray,    # [L1max, B] int32 ASCII, 'N'-padded
+    go4_cols: jnp.ndarray,    # [L1max, B] int32 4*gapopen, end-clamped
+    read_cols: jnp.ndarray,   # [L2max+8, B] int32 ASCII, '0'-padded
+    qual4_cols: jnp.ndarray,  # [L2max+8, B] int32 4*qual, 256-padded
+    read_len: jnp.ndarray,    # [B] int32
+    gapextend: int = 3,
+    nucprior: int = 2,
+) -> jnp.ndarray:
+    """Scores [B] int32 (integer phred), given pre-padded column tensors."""
+    n_steps, B = read_cols.shape
+    L2max = n_steps - N_LANES
+    ge = jnp.int32(4 * gapextend)
+    npr = jnp.int32(4 * nucprior)
+    pos_inf = jnp.int32(POS_INF)
+    lane = jnp.arange(N_LANES, dtype=jnp.int32)[None, :]
+
+    m0 = jnp.full((B, N_LANES), POS_INF, jnp.int32)
+    seq1win = hap_cols[:N_LANES].T.astype(jnp.int32)
+    nqual0 = jnp.where(seq1win == _N_CHAR, 0, POS_INF).astype(jnp.int32)
+    gowin0 = go4_cols[:N_LANES].T.astype(jnp.int32)
+    seq2win0 = jnp.full((B, N_LANES), POS_INF, jnp.int32)
+    qual2win0 = jnp.full((B, N_LANES), 64 * 4, jnp.int32)
+    minscore0 = jnp.full((B,), POS_INF, jnp.int32)
+
+    hap_tail = hap_cols[N_LANES:]   # column 8+s2 for s2 in [0, n_steps)
+    go_tail = go4_cols[N_LANES:]
+
+    def step(carry, xs):
+        (m1, i1, d1, m2, i2, d2, s1w, nq, gow, s2w, q2w, minsc) = carry
+        new_seq2, new_qual2, hap_c, go_c, s2 = xs
+
+        # even phase ------------------------------------------------------
+        s2w = _shift_up(s2w, new_seq2)
+        q2w = _shift_up(q2w, new_qual2)
+
+        init = (lane == s2).astype(jnp.bool_)  # only fires while s2 < 8
+        m1 = jnp.where(init, jnp.int32(-0x8000), m1)
+        m2 = jnp.where(init, jnp.int32(-0x8000), m2)
+
+        m1 = jnp.minimum(m1, jnp.minimum(i1, d1))
+
+        ext_lane = jnp.clip(s2 - read_len, 0, N_LANES - 1)
+        valid = (s2 >= read_len) & (s2 < read_len + N_LANES)
+        val = jnp.take_along_axis(m1, ext_lane[:, None], axis=1)[:, 0]
+        minsc = jnp.where(valid, jnp.minimum(minsc, val), minsc)
+
+        sub = jnp.minimum(jnp.where(s2w == s1w, 0, q2w), nq)
+        m1 = m1 + sub
+        d1_new = jnp.minimum(d2 + ge, jnp.minimum(m2, i2) + _shift_down(gow, jnp.int32(0)))
+        d1 = _shift_up(d1_new, jnp.full((m1.shape[0],), POS_INF, jnp.int32))
+        i1 = jnp.minimum(i2 + ge, m2 + gow) + npr
+
+        # odd phase -------------------------------------------------------
+        s1w = _shift_down(s1w, hap_c)
+        nq = _shift_down(nq, jnp.where(hap_c == _N_CHAR, 0, POS_INF).astype(jnp.int32))
+        gow = _shift_down(gow, go_c)
+
+        m2 = jnp.minimum(m2, jnp.minimum(i2, d2))
+        val2 = jnp.take_along_axis(m2, ext_lane[:, None], axis=1)[:, 0]
+        minsc = jnp.where(valid, jnp.minimum(minsc, val2), minsc)
+
+        sub2 = jnp.minimum(jnp.where(s2w == s1w, 0, q2w), nq)
+        m2 = m2 + sub2
+        d2 = jnp.minimum(d1 + ge, jnp.minimum(m1, i1) + gow)
+        i2 = jnp.minimum(_shift_down(i1, pos_inf) + ge, _shift_down(m1, pos_inf) + gow) + npr
+        i2 = i2.at[:, -1].set(POS_INF)
+
+        return (m1, i1, d1, m2, i2, d2, s1w, nq, gow, s2w, q2w, minsc), None
+
+    xs = (
+        read_cols,
+        qual4_cols,
+        hap_tail,
+        go_tail,
+        jnp.arange(n_steps, dtype=jnp.int32),
+    )
+    carry = (m0, m0, m0, m0, m0, m0, seq1win, nqual0, gowin0, seq2win0, qual2win0, minscore0)
+    carry, _ = jax.lax.scan(step, carry, xs)
+    minscore = carry[-1]
+    return (minscore + 0x8000) >> 2
+
+
+def band_align_batch(
+    hap_seg: np.ndarray,
+    gapopen_seg: np.ndarray,
+    read: np.ndarray,
+    qual: np.ndarray,
+    read_len: np.ndarray,
+    gapextend: int = 3,
+    nucprior: int = 2,
+) -> np.ndarray:
+    """Convenience host API: pad then run the jitted scan kernel."""
+    padded = pad_alignment_inputs(hap_seg, gapopen_seg, read, qual, read_len)
+    return np.asarray(band_align_padded(*padded, gapextend=gapextend, nucprior=nucprior))
