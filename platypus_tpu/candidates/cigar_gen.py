@@ -1,0 +1,181 @@
+"""Variant candidate generation from aligned reads' CIGAR strings.
+
+Mirrors /root/reference/src/cython/variant.pyx:458-752
+(VariantCandidateGenerator): walk each read's CIGAR; insertions/deletions
+need a flanking match run >= minFlank on either side; M segments are scanned
+base-wise for mismatches with qual >= minBaseQual and no Ns, merging
+mismatches closer than minFlank into MNPs; candidates closer than minFlank
+to either read end are ignored.  Candidates dedupe into a dict keyed by
+(pos, removed, added), accumulating supporting-read counts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from ..io.bam import (
+    CIGAR_D,
+    CIGAR_EQ,
+    CIGAR_H,
+    CIGAR_I,
+    CIGAR_M,
+    CIGAR_N,
+    CIGAR_P,
+    CIGAR_S,
+    CIGAR_X,
+)
+from .variant import PLATYPUS_VAR, Variant
+
+
+class CandidateGenerator:
+    def __init__(self, region, ref_file, min_map_qual: int, min_flank: int,
+                 min_base_qual: int, gen_snps: bool = True, gen_indels: bool = True):
+        self.ref_name, self.r_start, self.r_end = region
+        self.ref_file = ref_file
+        self.ref_seq_start = max(0, self.r_start - 2000)
+        self.ref_seq_end = min(self.r_end + 2000, ref_file.refs[self.ref_name].length - 1)
+        self.ref_seq = ref_file.get_sequence(self.ref_name, self.ref_seq_start, self.ref_seq_end)
+        self.min_map_qual = min_map_qual
+        self.min_flank = min_flank
+        self.min_base_qual = min_base_qual
+        self.gen_snps = gen_snps
+        self.gen_indels = gen_indels
+        self.variant_heap: Dict[Variant, Variant] = {}
+
+    # ------------------------------------------------------------------
+    def add_variant(self, var: Variant) -> None:
+        existing = self.variant_heap.get(var)
+        if existing is None:
+            self.variant_heap[var] = var
+        else:
+            existing.add_variant(var)
+
+    def get_candidates(self) -> List[Variant]:
+        return sorted(self.variant_heap.values())
+
+    # ------------------------------------------------------------------
+    def add_candidates_from_reads(self, read_set, indices) -> None:
+        """Scan a pile of reads (skipping QC-failed ones)."""
+        for i in indices:
+            if read_set.qc_fail[i]:
+                continue
+            self._scan_read(read_set, int(i))
+
+    def _scan_read(self, rs, i: int) -> None:
+        read_start = int(rs.pos[i])
+        read_len = int(rs.rlen[i])
+        seq = rs.seq[i]
+        qual = rs.qual[i]
+        cigar = rs.cigar_ops(i)
+        n_ops = len(cigar)
+        ref_off = 0
+        read_off = 0
+        for ci in range(n_ops):
+            op = int(cigar[ci, 0])
+            length = int(cigar[ci, 1])
+            if op == CIGAR_I:
+                flank_ok = (
+                    (ci > 0 and cigar[ci - 1, 0] == CIGAR_M and cigar[ci - 1, 1] >= self.min_flank)
+                    or (ci < n_ops - 1 and cigar[ci + 1, 0] == CIGAR_M
+                        and cigar[ci + 1, 1] >= self.min_flank)
+                )
+                if not flank_ok:
+                    read_off += length
+                    continue
+                inserted = bytes(seq[read_off : read_off + length])
+                if b"N" not in inserted and self.gen_indels:
+                    self.add_variant(
+                        Variant(self.ref_name, read_start + ref_off - 1, b"", inserted,
+                                1, PLATYPUS_VAR)
+                    )
+                read_off += length
+            elif op == CIGAR_D:
+                flank_ok = (
+                    (ci > 0 and cigar[ci - 1, 0] == CIGAR_M and cigar[ci - 1, 1] >= self.min_flank)
+                    or (ci < n_ops - 1 and cigar[ci + 1, 0] == CIGAR_M
+                        and cigar[ci + 1, 1] >= self.min_flank)
+                )
+                if not flank_ok:
+                    ref_off += length
+                    continue
+                deleted = self.ref_file.get_sequence(
+                    self.ref_name, read_start + ref_off, read_start + ref_off + length
+                )
+                if b"N" not in deleted and self.gen_indels:
+                    self.add_variant(
+                        Variant(self.ref_name, read_start + ref_off - 1, deleted, b"",
+                                1, PLATYPUS_VAR)
+                    )
+                ref_off += length
+            elif op in (CIGAR_M, CIGAR_EQ, CIGAR_X):
+                if op == CIGAR_EQ or (length < self.min_flank and op == CIGAR_M):
+                    read_off += length
+                    ref_off += length
+                    continue
+                if self.gen_snps:
+                    self._scan_match_segment(seq, qual, read_start, read_off, ref_off,
+                                             length, read_len)
+                read_off += length
+                ref_off += length
+            elif op == CIGAR_N:
+                ref_off += length
+            elif op == CIGAR_S:
+                read_off += length
+                # Leading soft clip: pos was adjusted left, so move ref too
+                # (variant.pyx:699-705).
+                if ci == 0:
+                    ref_off += length
+            elif op in (CIGAR_H, CIGAR_P):
+                continue
+
+    def _scan_match_segment(self, seq, qual, read_start: int, read_off: int,
+                            ref_off: int, length: int, read_len: int) -> None:
+        """SNP/MNP scan of one M segment (variant.pyx:518-610)."""
+        min_flank = self.min_flank
+        mm_start_ref = -1
+        mm_end_ref = -1
+        mm_start_read = -1
+        mm_end_read = -1
+        ref_seq = self.ref_seq
+        n_char = ord("N")
+
+        def emit():
+            ref_bytes = ref_seq[mm_start_ref : mm_end_ref + 1]
+            read_bytes = bytes(seq[mm_start_read : mm_end_read + 1])
+            self.add_variant(
+                Variant(self.ref_name, mm_start_ref + self.ref_seq_start,
+                        ref_bytes, read_bytes, 1, PLATYPUS_VAR)
+            )
+
+        for index in range(length):
+            if read_off == 0 and index < min_flank:
+                continue
+            if index + read_off >= read_len - min_flank:
+                continue
+            read_index = index + read_off
+            ref_index = (index + ref_off + read_start) - self.ref_seq_start
+            if ref_index < 0 or ref_index >= len(ref_seq):
+                continue
+            read_char = int(seq[read_index])
+            ref_char = ref_seq[ref_index]
+            base_qual = int(qual[read_index])
+            if read_char != ref_char:
+                if read_char != n_char and ref_char != n_char and base_qual >= self.min_base_qual:
+                    if mm_start_ref == -1:
+                        mm_start_ref = mm_end_ref = ref_index
+                        mm_start_read = mm_end_read = read_index
+                    elif ref_index - mm_end_ref <= min_flank:
+                        mm_end_ref = ref_index
+                        mm_end_read = read_index
+                    else:
+                        emit()
+                        mm_start_ref = mm_end_ref = ref_index
+                        mm_start_read = mm_end_read = read_index
+            else:
+                if mm_start_ref != -1 and ref_index - mm_end_ref > min_flank:
+                    emit()
+                    mm_start_ref = mm_end_ref = mm_start_read = mm_end_read = -1
+        if mm_start_ref != -1:
+            emit()

@@ -1,0 +1,151 @@
+"""Command-line interface.
+
+`platypus-tpu callVariants ...` / `continueCalling ...` mirror the reference
+CLI (/root/reference/src/python/Platypus.py + runner.py:512-599): the same
+flag names are accepted (camelCase), mapped onto the PlatypusConfig
+dataclass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+from typing import List, Optional
+
+from .config import PlatypusConfig
+from .engine.runner import continue_calling, run_variant_caller
+
+# CLI flag name (reference spelling) -> config field.
+_FLAG_MAP = {
+    "output": "output",
+    "refFile": "ref_file",
+    "regions": "regions",
+    "skipRegionsFile": "skip_regions_file",
+    "bamFiles": "bam_files",
+    "bufferSize": "buffer_size",
+    "minReads": "min_reads",
+    "maxReads": "max_reads",
+    "verbosity": "verbosity",
+    "maxReadLength": "rlen",
+    "logFileName": "log_file_name",
+    "source": "source_file",
+    "nCPU": "n_cpu",
+    "parseNCBI": "parse_ncbi",
+    "longHaps": "long_haps",
+    "alignScoreFile": "align_score_file",
+    "HLATyping": "hla_typing",
+    "compressReads": "compress_reads",
+    "qualBinSize": "qual_bin_size",
+    "fileCaching": "file_caching",
+    "maxSize": "max_size",
+    "largeWindows": "large_windows",
+    "maxVariants": "max_variants",
+    "coverageSamplingLevel": "coverage_sampling_level",
+    "maxHaplotypes": "max_haplotypes",
+    "skipDifficultWindows": "skip_difficult_windows",
+    "getVariantsFromBAMs": "get_variants_from_bams",
+    "genSNPs": "gen_snps",
+    "genIndels": "gen_indels",
+    "mergeClusteredVariants": "merge_clustered_variants",
+    "minFlank": "min_flank",
+    "trimReadFlank": "trim_read_flank",
+    "filterVarsByCoverage": "filter_vars_by_coverage",
+    "filteredReadsFrac": "filtered_reads_frac",
+    "maxVarDist": "max_var_dist",
+    "minVarDist": "min_var_dist",
+    "useEMLikelihoods": "use_em_likelihoods",
+    "countOnlyExactIndelMatches": "count_only_exact_indel_matches",
+    "calculateFlankScore": "calculate_flank_score",
+    "assemble": "assemble",
+    "assembleAll": "assemble_all",
+    "assemblyRegionSize": "assembly_region_size",
+    "assembleBadReads": "assemble_bad_reads",
+    "assemblerKmerSize": "assembler_kmer_size",
+    "assembleBrokenPairs": "assemble_broken_pairs",
+    "noCycles": "no_cycles",
+    "minMapQual": "min_map_qual",
+    "minBaseQual": "min_base_qual",
+    "minGoodQualBases": "min_good_qual_bases",
+    "filterDuplicates": "filter_duplicates",
+    "filterReadsWithUnmappedMates": "filter_reads_with_unmapped_mates",
+    "filterReadsWithDistantMates": "filter_reads_with_distant_mates",
+    "filterReadPairsWithSmallInserts": "filter_read_pairs_with_small_inserts",
+    "trimOverlapping": "trim_overlapping",
+    "trimAdapter": "trim_adapter",
+    "trimSoftClipped": "trim_soft_clipped",
+    "maxGOF": "max_gof",
+    "minPosterior": "min_posterior",
+    "sbThreshold": "sb_threshold",
+    "scThreshold": "sc_threshold",
+    "abThreshold": "ab_threshold",
+    "minVarFreq": "min_var_freq",
+    "badReadsWindow": "bad_reads_window",
+    "badReadsThreshold": "bad_reads_threshold",
+    "rmsmqThreshold": "rmsmq_threshold",
+    "qdThreshold": "qd_threshold",
+    "hapScoreThreshold": "hap_score_threshold",
+    "outputRefCalls": "output_ref_calls",
+    "refCallBlockSize": "ref_call_block_size",
+    "usePallas": "use_pallas",
+}
+
+_LIST_FLAGS = {"bamFiles", "regions", "source"}
+
+
+def build_config(argv: List[str]) -> PlatypusConfig:
+    fields = {f.name: f for f in dataclasses.fields(PlatypusConfig)}
+    parser = argparse.ArgumentParser(prog="platypus-tpu callVariants")
+    for flag, field_name in _FLAG_MAP.items():
+        f = fields[field_name]
+        if flag in _LIST_FLAGS:
+            parser.add_argument(f"--{flag}", type=str, default=None)
+        elif f.type in ("int", int):
+            parser.add_argument(f"--{flag}", type=int, default=None)
+        elif f.type in ("float", float):
+            parser.add_argument(f"--{flag}", type=float, default=None)
+        else:
+            parser.add_argument(f"--{flag}", type=str, default=None)
+    parser.add_argument("-o", dest="output_short", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    config = PlatypusConfig()
+    for flag, field_name in _FLAG_MAP.items():
+        value = getattr(args, flag, None)
+        if value is None:
+            continue
+        if flag in _LIST_FLAGS:
+            value = value.split(",")
+        setattr(config, field_name, value)
+    if args.output_short:
+        config.output = args.output_short
+    if not config.bam_files or not config.ref_file:
+        parser.error("--bamFiles and --refFile are required")
+    return config
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    if not argv:
+        print("usage: platypus-tpu {callVariants,continueCalling} [options]")
+        return 2
+    command, rest = argv[0], argv[1:]
+    if command == "callVariants":
+        config = build_config(rest)
+        run_variant_caller(config)
+        return 0
+    if command == "continueCalling":
+        parser = argparse.ArgumentParser(prog="platypus-tpu continueCalling")
+        parser.add_argument("--vcfFile", required=True)
+        args = parser.parse_args(rest)
+        continue_calling(args.vcfFile)
+        return 0
+    print(f"unknown command {command!r}; use callVariants or continueCalling")
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,297 @@
+"""Per-window calling: haplotype enumeration, genotype likelihoods, EM and
+posteriors.
+
+This is the engine equivalent of the reference's callVariantsInWindow +
+Population (variantcaller.pyx:74-141, cpopulation.pyx:197-720) and the
+haplotype filtering layer (variantFilter.pyx:377-650):
+
+* windows with <= log2(maxHaplotypes-1) variants enumerate every valid
+  variant subset as a haplotype; denser windows run the support-ordered
+  beam search, scoring each candidate haplotype against coverage-subsampled
+  reads (ref-hap genotype likelihood), keeping the top set in a heap;
+* identical-sequence haplotypes merge (lowest-prior variant set wins);
+* the (hap x read) log-likelihood matrix is computed in one batched device
+  pass (engine/score.py); genotype GLs / EM / posteriors use the exact
+  float64 kernels in ops/likelihood.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass, field
+from itertools import combinations
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..candidates.normalize import is_haplotype_valid
+from ..candidates.filters import filter_variants_by_coverage
+from ..candidates.variant import Variant
+from ..candidates.windows import Window
+from ..config import PlatypusConfig, RuntimeState
+from ..io.readbuffer import SampleReadBuffer
+from ..models.haplotype import Haplotype, merge_haplotypes
+from ..ops import likelihood as lk
+from .score import WindowReads, gather_window_reads, score_reads_vs_haplotypes
+
+
+@dataclass
+class WindowCall:
+    window: Window
+    haplotypes: List[Haplotype]
+    ref_hap_index: int
+    hap1_idx: np.ndarray
+    hap2_idx: np.ndarray
+    frequencies: np.ndarray           # [H] EM haplotype frequencies
+    likelihoods: np.ndarray           # [I, G] relative genotype likelihoods
+    em_likelihoods: np.ndarray        # [I, G] EM responsibilities
+    gof: np.ndarray                   # [G, I] goodness-of-fit values
+    n_reads: np.ndarray               # [I] good reads per individual
+    genotype_calls: List[Optional[int]]
+    variant_posteriors: Dict[Variant, float]
+    vars_by_pos: Dict[int, List[Variant]]
+    reads: WindowReads
+    loglik: np.ndarray                # [H, R] per-(hap, read) ln-likelihood
+
+
+def _all_subset_haplotypes(window: Window, variants: Sequence[Variant], ref_file,
+                           max_read_length: int) -> List[Haplotype]:
+    haps = []
+    for n_in_hap in range(1, len(variants) + 1):
+        for combo in combinations(variants, n_in_hap):
+            if is_haplotype_valid(combo):
+                haps.append(
+                    Haplotype(window.chromosome, window.start_pos, window.end_pos,
+                              combo, ref_file, max_read_length)
+                )
+    return haps
+
+
+def _subsample_read_rows(reads: WindowReads, window_size: int,
+                         target_coverage: int, n_individuals: int) -> np.ndarray:
+    """Good-read rows, coverage-subsampled per individual
+    (variantFilter.pyx:256-279)."""
+    rows = []
+    for i in range(n_individuals):
+        idx = np.nonzero((reads.sample_idx == i) & reads.is_good)[0]
+        if len(idx) == 0:
+            continue
+        rlen0 = int(reads.rlen[idx[0]])
+        mean_cov = rlen0 * len(idx) // max(1, window_size)
+        rate = max(1, mean_cov // max(1, target_coverage))
+        rows.append(idx[::rate])
+    if not rows:
+        return np.zeros(0, np.int64)
+    return np.concatenate(rows)
+
+
+def _beam_search_haplotypes(
+    window: Window,
+    variants: List[Variant],
+    ref_hap: Haplotype,
+    buffers: Sequence[SampleReadBuffer],
+    reads: WindowReads,
+    ref_file,
+    config: PlatypusConfig,
+    rt: RuntimeState,
+) -> List[Haplotype]:
+    """Support-ordered greedy haplotype growth (variantFilter.pyx:440-506)."""
+    original_max = rt.original_max_haplotypes - 1
+    max_haps = rt.max_haplotypes - 1
+    window_size = window.end_pos - window.start_pos
+    sample_rows = _subsample_read_rows(reads, window_size,
+                                       config.coverage_sampling_level, len(buffers))
+
+    sub = _subset_reads(reads, sample_rows)
+
+    def genotype_best_score(hap: Haplotype) -> float:
+        """max over samples of sum_r ln(0.5 e^s_ref + 0.5 e^s_hap) over the
+        subsampled rows (computeBestScoreForGenotype)."""
+        ll = score_reads_vs_haplotypes([ref_hap, hap], sub, use_map_qual_cap=False)
+        per_read = np.log(0.5 * (np.exp(ll[0]) + np.exp(ll[1])))
+        best = -1e20
+        for i in range(len(buffers)):
+            m = sub.sample_idx == i
+            if m.any():
+                best = max(best, float(per_read[m].sum()))
+        return best
+
+    vars_by_cov = sorted(variants, key=lambda v: v.n_supporting_reads, reverse=True)
+    heap: List[Tuple[float, Tuple[Variant, ...]]] = []
+
+    for temp_var in vars_by_cov:
+        old = sorted(heap)
+        var_tuple = (temp_var,)
+        candidates = [var_tuple]
+        for _score, vars2 in old:
+            combo = tuple(sorted(var_tuple + vars2, key=lambda v: v.sort_key()))
+            if is_haplotype_valid(combo):
+                candidates.append(combo)
+        for combo in candidates:
+            hap = Haplotype(window.chromosome, window.start_pos, window.end_pos,
+                            combo, ref_file, rt.rlen)
+            score = genotype_best_score(hap)
+            key = (score, tuple(v.sort_key() for v in combo), combo)
+            if len(heap) < original_max:
+                heapq.heappush(heap, key)
+            else:
+                heapq.heappushpop(heap, key)
+
+    out = []
+    for index, (_score, _sk, combo) in enumerate(sorted(heap, reverse=True)):
+        if index >= max_haps:
+            break
+        out.append(Haplotype(window.chromosome, window.start_pos, window.end_pos,
+                             combo, ref_file, rt.rlen))
+    return out
+
+
+def _subset_reads(reads: WindowReads, rows: np.ndarray) -> WindowReads:
+    return WindowReads(
+        seq=reads.seq[rows],
+        qual=reads.qual[rows],
+        rlen=reads.rlen[rows],
+        pos=reads.pos[rows],
+        end=reads.end[rows],
+        mapq=reads.mapq[rows],
+        strand_reverse=reads.strand_reverse[rows],
+        qc_fail=reads.qc_fail[rows],
+        is_broken=reads.is_broken[rows],
+        sample_idx=reads.sample_idx[rows],
+        is_good=reads.is_good[rows],
+        cigar_refs=[reads.cigar_refs[int(r)] for r in rows],
+    )
+
+
+def get_haplotypes_in_window(
+    window: Window,
+    variants: List[Variant],
+    ref_hap: Haplotype,
+    buffers: Sequence[SampleReadBuffer],
+    reads: WindowReads,
+    ref_file,
+    config: PlatypusConfig,
+    rt: RuntimeState,
+) -> List[Haplotype]:
+    max_haps = rt.max_haplotypes - 1
+    n_vars = len(variants)
+    if n_vars <= math.log2(max_haps) or (
+        config.filter_vars_by_coverage and config.max_variants <= math.log2(max_haps)
+    ):
+        return _all_subset_haplotypes(window, variants, ref_file, rt.rlen)
+    return _beam_search_haplotypes(window, variants, ref_hap, buffers, reads,
+                                   ref_file, config, rt)
+
+
+def call_window(
+    window: Window,
+    buffers: Sequence[SampleReadBuffer],
+    ref_file,
+    config: PlatypusConfig,
+    rt: RuntimeState,
+) -> Optional[WindowCall]:
+    """Full per-window inference (callVariantsInWindow + Population.call)."""
+    chrom = window.chromosome
+    variants = list(window.variants)
+
+    ref_hap = Haplotype(chrom, window.start_pos, window.end_pos, (), ref_file, rt.rlen)
+
+    n_reads_window = sum(
+        b.window_slice(window.start_pos, window.end_pos).stop
+        - b.window_slice(window.start_pos, window.end_pos).start
+        for b in buffers
+    )
+    if n_reads_window == 0 and not config.output_ref_calls:
+        return None
+    if n_reads_window > config.max_reads:
+        return None
+
+    if len(variants) > config.max_variants:
+        if config.skip_difficult_windows:
+            return None
+        if config.filter_vars_by_coverage:
+            variants = filter_variants_by_coverage(variants, config.max_variants)
+            window.variants = variants
+
+    reads = gather_window_reads(buffers, window.start_pos, window.end_pos)
+
+    if n_reads_window == 0:
+        var_haps: List[Haplotype] = []
+    else:
+        var_haps = get_haplotypes_in_window(
+            window, variants, ref_hap, buffers, reads, ref_file, config, rt
+        )
+    all_haps = merge_haplotypes([ref_hap] + var_haps, ref_file)
+    if len(all_haps) <= 1 and not config.output_ref_calls:
+        return None
+
+    ref_idx = next(i for i, h in enumerate(all_haps) if h == ref_hap)
+    H = len(all_haps)
+    hap1_idx, hap2_idx = lk.genotype_index_pairs(H)
+    G = len(hap1_idx)
+    I = len(buffers)
+
+    # ---- the big tensor: per-(hap, read) log-likelihoods ----------------
+    loglik = score_reads_vs_haplotypes(
+        all_haps, reads, use_map_qual_cap=bool(config.hla_typing)
+    )
+
+    n_reads = np.zeros(I, np.int64)
+    gl_by_ind = np.zeros((I, G))
+    gof = np.zeros((G, I))
+    for i in range(I):
+        good_rows = np.nonzero((reads.sample_idx == i) & reads.is_good)[0]
+        all_rows = np.nonzero(reads.sample_idx == i)[0]
+        n_reads[i] = len(good_rows)
+        if len(good_rows) == 0:
+            gl_by_ind[i] = 0.0  # rescales to 1.0 below
+            continue
+        gl, gof_sum = lk.genotype_log_likelihoods(loglik[:, all_rows], hap1_idx, hap2_idx)
+        gl_by_ind[i] = gl
+        gof[:, i] = -10.0 * gof_sum / len(good_rows)
+
+    likelihoods = lk.rescale_likelihoods(gl_by_ind, n_reads)
+    frequencies, em_lik, _iters = lk.em_haplotype_frequencies(
+        likelihoods, hap1_idx, hap2_idx, H, n_reads, max_iters=100
+    )
+    genotype_calls = lk.call_genotypes(
+        likelihoods, em_lik, n_reads, use_em=bool(config.use_em_likelihoods)
+    )
+
+    # ---- variant posteriors --------------------------------------------
+    hap_var_sets = [set(h.variants) for h in all_haps]
+    posteriors: Dict[Variant, float] = {}
+    vars_by_pos: Dict[int, List[Variant]] = {}
+    done = set()
+    for hap in all_haps:
+        for v in hap.variants:
+            if v in done:
+                continue
+            done.add(v)
+            has_var = np.array([v in s for s in hap_var_sets])
+            prior = v.calculate_prior(ref_file)
+            post = lk.variant_posterior_phred(
+                likelihoods, frequencies, has_var, hap1_idx, hap2_idx, n_reads, prior
+            )
+            if post >= config.min_posterior:
+                posteriors[v] = post
+                vars_by_pos.setdefault(v.ref_pos, []).append(v)
+
+    return WindowCall(
+        window=window,
+        haplotypes=all_haps,
+        ref_hap_index=ref_idx,
+        hap1_idx=hap1_idx,
+        hap2_idx=hap2_idx,
+        frequencies=frequencies,
+        likelihoods=likelihoods,
+        em_likelihoods=em_lik,
+        gof=gof,
+        n_reads=n_reads,
+        genotype_calls=genotype_calls,
+        variant_posteriors=posteriors,
+        vars_by_pos=vars_by_pos,
+        reads=reads,
+        loglik=loglik,
+    )

@@ -1,0 +1,289 @@
+"""Region-level orchestration: load reads, generate candidates, window loop.
+
+Equivalent of the reference's callVariantsInRegion / generateVariantsInRegion
+(variantcaller.pyx:412-615) and loadBAMData (platypusutils.pyx:449-687):
+per 100kb region, reads are fetched per sample and QC'd into buffers,
+candidates come from CIGARs (plus optional source VCF and assembler),
+get left-normalised, merged and support-filtered, then clustered into
+windows which are called and written out.  Per-window failures are logged
+and skipped, mirroring the reference's crash containment
+(variantcaller.pyx:613-615).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..candidates.cigar_gen import CandidateGenerator
+from ..candidates.filters import (
+    compute_variant_read_support_frac,
+    filter_variants,
+)
+from ..candidates.normalize import left_normalise_indel
+from ..candidates.variant import Variant
+from ..candidates.windows import Window, generate_windows
+from ..config import PlatypusConfig, RuntimeState
+from ..io.bam import BamFile
+from ..io.readbuffer import QCOptions, SampleReadBuffer, build_sample_buffer
+from ..vcfout.records import output_call_to_vcf
+from .caller import call_window
+
+logger = logging.getLogger("platypus_tpu")
+
+
+def qc_options_from_config(config: PlatypusConfig) -> QCOptions:
+    return QCOptions(
+        min_map_qual=config.min_map_qual,
+        min_base_qual=config.min_base_qual,
+        min_good_qual_bases=config.min_good_qual_bases,
+        min_flank=config.min_flank,
+        trim_read_flank=config.trim_read_flank,
+        trim_overlapping=config.trim_overlapping,
+        trim_adapter=config.trim_adapter,
+        trim_soft_clipped=config.trim_soft_clipped,
+        filter_duplicates=config.filter_duplicates,
+        filter_reads_with_unmapped_mates=config.filter_reads_with_unmapped_mates,
+        filter_reads_with_distant_mates=config.filter_reads_with_distant_mates,
+        filter_read_pairs_with_small_inserts=config.filter_read_pairs_with_small_inserts,
+    )
+
+
+def load_region_buffers(
+    bam_files: Sequence[BamFile],
+    samples_by_bam: Dict[BamFile, List[str]],
+    chrom: str,
+    start: int,
+    end: int,
+    config: PlatypusConfig,
+) -> Optional[List[SampleReadBuffer]]:
+    """Fetch + QC reads for one region, one buffer per sample, sorted by
+    sample name (platypusutils.pyx:449-687).  Returns None when the region
+    exceeds maxReads."""
+    qc = qc_options_from_config(config)
+    buffers = []
+    total_reads = 0
+    multi = any(len(s) > 1 for s in samples_by_bam.values())
+    if not multi:
+        for bam in bam_files:
+            sample = samples_by_bam[bam][0]
+            stream = bam.fetch(chrom, start, end)
+            total_reads += len(stream)
+            if total_reads >= config.max_reads:
+                logger.warning(
+                    "Too many reads (%s) in region %s:%s-%s", total_reads, chrom, start, end
+                )
+                return None
+            buffers.append(build_sample_buffer(sample, stream, qc))
+    else:
+        # Multi-sample BAMs: split the stream by RG tag.
+        streams: Dict[str, list] = {}
+        sample_by_rg: Dict[bytes, str] = {}
+        for bam in bam_files:
+            for rg in bam.header_dict().get("RG", []):
+                if "ID" in rg and "SM" in rg:
+                    sample_by_rg[rg["ID"].encode()] = rg["SM"]
+        all_samples = sorted({s for ss in samples_by_bam.values() for s in ss})
+        per_sample_rows: Dict[str, List[Tuple[object, int]]] = {s: [] for s in all_samples}
+        read_sets = []
+        for bam in bam_files:
+            rs = bam.fetch(chrom, start, end, store_rg=True)
+            total_reads += len(rs)
+            if total_reads >= config.max_reads:
+                return None
+            read_sets.append(rs)
+            for i in range(len(rs)):
+                rg = rs.rg_id[i] if rs.rg_id else None
+                sample = sample_by_rg.get(rg, all_samples[0])
+                per_sample_rows[sample].append((rs, i))
+        for sample in all_samples:
+            rows = per_sample_rows[sample]
+            if rows:
+                rs0 = rows[0][0]
+                idx_by_rs: Dict[int, List[int]] = {}
+                # Regroup rows by their originating ReadSet, then take().
+                subsets = []
+                for rs, i in rows:
+                    subsets.append(rs.take(np.array([i])))
+                # Concatenate via repeated take is slow but multi-sample BAMs
+                # are rare; keep simple for now.
+                from ..io.bam import empty_read_set
+
+                stream = _concat_read_sets(subsets)
+            else:
+                from ..io.bam import empty_read_set
+
+                stream = empty_read_set()
+            buffers.append(build_sample_buffer(sample, stream, qc))
+    buffers.sort(key=lambda b: b.sample)
+    return buffers
+
+
+def _concat_read_sets(subsets):
+    from ..io.bam import ReadSet, empty_read_set
+
+    if not subsets:
+        return empty_read_set()
+    L = max(rs.seq.shape[1] for rs in subsets)
+    n = sum(len(rs) for rs in subsets)
+    out = empty_read_set(L)
+    seq = np.zeros((n, L), np.uint8)
+    qual = np.zeros((n, L), np.uint8)
+    row = 0
+    scalars = {k: [] for k in ("rlen", "pos", "end", "mapq", "flag", "chrom_id",
+                               "mate_chrom_id", "mate_pos", "insert_size", "qc_fail")}
+    cigars = []
+    for rs in subsets:
+        k = len(rs)
+        seq[row : row + k, : rs.seq.shape[1]] = rs.seq
+        qual[row : row + k, : rs.qual.shape[1]] = rs.qual
+        for key in scalars:
+            scalars[key].append(getattr(rs, key))
+        for i in range(k):
+            cigars.append(rs.cigar_flat[rs.cigar_off[i] : rs.cigar_off[i + 1]])
+        row += k
+    lens = np.array([len(c) for c in cigars], dtype=np.int64)
+    return ReadSet(
+        seq=seq, qual=qual,
+        rlen=np.concatenate(scalars["rlen"]),
+        pos=np.concatenate(scalars["pos"]),
+        end=np.concatenate(scalars["end"]),
+        mapq=np.concatenate(scalars["mapq"]),
+        flag=np.concatenate(scalars["flag"]),
+        chrom_id=np.concatenate(scalars["chrom_id"]),
+        mate_chrom_id=np.concatenate(scalars["mate_chrom_id"]),
+        mate_pos=np.concatenate(scalars["mate_pos"]),
+        insert_size=np.concatenate(scalars["insert_size"]),
+        cigar_flat=np.concatenate(cigars) if cigars else np.zeros(0, np.uint32),
+        cigar_off=np.concatenate([[0], np.cumsum(lens)]),
+        qc_fail=np.concatenate(scalars["qc_fail"]),
+    )
+
+
+def generate_variants_in_region(
+    chrom: str,
+    start: int,
+    end: int,
+    ref_file,
+    buffers: Sequence[SampleReadBuffer],
+    config: PlatypusConfig,
+    rt: RuntimeState,
+) -> List[Variant]:
+    """Candidate generation for one region (variantcaller.pyx:412-527)."""
+    raw_bam_variants: List[Variant] = []
+    vcf_file_variants: List[Variant] = []
+    assembler_variants: List[Variant] = []
+    longest_read = 0
+
+    if config.get_variants_from_bams:
+        all_sample_gen = CandidateGenerator(
+            (chrom, start, end), ref_file, config.min_map_qual, config.min_flank,
+            config.min_base_qual, config.gen_snps, config.gen_indels,
+        )
+        for buf in buffers:
+            gen = CandidateGenerator(
+                (chrom, start, end), ref_file, config.min_map_qual, config.min_flank,
+                config.min_base_qual, config.gen_snps, config.gen_indels,
+            )
+            if len(buf.good):
+                longest_read = max(longest_read, int((buf.good.end - buf.good.pos).max()))
+            gen.add_candidates_from_reads(buf.good, range(len(buf.good)))
+            for v in gen.variant_heap.values():
+                frac = compute_variant_read_support_frac(v, buf)
+                if frac >= config.min_var_freq:
+                    all_sample_gen.add_variant(v)
+                elif v.n_added != v.n_removed:
+                    all_sample_gen.add_variant(v)
+        raw_bam_variants.extend(all_sample_gen.get_candidates())
+
+        # rlen tracks the longest observed read (variantcaller.pyx:478-487).
+        if longest_read > 0:
+            if longest_read >= config.max_size:
+                rt.rlen = config.max_size
+            else:
+                rt.rlen = longest_read
+
+    if config.source_file:
+        from ..io.vcfsource import VariantCandidateReader
+
+        reader = VariantCandidateReader(config.source_file, long_haps=bool(config.long_haps))
+        vcf_file_variants.extend(reader.variants(chrom, start, end))
+
+    if config.assemble:
+        from ..candidates.assembly import assemble_region_variants
+
+        assembler_variants.extend(
+            assemble_region_variants(chrom, start, end, ref_file, buffers, config)
+        )
+
+    all_cands = raw_bam_variants + vcf_file_variants + assembler_variants
+    left_norm = sorted(
+        (left_normalise_indel(v, ref_file, rt.rlen) for v in all_cands),
+        key=lambda v: v.sort_key(),
+    )
+    return filter_variants(left_norm, config.min_reads, config.min_reads, config.max_size)
+
+
+def call_variants_in_region(
+    chrom: str,
+    start: int,
+    end: int,
+    bam_files: Sequence[BamFile],
+    samples_by_bam,
+    ref_file,
+    config: PlatypusConfig,
+    rt: RuntimeState,
+    writer,
+) -> int:
+    """Full region pipeline; returns number of VCF lines written."""
+    rlen0 = rt.rlen
+    ref_file.set_cache_sequence(chrom, start - 10 * rt.rlen, end + 10 * rt.rlen)
+    contig_len = ref_file.refs[chrom].length
+    max_contig_pos = contig_len - 1
+
+    try:
+        buffers = load_region_buffers(bam_files, samples_by_bam, chrom, start, end, config)
+    except Exception as exc:  # noqa: BLE001 — region-level crash containment
+        logger.exception("Exception loading region %s:%s-%s: %s", chrom, start, end, exc)
+        return 0
+    if buffers is None:
+        logger.info("Skipping region %s:%s-%s (data could not be loaded)", chrom, start, end)
+        return 0
+
+    variants = generate_variants_in_region(chrom, start, end, ref_file, buffers, config, rt)
+    # Re-cache with the updated read length.
+    if rt.rlen != rlen0:
+        ref_file.set_cache_sequence(chrom, start - 10 * rt.rlen, end + 10 * rt.rlen)
+
+    n_written = 0
+    for window in generate_windows(
+        chrom, start, end, max_contig_pos, variants,
+        rlen=rt.rlen, max_size=config.max_size,
+        large_windows=bool(config.large_windows),
+        max_var_dist=config.max_var_dist, min_var_dist=config.min_var_dist,
+        max_variants=config.max_variants,
+        merge_clustered=bool(config.merge_clustered_variants),
+        output_ref_calls=bool(config.output_ref_calls),
+        ref_call_block_size=config.ref_call_block_size,
+    ):
+        try:
+            if window.end_pos - window.start_pos > config.max_size and window.variants:
+                logger.info(
+                    "Skipping very large window %s:%s-%s", chrom, window.start_pos, window.end_pos
+                )
+                continue
+            if window.variants:
+                result = call_window(window, buffers, ref_file, config, rt)
+                if result is not None and result.variant_posteriors:
+                    n_written += output_call_to_vcf(result, buffers, ref_file, config, writer)
+            if config.output_ref_calls and not window.variants:
+                from ..vcfout.refcalls import output_ref_call
+
+                output_ref_call(window, buffers, ref_file, config, writer)
+        except Exception as exc:  # noqa: BLE001 — window-level crash containment
+            logger.exception(
+                "Exception in window %s:%s-%s: %s", chrom, window.start_pos, window.end_pos, exc
+            )
+    return n_written

@@ -1,0 +1,267 @@
+"""Top-level driver: region generation, worker processes, VCF merge, resume.
+
+Equivalent of the reference driver (/root/reference/src/python/runner.py):
+
+* get_regions: regions flag (chr:start-end list, .txt, .bed), else BAM SQ
+  header, else FASTA index; split into bufferSize shards
+  (platypusutils.pyx:935-1085);
+* run_variant_caller: round-robins region shards over n_cpu worker
+  processes writing temp VCFs, k-way heap-merges them (runner.py:391-504,
+  29-121, 301-352);
+* continue_calling: resume from an interrupted run by parsing the
+  platypusOptions header line of the partial VCF (runner.py:197-297).
+"""
+
+from __future__ import annotations
+
+import heapq
+import logging
+import multiprocessing
+import os
+import sys
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..config import PlatypusConfig, RuntimeState, derive_runtime
+from ..io.bam import BamFile
+from ..io.fasta import FastaFile
+from ..vcfout.writer import VCFWriter
+from .region import call_variants_in_region
+
+logger = logging.getLogger("platypus_tpu")
+
+Region = Tuple[str, int, int]
+
+
+def get_regions(config: PlatypusConfig) -> List[Region]:
+    ref = FastaFile(config.ref_file, parse_ncbi=bool(config.parse_ncbi))
+    bam = BamFile(config.bam_files[0])
+
+    regions: List[Region] = []
+    if config.regions is not None and os.path.exists(config.regions[0]):
+        path = config.regions[0]
+        if path.endswith(".txt"):
+            with open(path) as fh:
+                for line in fh:
+                    chrom, span = line.strip().rsplit(":", 1)
+                    s, e = span.split("-")
+                    regions.append((chrom, int(s) - 1, int(e)))
+        elif path.endswith(".bed"):
+            with open(path) as fh:
+                for line in fh:
+                    try:
+                        cols = line.split("\t")
+                        regions.append((cols[0], int(cols[1]), int(cols[2])))
+                    except Exception:  # noqa: BLE001
+                        continue
+    elif config.regions is None:
+        header = bam.header_dict()
+        if header.get("SQ"):
+            regions = [(d["SN"], 0, int(d["LN"])) for d in header["SQ"]]
+        else:
+            regions = [(name, 0, entry.length) for name, entry in ref.refs.items()]
+    else:
+        for region in config.regions:
+            split = region.rsplit(":", 1)
+            chrom = split[0]
+            if len(split) == 2 and "-" in split[1]:
+                s, e = split[1].split("-")
+                regions.append((chrom, int(s) - 1, int(e)))
+            else:
+                if chrom in ref.refs:
+                    regions.append((chrom, 0, ref.refs[chrom].length))
+
+    final: List[Region] = []
+    for chrom, start, end in regions:
+        if chrom not in ref.refs:
+            logger.warning("Contig %s not in reference; skipping", chrom)
+            continue
+        if start > ref.refs[chrom].length:
+            continue
+        if end - start > config.buffer_size:
+            for i in range(start, end, config.buffer_size):
+                final.append((chrom, i, min(i + config.buffer_size, end)))
+        else:
+            final.append((chrom, start, end))
+    bam.close()
+    ref.close()
+    return final
+
+
+def open_bams(config: PlatypusConfig):
+    bam_files = [BamFile(path) for path in config.bam_files]
+    samples_by_bam: Dict[BamFile, List[str]] = {}
+    samples: List[str] = []
+    for bam in bam_files:
+        ss = bam.sample_names()
+        samples_by_bam[bam] = ss
+        samples.extend(ss)
+    return bam_files, samples_by_bam, sorted(set(samples))
+
+
+def run_single_process(
+    config: PlatypusConfig,
+    regions: Sequence[Region],
+    output_path: str,
+    append: bool = False,
+) -> int:
+    """One worker: call all given regions into one VCF file."""
+    bam_files, samples_by_bam, samples = open_bams(config)
+    ref_file = FastaFile(config.ref_file, parse_ncbi=bool(config.parse_ncbi))
+    rt = derive_runtime(config, n_individuals=len(samples))
+    rt.rlen = config.rlen
+
+    if output_path == "-":
+        out = sys.stdout
+    else:
+        out = open(output_path, "a" if append else "w")
+    writer = VCFWriter(out, samples, options_line=config.to_json())
+    if not append:
+        writer.write_header()
+
+    n_written = 0
+    for index, (chrom, start, end) in enumerate(regions):
+        if index % 10 == 0:
+            logger.info("Processing region %s:%s-%s", chrom, start, end)
+        try:
+            n_written += call_variants_in_region(
+                chrom, start, end, bam_files, samples_by_bam, ref_file, config, rt, writer
+            )
+        except Exception:  # noqa: BLE001 — region crash containment
+            logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
+    if output_path != "-":
+        out.close()
+    for bam in bam_files:
+        bam.close()
+    ref_file.close()
+    return n_written
+
+
+def _worker_entry(args):
+    config_json, regions, path = args
+    config = PlatypusConfig.from_json(config_json)
+    return run_single_process(config, regions, path)
+
+
+def _chrom_sort_key(chrom: str):
+    c = chrom.upper().lstrip("CHR") if chrom.upper().startswith("CHR") else chrom
+    try:
+        return (0, int(chrom.upper().strip("CHR")), "")
+    except Exception:  # noqa: BLE001
+        return (1, 0, chrom)
+
+
+def merge_vcf_files(temp_files: Sequence[str], final_name: str) -> None:
+    """k-way merge of sorted temp VCFs (runner.py:301-352)."""
+    out = sys.stdout if final_name == "-" else open(final_name, "w")
+    heap = []
+    iters = []
+    for index, name in enumerate(temp_files):
+        fh = open(name)
+        first_data = None
+        for line in fh:
+            if line.startswith("#"):
+                if index == 0:
+                    out.write(line)
+            else:
+                first_data = line
+                break
+        if first_data is None:
+            fh.close()
+            os.remove(name)
+            continue
+        it = iter([first_data])
+
+        def gen(fh=fh, first=first_data):
+            yield first
+            yield from fh
+
+        g = gen()
+        next(g)  # consume first (already captured)
+        heapq.heappush(heap, (_line_key(first_data), index, first_data, g, fh, name))
+
+    while heap:
+        _key, index, line, g, fh, name = heapq.heappop(heap)
+        out.write(line)
+        try:
+            nxt = next(g)
+            heapq.heappush(heap, (_line_key(nxt), index, nxt, g, fh, name))
+        except StopIteration:
+            fh.close()
+            os.remove(name)
+    if final_name != "-":
+        out.close()
+
+
+def _line_key(line: str):
+    cols = line.split("\t", 2)
+    return (_chrom_sort_key(cols[0]), int(cols[1]))
+
+
+def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] = None,
+                       continuing: bool = False) -> None:
+    if regions is None:
+        regions = get_regions(config)
+    regions = sorted(regions, key=lambda r: (_chrom_sort_key(r[0]), r[1], r[2]))
+
+    if config.n_cpu <= 1:
+        run_single_process(config, regions, config.output, append=continuing)
+        return
+
+    # Round-robin regions over workers (runner.py:470-482).
+    per_worker: List[List[Region]] = [[] for _ in range(config.n_cpu)]
+    for i, region in enumerate(regions):
+        per_worker[i % config.n_cpu].append(region)
+    temp_files = [f"{config.output}_temp_{i}" for i in range(config.n_cpu)]
+    ctx = multiprocessing.get_context("spawn")
+    with ctx.Pool(config.n_cpu) as pool:
+        pool.map(
+            _worker_entry,
+            [(config.to_json(), per_worker[i], temp_files[i]) for i in range(config.n_cpu)],
+        )
+    merge_vcf_files(temp_files, config.output)
+
+
+def continue_calling(vcf_path: str) -> None:
+    """Resume an interrupted run from its partial output VCF
+    (runner.py:197-297)."""
+    config = None
+    last_chrom = None
+    last_pos = 0
+    with open(vcf_path) as fh:
+        for line in fh:
+            if line.startswith("##platypusOptions="):
+                config = PlatypusConfig.from_json(line.split("=", 1)[1].strip())
+            elif not line.startswith("#"):
+                cols = line.split("\t", 2)
+                last_chrom = cols[0]
+                last_pos = int(cols[1])
+    if config is None:
+        raise ValueError(f"{vcf_path} has no platypusOptions header; cannot resume")
+    if config.n_cpu > 1:
+        raise ValueError("Resume is only supported for single-process runs")
+
+    resume_floor = (last_pos // config.buffer_size) * config.buffer_size
+    regions = get_regions(config)
+    remaining = []
+    seen_last = last_chrom is None
+    for chrom, start, end in regions:
+        if last_chrom is None:
+            remaining.append((chrom, start, end))
+        elif chrom == last_chrom and start <= resume_floor < end:
+            seen_last = True
+            remaining.append((chrom, resume_floor, end))
+        elif seen_last:
+            remaining.append((chrom, start, end))
+
+    # Copy completed lines into the continuation file.
+    new_path = config.output + "_ContinuedFromFailedProcess.vcf"
+    with open(vcf_path) as src, open(new_path, "w") as dst:
+        for line in src:
+            if line.startswith("#"):
+                dst.write(line)
+            else:
+                cols = line.split("\t", 2)
+                if cols[0] != last_chrom or int(cols[1]) < resume_floor:
+                    dst.write(line)
+    config.output = new_path
+    run_variant_caller(config, regions=remaining, continuing=True)

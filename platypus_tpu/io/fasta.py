@@ -90,18 +90,23 @@ class FastaFile:
         get_sequence calls inside the cached span are memory slices."""
         entry = self.refs[name]
         start = max(0, start)
-        end = min(end, entry.length)
+        end = min(end, entry.length - 1)
         if end <= start:
             self._cache = None
             return
         self._cache = (name, start, end, self._read_raw(entry, start, end))
 
     def get_sequence(self, name: str, start: int, end: int) -> bytes:
-        """Upper-case sequence for the half-open interval [start, end),
-        clamped to the contig bounds."""
+        """Upper-case sequence for the half-open interval [start, end).
+
+        Bounds are clamped like the reference caller's reader
+        (fastafile.pyx:174-191): start to 0, end to length-1 — i.e. the
+        final base of a contig is never returned.  Haplotype construction
+        near contig ends depends on this convention.
+        """
         entry = self.refs[name]
         start = max(0, start)
-        end = min(end, entry.length)
+        end = min(end, entry.length - 1)
         if end <= start:
             return b""
         if self._cache is not None:

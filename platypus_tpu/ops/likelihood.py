@@ -1,0 +1,201 @@
+"""Genotype likelihoods, EM haplotype-frequency inference and variant
+posteriors — exact host implementation (float64).
+
+Numeric contract (reference files):
+
+* read log-likelihood: ln P(r|h) = mLTOT*score + ln(1 - 10^(-mapq/10)),
+  floored at -300 (or at ln P(map wrong) in HLA mode, with a smooth score
+  truncation above 100) — chaplotype.pyx:594-676;
+* genotype log-likelihood sums per-read ln(0.5 e^l1 + 0.5 e^l2) with the
+  reference's three fast paths (same hap; |Δ|>=3; |Δ|<=1e-3) —
+  cgenotype.pyx:131-189;
+* per-individual likelihoods rescaled to exp(ll - max) clipped at 1e-300 —
+  cpopulation.pyx:303-309;
+* EM under HWE with factor-2 hets, new freq = responsibilities/2N,
+  tol min(1e-3, 1/(4 nInd)), <=100 iterations — cpopulation.pyx:384-457,678;
+* variant posterior: phred of prior/(prior + ratio(1-prior)) where ratio
+  re-normalises frequencies with variant-carrying haplotypes zeroed —
+  cpopulation.pyx:459-594.
+
+The batched device versions (ops/likelihood_jax.py) mirror these formulas;
+this module is the golden oracle for them and the path used for VCF output.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MLTOT = -0.23025850929940459  # -ln(10)/10
+LOG10E = 0.43429448190325182
+LOG_HALF = -0.69314718055994529
+
+
+def scores_to_logliks(
+    scores: np.ndarray,       # [*] integer phred alignment scores
+    mapq: np.ndarray,         # [*] mapping qualities
+    use_map_qual_cap: bool = False,
+) -> np.ndarray:
+    """Alignment score -> ln P(read | hap) (chaplotype.pyx:619-676)."""
+    scores = np.asarray(scores, dtype=np.float64)
+    mapq = np.asarray(mapq, dtype=np.float64)
+    prob_map_wrong = MLTOT * mapq
+    with np.errstate(divide="ignore"):
+        prob_map_right = np.log(1.0 - np.exp(prob_map_wrong))
+    if use_map_qual_cap:
+        cap = prob_map_wrong
+        # Smooth truncation above threshold 100 with shape 0.5.
+        thr, shape = 100.0, 0.5
+        trunc = MLTOT * (thr - 1.0 + np.power(np.maximum(scores - thr + 1.0, 0.0), shape) / shape)
+        out = np.where(scores > thr, trunc, MLTOT * scores + prob_map_right)
+        return np.maximum(cap, out)
+    cap = -300.0
+    return np.maximum(cap, MLTOT * scores + prob_map_right)
+
+
+def genotype_log_likelihoods(
+    loglik: np.ndarray,        # [H, R] per-(hap, read) ln-likelihood
+    hap1_idx: np.ndarray,      # [G]
+    hap2_idx: np.ndarray,      # [G]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-genotype data log-likelihood and per-genotype goodness-of-fit sum.
+
+    Returns (gl [G], gof_sum [G]) where gof_sum is
+    sum_r max(log10lik1, log10lik2) (cgenotype.pyx:131-189); the caller
+    divides by the good-read count and scales by -10.
+    """
+    l1 = loglik[hap1_idx]      # [G, R]
+    l2 = loglik[hap2_idx]
+    same = (hap1_idx == hap2_idx)[:, None]
+    diff = np.abs(l1 - l2)
+    mx = np.maximum(l1, l2)
+    with np.errstate(over="ignore"):
+        exact = np.log(0.5 * (np.exp(l1) + np.exp(l2)))
+    per_read = np.where(
+        same,
+        l1,
+        np.where(diff >= 3.0, LOG_HALF + mx, np.where(diff <= 1e-3, l1, exact)),
+    )
+    gl = per_read.sum(axis=1)
+    gof_sum = (LOG10E * mx).sum(axis=1)
+    return gl, gof_sum
+
+
+def rescale_likelihoods(gl_by_ind: np.ndarray, n_reads: np.ndarray) -> np.ndarray:
+    """[I, G] log-likelihoods -> relative likelihoods exp(ll-max) clipped at
+    1e-300; individuals with no reads get all-1 (cpopulation.pyx:290-309)."""
+    out = np.ones_like(gl_by_ind)
+    has = n_reads > 0
+    if has.any():
+        mx = gl_by_ind[has].max(axis=1, keepdims=True)
+        out[has] = np.maximum(1e-300, np.exp(gl_by_ind[has] - mx))
+    return out
+
+
+def em_haplotype_frequencies(
+    likelihoods: np.ndarray,   # [I, G] relative likelihoods
+    hap1_idx: np.ndarray,
+    hap2_idx: np.ndarray,
+    n_haps: int,
+    n_reads: np.ndarray,       # [I]
+    max_iters: int = 100,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """EM for haplotype frequencies (cpopulation.pyx:384-457,678-716).
+
+    Returns (frequencies [n_haps], EM responsibilities [I, G], n_iters).
+    """
+    n_ind = likelihoods.shape[0]
+    has_data = n_reads > 0
+    n_with_data = int(has_data.sum())
+    eps = min(1e-3, 1.0 / (n_ind * 4))
+    freq = np.full(n_haps, 1.0 / n_haps)
+    het_factor = 1.0 + (hap1_idx != hap2_idx)
+    csr = np.zeros_like(likelihoods)
+    iters = 0
+    if n_with_data == 0:
+        return freq, csr, 0
+    lik = likelihoods[has_data]
+    while iters < max_iters:
+        w = lik * (freq[hap1_idx] * freq[hap2_idx] * het_factor)[None, :]
+        s = w.sum(axis=1, keepdims=True)
+        w = np.divide(w, s, out=np.zeros_like(w), where=s > 0)
+        new_freq = np.zeros(n_haps)
+        np.add.at(new_freq, hap1_idx, w.sum(axis=0))
+        np.add.at(new_freq, hap2_idx, w.sum(axis=0))
+        new_freq /= 2.0 * n_with_data
+        max_change = np.abs(freq - new_freq).max()
+        freq = new_freq
+        iters += 1
+        if max_change <= eps:
+            break
+    csr[has_data] = w
+    return freq, csr, iters
+
+
+def variant_posterior_phred(
+    likelihoods: np.ndarray,    # [I, G] relative likelihoods
+    frequencies: np.ndarray,    # [n_haps]
+    hap_has_variant: np.ndarray,  # [n_haps] bool
+    hap1_idx: np.ndarray,
+    hap2_idx: np.ndarray,
+    n_reads: np.ndarray,        # [I]
+    prior: float,
+) -> float:
+    """Model-averaged segregation test -> phred posterior
+    (cpopulation.pyx:459-594)."""
+    freqs_prime = np.where(hap_has_variant, 0.0, frequencies)
+    sum_freqs = freqs_prime.sum()
+    if sum_freqs > 0:
+        freqs_prime = freqs_prime / sum_freqs
+
+    factor = 1.0 + (hap1_idx != hap2_idx)
+    w_var = factor * frequencies[hap1_idx] * frequencies[hap2_idx]
+    w_novar = factor * freqs_prime[hap1_idx] * freqs_prime[hap2_idx]
+
+    log_min_float = -708.0
+    sum_log_var = 0.0
+    sum_log_novar = 0.0
+    for i in range(likelihoods.shape[0]):
+        if n_reads[i] == 0:
+            continue
+        pv = float(np.dot(w_var, likelihoods[i]))
+        pn = float(np.dot(w_novar, likelihoods[i]))
+        sum_log_var += math.log(pv) if pv > 0 else log_min_float
+        sum_log_novar += math.log(pn) if pn > 0 else log_min_float
+
+    ratio = max(1e-300, math.exp(sum_log_novar - sum_log_var))
+    return round(
+        -10.0 * (math.log10(ratio * (1.0 - prior)) - math.log10(prior + ratio * (1.0 - prior)))
+    )
+
+
+def call_genotypes(
+    likelihoods: np.ndarray,      # [I, G]
+    em_likelihoods: Optional[np.ndarray],
+    n_reads: np.ndarray,
+    use_em: bool = False,
+) -> List[Optional[int]]:
+    """Per-individual best-genotype index; None for no-data individuals.
+    Ties keep the first index (strict > argmax, cpopulation.pyx:623-676)."""
+    out: List[Optional[int]] = []
+    source = em_likelihoods if use_em else likelihoods
+    for i in range(likelihoods.shape[0]):
+        if n_reads[i] == 0:
+            out.append(None)
+        else:
+            out.append(int(np.argmax(source[i])))
+    return out
+
+
+def genotype_index_pairs(n_haps: int) -> Tuple[np.ndarray, np.ndarray]:
+    """All unordered hap pairs in the reference's enumeration order
+    (cgenotype.pyx:193-218: i <= j, i-major)."""
+    h1 = []
+    h2 = []
+    for i in range(n_haps):
+        for j in range(i, n_haps):
+            h1.append(i)
+            h2.append(j)
+    return np.array(h1, dtype=np.int64), np.array(h2, dtype=np.int64)

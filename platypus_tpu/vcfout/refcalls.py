@@ -1,0 +1,85 @@
+"""REFCALL block output (reference variantcaller.pyx:764-867).
+
+Quality logic: zero coverage -> 0; coverage but no candidates -> phred of a
+beta-binomial(20,20) tail on the minimum per-base coverage; candidates that
+failed to reach the posterior threshold cap the quality via their best
+flat-prior posterior.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..candidates.windows import Window
+from ..config import PlatypusConfig
+from ..ops import likelihood as lk
+from ..utils.maths import beta_binomial_cdf
+from .writer import VCFWriter
+
+
+def _min_coverage(buffers, window: Window) -> int:
+    min_cov = -1
+    for buf in buffers:
+        for pos in range(window.start_pos, window.end_pos):
+            cov = buf.count_reads_covering_region(pos, pos + 1)
+            min_cov = cov if min_cov == -1 else min(min_cov, cov)
+    return max(0, min_cov)
+
+
+def output_ref_call(
+    window: Window,
+    buffers,
+    ref_file,
+    config: PlatypusConfig,
+    writer: VCFWriter,
+    call=None,
+) -> None:
+    min_cov = _min_coverage(buffers, window)
+    phred_pvalue = int(-10 * math.log10(beta_binomial_cdf(0, min_cov, 20, 20)))
+
+    if min_cov == 0:
+        qual = 0
+    elif not window.variants:
+        qual = phred_pvalue
+    else:
+        max_post = 0.0
+        if call is not None:
+            for v in window.variants:
+                has_var = np.array([v in set(h.variants) for h in call.haplotypes])
+                post = lk.variant_posterior_phred(
+                    call.likelihoods, call.frequencies, has_var,
+                    call.hap1_idx, call.hap2_idx, call.n_reads, prior=0.5,
+                )
+                max_post = max(max_post, post)
+        max_prob_var = 1.0 - 10 ** (-0.1 * max_post)
+        prob_ref = 1.0 - max_prob_var
+        qual = min(int(round(-10.0 * math.log10(max(1e-10, 1.0 - prob_ref)))), phred_pvalue)
+
+    ref = ref_file.get_sequence(window.chromosome, window.start_pos, window.start_pos + 1).decode()
+    alt = ["T"] if ref == "N" else ["N"]
+
+    info = {
+        "END": [window.end_pos],
+        "Size": [window.end_pos - window.start_pos],
+    }
+    for key in ("FR", "MMLQ", "HP", "TCR", "WE", "WS", "Source", "FS", "START", "PP",
+                "TR", "NF", "TCF", "NR", "TC", "MGOF", "SbPval", "ReadPosRankSum",
+                "MQ", "QD", "SC", "BRF", "HapScore"):
+        info[key] = ["."]
+
+    sample_data = {}
+    for buf in buffers:
+        sl = buf.window_slice(window.start_pos, window.end_pos)
+        n = sl.stop - sl.start
+        sample_data[buf.sample] = dict(
+            GT=[[".", "/", "."]], GL=[-1, -1, -1], GQ=[-1], GOF=[-1],
+            NR=[n], NV=[0],
+        )
+
+    writer.write_record(
+        window.chromosome, window.start_pos, ref, alt, qual, ["REFCALL"],
+        info, ["GT", "GL", "GOF", "GQ", "NR", "NV"], sample_data,
+    )

