@@ -1,0 +1,133 @@
+"""Benchmark: banded pair-alignment throughput on the current device vs the
+reference's SSE2 CPU kernel.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The hot loop of the whole caller is the (read x haplotype) banded alignment
+(reference align.c:77, called ~reads*haps*anchors times per window).  We
+measure pair-alignments/second for 100bp reads on the device, and — when the
+reference tree + gcc are available — the same workload through the compiled
+reference kernel single-core as the baseline ratio.
+"""
+
+import ctypes
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REFERENCE_DIR = os.environ.get("REFERENCE_DIR", "/root/reference")
+
+B = 4096
+L2 = 100
+N_ITERS = 20
+
+
+def make_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    hap = rng.choice(bases, size=(B, L2 + 15)).astype(np.int32)
+    go = np.full((B, L2 + 15), 45, np.int32)
+    read = np.zeros((B, L2), np.int32)
+    offs = rng.integers(0, 8, size=B)
+    for b in range(B):
+        read[b] = hap[b, offs[b] : offs[b] + L2]
+    # Sprinkle mismatches so paths are non-trivial.
+    n_mut = B * 3
+    bi = rng.integers(0, B, n_mut)
+    pi = rng.integers(0, L2, n_mut)
+    read[bi, pi] = rng.choice(bases, n_mut)
+    qual = np.full((B, L2), 30, np.int32)
+    rl = np.full(B, L2, np.int32)
+    return hap, go, read, qual, rl
+
+
+def bench_device(hap, go, read, qual, rl):
+    import jax
+
+    from platypus_tpu.ops.align_jax import band_align_padded, pad_alignment_inputs
+
+    padded = pad_alignment_inputs(hap, go, read, qual, rl)
+    # Warmup/compile.
+    out = band_align_padded(*padded)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        out = band_align_padded(*padded)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return (B * N_ITERS) / dt, np.asarray(out)
+
+
+def bench_reference_cpu(hap, go, read, qual, rl, budget_s=20.0):
+    """Single-core reference SSE2 kernel on the same pairs (subset, scaled)."""
+    src = os.path.join(REFERENCE_DIR, "src/c/align.c")
+    if not os.path.exists(src):
+        return None, None
+    with tempfile.TemporaryDirectory() as tmpdir:
+        so = os.path.join(tmpdir, "refalign.so")
+        try:
+            subprocess.run(
+                ["gcc", "-O2", "-msse2", "-shared", "-fPIC", src, "-o", so,
+                 "-I", os.path.join(REFERENCE_DIR, "src/c")],
+                check=True, capture_output=True,
+            )
+        except Exception:
+            return None, None
+        lib = ctypes.CDLL(so)
+        lib.fastAlignmentRoutine.restype = ctypes.c_int
+        lib.fastAlignmentRoutine.argtypes = (
+            [ctypes.c_char_p] * 3 + [ctypes.c_int] * 4 + [ctypes.c_char_p] * 3
+            + [ctypes.POINTER(ctypes.c_int)]
+        )
+        haps_b = [bytes(hap[i].astype(np.uint8).tobytes()) for i in range(B)]
+        reads_b = [bytes(read[i].astype(np.uint8).tobytes()) for i in range(B)]
+        quals_b = [bytes(qual[i].astype(np.uint8).tobytes()) for i in range(B)]
+        gos_b = [bytes(go[i].astype(np.uint8).tobytes()) for i in range(B)]
+        fp = ctypes.c_int(0)
+        scores = np.zeros(B, np.int64)
+        # Warmup + measure enough pairs to fill the budget.
+        n_done = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < budget_s:
+            i = n_done % B
+            scores[i] = lib.fastAlignmentRoutine(
+                haps_b[i], reads_b[i], quals_b[i], L2 + 15, L2, 3, 2, gos_b[i],
+                None, None, ctypes.byref(fp),
+            )
+            n_done += 1
+            if n_done >= 8 * B:
+                break
+        dt = time.perf_counter() - t0
+        return n_done / dt, scores
+
+
+def main():
+    hap, go, read, qual, rl = make_inputs()
+    device_rate, device_scores = bench_device(hap, go, read, qual, rl)
+    ref_rate, ref_scores = bench_reference_cpu(hap, go, read, qual, rl)
+
+    vs_baseline = device_rate / ref_rate if ref_rate else 1.0
+
+    # Sanity: device scores must match the reference kernel where computed.
+    if ref_scores is not None:
+        n = min(B, 256)
+        mismatch = int((device_scores[:n] != ref_scores[:n]).sum())
+        if mismatch:
+            print(f"WARNING: {mismatch}/{n} score mismatches vs reference kernel",
+                  file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "pair_alignments_per_second",
+        "value": round(device_rate, 1),
+        "unit": f"alignments/s (100bp reads, band 16, batch {B})",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
