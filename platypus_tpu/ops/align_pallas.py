@@ -1,0 +1,169 @@
+"""Pallas TPU kernel for the banded pair-alignment DP.
+
+Same recurrence as ops/align_jax.py (and bit-identical outputs — tested),
+hand-scheduled for the TPU:
+
+* grid over batch tiles: each program aligns LANES=128 (read, hap) pairs,
+  one pair per vector lane; the 8-lane wavefront sits on the sublane axis so
+  every state tensor is an [8, 128] int32 tile — native VPU shape;
+* all sequence columns live in VMEM for the whole kernel; the sequential
+  antidiagonal loop is a fori_loop of pure element-wise min/add/compare plus
+  sublane rolls, with no HBM traffic inside the loop;
+* sublane shifts are implemented with pltpu.roll + masked select.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .align_core import N_LANES, POS_INF
+
+LANES = 128
+_N_CHAR = ord("N")
+
+
+def _shift_up(v, new_row):
+    """Row k takes row k-1; row 0 takes new_row ([8, B] tensors)."""
+    rolled = pltpu.roll(v, shift=1, axis=0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    return jnp.where(row_ids == 0, new_row, rolled)
+
+
+def _shift_down(v, new_row):
+    rolled = pltpu.roll(v, shift=N_LANES - 1, axis=0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    return jnp.where(row_ids == N_LANES - 1, new_row, rolled)
+
+
+def _band_align_kernel(n_steps: int, gapextend: int, nucprior: int,
+                       hap_ref, go_ref, read_ref, qual_ref, rlen_ref, out_ref):
+    B = LANES
+    ge = jnp.int32(4 * gapextend)
+    npr = jnp.int32(4 * nucprior)
+    pos_inf = jnp.int32(POS_INF)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (N_LANES, B), 0)
+
+    read_len = rlen_ref[0, :]  # [B]
+
+    m0 = jnp.full((N_LANES, B), POS_INF, jnp.int32)
+    s1w = hap_ref[0:N_LANES, :]
+    nq = jnp.where(s1w == _N_CHAR, 0, POS_INF).astype(jnp.int32)
+    gow = go_ref[0:N_LANES, :]
+    s2w = jnp.full((N_LANES, B), POS_INF, jnp.int32)
+    q2w = jnp.full((N_LANES, B), 64 * 4, jnp.int32)
+    minsc = jnp.full((1, B), POS_INF, jnp.int32)
+
+    def step(s2, carry):
+        m1, i1, d1, m2, i2, d2, s1w, nq, gow, s2w, q2w, minsc = carry
+
+        new_seq2 = read_ref[pl.ds(s2, 1), :][0, :]
+        new_qual2 = qual_ref[pl.ds(s2, 1), :][0, :]
+        hap_c = hap_ref[pl.ds(N_LANES + s2, 1), :][0, :]
+        go_c = go_ref[pl.ds(N_LANES + s2, 1), :][0, :]
+
+        # ---- even phase ------------------------------------------------
+        s2w = _shift_up(s2w, new_seq2)
+        q2w = _shift_up(q2w, new_qual2)
+
+        init = row_ids == s2
+        m1 = jnp.where(init, jnp.int32(-0x8000), m1)
+        m2 = jnp.where(init, jnp.int32(-0x8000), m2)
+
+        m1 = jnp.minimum(m1, jnp.minimum(i1, d1))
+
+        ext_lane = jnp.clip(s2 - read_len, 0, N_LANES - 1)[None, :]  # [1, B]
+        valid = (s2 >= read_len) & (s2 < read_len + N_LANES)
+        big = jnp.int32(0x7FFFFFFF)
+        val = jnp.min(jnp.where(row_ids == ext_lane, m1, big), axis=0)
+        minsc = jnp.where(valid[None, :], jnp.minimum(minsc, val[None, :]), minsc)
+
+        sub = jnp.minimum(jnp.where(s2w == s1w, 0, q2w), nq)
+        m1 = m1 + sub
+        d1_new = jnp.minimum(d2 + ge, jnp.minimum(m2, i2) + _shift_down(gow, jnp.int32(0)))
+        d1 = _shift_up(d1_new, jnp.full((B,), POS_INF, jnp.int32))
+        i1 = jnp.minimum(i2 + ge, m2 + gow) + npr
+
+        # ---- odd phase -------------------------------------------------
+        s1w = _shift_down(s1w, hap_c)
+        nq = _shift_down(nq, jnp.where(hap_c == _N_CHAR, 0, POS_INF).astype(jnp.int32))
+        gow = _shift_down(gow, go_c)
+
+        m2 = jnp.minimum(m2, jnp.minimum(i2, d2))
+        val2 = jnp.min(jnp.where(row_ids == ext_lane, m2, big), axis=0)
+        minsc = jnp.where(valid[None, :], jnp.minimum(minsc, val2[None, :]), minsc)
+
+        sub2 = jnp.minimum(jnp.where(s2w == s1w, 0, q2w), nq)
+        m2 = m2 + sub2
+        d2 = jnp.minimum(d1 + ge, jnp.minimum(m1, i1) + gow)
+        i2 = jnp.minimum(_shift_down(i1, pos_inf) + ge, _shift_down(m1, pos_inf) + gow) + npr
+        i2 = jnp.where(row_ids == N_LANES - 1, pos_inf, i2)
+
+        return m1, i1, d1, m2, i2, d2, s1w, nq, gow, s2w, q2w, minsc
+
+    carry = (m0, m0, m0, m0, m0, m0, s1w, nq, gow, s2w, q2w, minsc)
+    carry = jax.lax.fori_loop(0, n_steps, step, carry)
+    minsc = carry[-1]
+    out_ref[0, :] = (minsc[0, :] + 0x8000) >> 2
+
+
+def _use_interpret() -> bool:
+    # Interpret mode on non-TPU backends so the kernel is testable on CPU.
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("gapextend", "nucprior", "interpret"))
+def band_align_padded_pallas(
+    hap_cols: jnp.ndarray,    # [L1max, B] int32, 'N'-padded
+    go4_cols: jnp.ndarray,    # [L1max, B] int32
+    read_cols: jnp.ndarray,   # [L2max+8, B] int32, '0'-padded
+    qual4_cols: jnp.ndarray,  # [L2max+8, B] int32
+    read_len: jnp.ndarray,    # [B] int32
+    gapextend: int = 3,
+    nucprior: int = 2,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """Pallas version of ops.align_jax.band_align_padded; same contract."""
+    if interpret is None:
+        interpret = _use_interpret()
+    n_steps, B = read_cols.shape
+    L1 = hap_cols.shape[0]
+    if B % LANES != 0:
+        pad = LANES - B % LANES
+        hap_cols = jnp.pad(hap_cols, ((0, 0), (0, pad)), constant_values=_N_CHAR)
+        go4_cols = jnp.pad(go4_cols, ((0, 0), (0, pad)))
+        read_cols = jnp.pad(read_cols, ((0, 0), (0, pad)), constant_values=ord("0"))
+        qual4_cols = jnp.pad(qual4_cols, ((0, 0), (0, pad)), constant_values=64 * 4)
+        read_len = jnp.pad(read_len, (0, pad), constant_values=8)
+    B_pad = read_cols.shape[1]
+
+    kernel = functools.partial(_band_align_kernel, n_steps, gapextend, nucprior)
+    grid = (B_pad // LANES,)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, B_pad), jnp.int32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((L1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_steps, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_steps, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_steps * LANES * N_LANES * 50,
+            bytes_accessed=(2 * L1 + 2 * n_steps + 2) * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(hap_cols, go4_cols, read_cols, qual4_cols, read_len.reshape(1, -1))
+    return out[0, :B]
