@@ -57,7 +57,11 @@ def test_variant_reader_decomposed():
     assert vs
     # MNP trimming removes shared context: no variant keeps identical
     # leading ref/alt bases.
+    # MNPs (length > 1) get shared context trimmed off both ends; plain SNP
+    # lines pass through verbatim (even degenerate ref==alt ones, matching
+    # the reference reader's SNP branch).
     for v in vs:
-        if v.n_added and v.n_removed and v.n_added == v.n_removed:
+        if v.n_added == v.n_removed and v.n_added > 1:
             assert v.added[0] != v.removed[0]
+            assert v.added[-1] != v.removed[-1]
     r.close()
