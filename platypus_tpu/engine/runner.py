@@ -123,9 +123,17 @@ def run_single_process(
         if index % 10 == 0:
             logger.info("Processing region %s:%s-%s", chrom, start, end)
         try:
-            n_written += call_variants_in_region(
-                chrom, start, end, bam_files, samples_by_bam, ref_file, config, rt, writer
-            )
+            if config.hla_typing:
+                from .hla import call_hla_variants_in_region
+
+                n_written += call_hla_variants_in_region(
+                    chrom, start, end, bam_files, samples_by_bam, ref_file,
+                    config, rt, out,
+                )
+            else:
+                n_written += call_variants_in_region(
+                    chrom, start, end, bam_files, samples_by_bam, ref_file, config, rt, writer
+                )
         except Exception:  # noqa: BLE001 — region crash containment
             logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
     if output_path != "-":

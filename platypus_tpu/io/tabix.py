@@ -155,3 +155,105 @@ class TabixFile:
         if rec_end <= start:
             return None
         return cols
+
+
+# ---------------------------------------------------------------------------
+# Tabix writing (test fixtures / bgzip output)
+# ---------------------------------------------------------------------------
+
+def _reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def write_tabix_vcf(vcf_lines, out_path: str) -> None:
+    """Write VCF text lines as bgzip (one block per line, so virtual offsets
+    are trivially known) plus a .tbi index."""
+    from .bgzf import BGZFWriter, _BGZF_MAGIC
+    import zlib as _zlib
+
+    # Write each line as an independent BGZF block, recording offsets.
+    records = []  # (ref_name, beg, end, voffset_start, voffset_end)
+    file_off = 0
+    with open(out_path, "wb") as fh:
+        def write_block(data: bytes) -> int:
+            nonlocal file_off
+            co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+            cdata = co.compress(data) + co.flush()
+            crc = _zlib.crc32(data) & 0xFFFFFFFF
+            bsize = len(cdata) + 26
+            header = (_BGZF_MAGIC + b"\x00\x00\x00\x00\x00\xff\x06\x00"
+                      + b"BC\x02\x00" + struct.pack("<H", bsize - 1))
+            blk = header + cdata + struct.pack("<II", crc, len(data) & 0xFFFFFFFF)
+            start = file_off
+            fh.write(blk)
+            file_off += len(blk)
+            return start
+
+        for line in vcf_lines:
+            if not line.endswith("\n"):
+                line += "\n"
+            blk_off = write_block(line.encode())
+            if not line.startswith("#"):
+                cols = line.split("\t")
+                beg = int(cols[1]) - 1
+                end = beg + len(cols[3])
+                records.append((cols[0], beg, end, blk_off << 16,
+                                (blk_off << 16) | len(line)))
+        from .bgzf import EOF_MARKER
+        fh.write(EOF_MARKER)
+
+    # Build the index.
+    names = []
+    for name, *_ in records:
+        if name not in names:
+            names.append(name)
+    name_id = {n: i for i, n in enumerate(names)}
+
+    per_ref_bins = [dict() for _ in names]
+    per_ref_linear = [dict() for _ in names]
+    next_voffs = []
+    # voffset_end must point past the record; use the next block's start.
+    for i, (name, beg, end, vs, ve) in enumerate(records):
+        rid = name_id[name]
+        b = _reg2bin(beg, end)
+        per_ref_bins[rid].setdefault(b, []).append((vs, vs + (1 << 16)))
+        w = beg >> 14
+        lin = per_ref_linear[rid]
+        if w not in lin or vs < lin[w]:
+            lin[w] = vs
+
+    out = bytearray()
+    out += b"TBI\x01"
+    out += struct.pack("<7i", len(names), 2, 1, 2, 0, ord("#"), 0)
+    name_blob = b"".join(n.encode() + b"\x00" for n in names)
+    out += struct.pack("<i", len(name_blob)) + name_blob
+    for rid in range(len(names)):
+        bins = per_ref_bins[rid]
+        out += struct.pack("<i", len(bins))
+        for b, chunks in bins.items():
+            out += struct.pack("<Ii", b, len(chunks))
+            for u, v in chunks:
+                out += struct.pack("<QQ", u, v)
+        lin = per_ref_linear[rid]
+        n_intv = (max(lin) + 1) if lin else 0
+        out += struct.pack("<i", n_intv)
+        prev = 0
+        for w in range(n_intv):
+            if w in lin:
+                prev = lin[w]
+            out += struct.pack("<Q", prev if prev else (min(lin.values()) if lin else 0))
+
+    from .bgzf import BGZFWriter
+    with BGZFWriter(out_path + ".tbi") as w:
+        w.write(bytes(out))
