@@ -274,14 +274,47 @@ def call_variants_in_region(
                     "Skipping very large window %s:%s-%s", chrom, window.start_pos, window.end_pos
                 )
                 continue
+            result = None
             if window.variants:
                 result = call_window(window, buffers, ref_file, config, rt)
                 if result is not None and result.variant_posteriors:
                     n_written += output_call_to_vcf(result, buffers, ref_file, config, writer)
-            if config.output_ref_calls and not window.variants:
+                    if config.output_ref_calls and len(result.vars_by_pos) > 1:
+                        # REFCALL blocks between called positions inside the
+                        # window (variantcaller.pyx:585-607).
+                        from ..candidates.windows import Window as _Window
+                        from ..vcfout.refcalls import output_ref_call
+
+                        positions = sorted(result.vars_by_pos.keys())
+                        for last_pos, next_pos in zip(positions, positions[1:]):
+                            last_var_end = max(
+                                v.max_ref_pos for v in result.vars_by_pos[last_pos]
+                            )
+                            next_var_start = min(
+                                v.min_ref_pos for v in result.vars_by_pos[next_pos]
+                            ) + 1
+                            if next_var_start - last_var_end <= 1:
+                                continue
+                            for bs in range(last_var_end + 1, next_var_start,
+                                            config.ref_call_block_size):
+                                be = min(bs + config.ref_call_block_size, next_var_start - 1)
+                                if bs == be:
+                                    continue
+                                output_ref_call(
+                                    _Window(chrom, bs, be, []), buffers, ref_file,
+                                    config, writer,
+                                )
+                                n_written += 1
+                elif config.output_ref_calls:
+                    from ..vcfout.refcalls import output_ref_call
+
+                    output_ref_call(window, buffers, ref_file, config, writer, call=result)
+                    n_written += 1
+            elif config.output_ref_calls:
                 from ..vcfout.refcalls import output_ref_call
 
                 output_ref_call(window, buffers, ref_file, config, writer)
+                n_written += 1
         except Exception as exc:  # noqa: BLE001 — window-level crash containment
             logger.exception(
                 "Exception in window %s:%s-%s: %s", chrom, window.start_pos, window.end_pos, exc

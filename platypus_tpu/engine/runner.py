@@ -248,16 +248,19 @@ def continue_calling(vcf_path: str) -> None:
     if config.n_cpu > 1:
         raise ValueError("Resume is only supported for single-process runs")
 
-    resume_floor = (last_pos // config.buffer_size) * config.buffer_size
+    # Resume from the start of the region shard containing the last written
+    # call: a region is the atomic unit of progress (runner.py:242-262).
     regions = get_regions(config)
     remaining = []
+    resume_floor = 0
     seen_last = last_chrom is None
     for chrom, start, end in regions:
         if last_chrom is None:
             remaining.append((chrom, start, end))
-        elif chrom == last_chrom and start <= resume_floor < end:
+        elif chrom == last_chrom and start <= last_pos - 1 < end:
             seen_last = True
-            remaining.append((chrom, resume_floor, end))
+            resume_floor = start
+            remaining.append((chrom, start, end))
         elif seen_last:
             remaining.append((chrom, start, end))
 
@@ -269,7 +272,7 @@ def continue_calling(vcf_path: str) -> None:
                 dst.write(line)
             else:
                 cols = line.split("\t", 2)
-                if cols[0] != last_chrom or int(cols[1]) < resume_floor:
+                if cols[0] != last_chrom or int(cols[1]) - 1 < resume_floor:
                     dst.write(line)
     config.output = new_path
     run_variant_caller(config, regions=remaining, continuing=True)
