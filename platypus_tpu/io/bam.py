@@ -287,15 +287,28 @@ class BamFile:
                 return
             yield record
 
-    def fetch(self, chrom: str, start: int, end: int, store_rg: bool = False) -> ReadSet:
+    def fetch(self, chrom: str, start: int, end: int, store_rg: bool = False,
+              use_native: bool = True) -> ReadSet:
         """All mapped records overlapping [start, end) on `chrom` as a ReadSet.
 
         Overlap test is on the *original* alignment span (before the
         soft-clip pos adjustment), matching htslib's iterator semantics.
+        Uses the native C++ decoder when built (same contract; the Python
+        parser below is the fallback and semantics oracle).
         """
         ref_id = self.ref_id.get(chrom)
         if ref_id is None:
             return empty_read_set()
+        if use_native and not store_rg:
+            from ..native import native_fetch
+
+            rs = native_fetch(
+                self.filename,
+                self.filename + ".bai" if self.index is not None else "",
+                ref_id, start, end, self._first_record_voffset,
+            )
+            if rs is not None:
+                return rs
         if self.index is not None:
             records = self._iter_raw_records(self.index.chunks_for_region(ref_id, start, end))
         else:

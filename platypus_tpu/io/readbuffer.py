@@ -182,7 +182,18 @@ def _valid_mask(reads: ReadSet) -> np.ndarray:
 
 
 def _trim_good_reads(reads: ReadSet, idx: np.ndarray, opts: QCOptions) -> None:
-    """In-place quality zeroing (cwindow.pyx:416-479)."""
+    """In-place quality zeroing (cwindow.pyx:416-479).
+
+    Uses the native C++ trimmer when built; this Python loop is the
+    fallback and semantics oracle."""
+    from ..native import native_trim_reads
+
+    good_mask = np.zeros(len(reads), bool)
+    good_mask[idx] = True
+    if native_trim_reads(reads, good_mask, opts.trim_read_flank,
+                         opts.trim_overlapping, opts.trim_adapter,
+                         opts.trim_soft_clipped):
+        return
     qual = reads.qual
     for i in idx:
         rl = int(reads.rlen[i])

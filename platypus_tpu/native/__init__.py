@@ -1,0 +1,146 @@
+"""ctypes bindings for the native host runtime (libplatypus_native.so).
+
+The library is optional: `load()` returns None when it has not been built
+(run `make -C platypus_tpu/native`), and callers fall back to the pure
+Python implementations in platypus_tpu/io/.  `build()` compiles it in
+place with the toolchain baked into the image.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libplatypus_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _lib is not None:
+        return _lib
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_LIB_PATH) and auto_build:
+        build()
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    lib.ptpu_bam_fetch.restype = ctypes.c_void_p
+    lib.ptpu_bam_fetch.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.ptpu_batch_dims.restype = None
+    lib.ptpu_batch_dims.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.ptpu_batch_fill.restype = None
+    lib.ptpu_batch_fill.argtypes = [ctypes.c_void_p] * 14
+    lib.ptpu_batch_free.restype = None
+    lib.ptpu_batch_free.argtypes = [ctypes.c_void_p]
+    lib.ptpu_trim_reads.restype = None
+    lib.ptpu_trim_reads.argtypes = (
+        [ctypes.c_int64, ctypes.c_int32] + [ctypes.c_void_p] * 7
+        + [ctypes.c_int32] * 4
+    )
+    _lib = lib
+    return lib
+
+
+def _np_ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def native_fetch(bam_path: str, bai_path: str, ref_id: int, start: int, end: int,
+                 first_record_voffset: int):
+    """Fetch a region into a ReadSet via the native decoder; None if the
+    library is unavailable or the fetch fails."""
+    lib = load()
+    if lib is None:
+        return None
+    handle = lib.ptpu_bam_fetch(
+        bam_path.encode(), bai_path.encode(), ref_id, start, end, first_record_voffset
+    )
+    if not handle:
+        return None
+    try:
+        n = ctypes.c_int64()
+        max_len = ctypes.c_int32()
+        n_cigar = ctypes.c_int64()
+        lib.ptpu_batch_dims(handle, ctypes.byref(n), ctypes.byref(max_len),
+                            ctypes.byref(n_cigar))
+        n_reads = n.value
+        L = max(1, max_len.value)
+        seq = np.zeros((n_reads, L), np.uint8)
+        qual = np.zeros((n_reads, L), np.uint8)
+        rlen = np.zeros(n_reads, np.int32)
+        pos = np.zeros(n_reads, np.int64)
+        end_a = np.zeros(n_reads, np.int64)
+        mapq = np.zeros(n_reads, np.int32)
+        flag = np.zeros(n_reads, np.int32)
+        chrom_id = np.zeros(n_reads, np.int32)
+        mate_chrom_id = np.zeros(n_reads, np.int32)
+        mate_pos = np.zeros(n_reads, np.int64)
+        insert_size = np.zeros(n_reads, np.int32)
+        cigar_flat = np.zeros(max(1, n_cigar.value), np.uint32)
+        cigar_off = np.zeros(n_reads + 1, np.int64)
+        if n_reads:
+            lib.ptpu_batch_fill(
+                handle, _np_ptr(seq), _np_ptr(qual), _np_ptr(rlen), _np_ptr(pos),
+                _np_ptr(end_a), _np_ptr(mapq), _np_ptr(flag), _np_ptr(chrom_id),
+                _np_ptr(mate_chrom_id), _np_ptr(mate_pos), _np_ptr(insert_size),
+                _np_ptr(cigar_flat), _np_ptr(cigar_off),
+            )
+        from ..io.bam import ReadSet
+
+        return ReadSet(
+            seq=seq, qual=qual, rlen=rlen, pos=pos, end=end_a, mapq=mapq,
+            flag=flag, chrom_id=chrom_id, mate_chrom_id=mate_chrom_id,
+            mate_pos=mate_pos, insert_size=insert_size,
+            cigar_flat=cigar_flat[: n_cigar.value], cigar_off=cigar_off,
+            qc_fail=np.zeros(n_reads, bool), rg_id=None,
+        )
+    finally:
+        lib.ptpu_batch_free(handle)
+
+
+def native_trim_reads(reads, good_mask: np.ndarray, trim_read_flank: int,
+                      trim_overlapping: int, trim_adapter: int,
+                      trim_soft_clipped: int) -> bool:
+    """In-place QC trimming over a ReadSet; False if unavailable."""
+    lib = load()
+    if lib is None:
+        return False
+    n = len(reads)
+    if n == 0:
+        return True
+    gm = np.ascontiguousarray(good_mask.astype(np.uint8))
+    lib.ptpu_trim_reads(
+        ctypes.c_int64(n), ctypes.c_int32(reads.seq.shape[1]), _np_ptr(reads.qual),
+        _np_ptr(np.ascontiguousarray(reads.rlen)),
+        _np_ptr(np.ascontiguousarray(reads.flag)),
+        _np_ptr(np.ascontiguousarray(reads.insert_size)),
+        _np_ptr(np.ascontiguousarray(reads.cigar_flat)),
+        _np_ptr(np.ascontiguousarray(reads.cigar_off)), _np_ptr(gm),
+        ctypes.c_int32(trim_read_flank), ctypes.c_int32(trim_overlapping),
+        ctypes.c_int32(trim_adapter), ctypes.c_int32(trim_soft_clipped),
+    )
+    return True

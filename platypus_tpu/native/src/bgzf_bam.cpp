@@ -1,0 +1,449 @@
+// Native host I/O plane: BGZF decompression, BAI region queries and BAM
+// record decoding into structure-of-arrays batches, plus the in-place read
+// QC trimming loops.
+//
+// This is the TPU-era replacement for the role htslib plays in the
+// reference caller (/root/reference/src/cython/htslibWrapper.pyx): the
+// Python layer (platypus_tpu/io/bam.py) remains as a pure fallback and as
+// the semantics oracle; this library accelerates the same contract.
+//
+// C ABI only — loaded from Python via ctypes (no pybind11 in the image).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// BGZF
+// ---------------------------------------------------------------------------
+
+struct BgzfFile {
+    FILE* fh = nullptr;
+    // Cached decompressed block.
+    int64_t block_coffset = -1;
+    int64_t block_clen = 0;
+    std::vector<uint8_t> block;
+    size_t within = 0;
+
+    ~BgzfFile() {
+        if (fh) fclose(fh);
+    }
+
+    bool open(const char* path) {
+        fh = fopen(path, "rb");
+        return fh != nullptr;
+    }
+
+    // Load the block at compressed offset `coffset`; false at EOF/error.
+    bool load_block(int64_t coffset) {
+        if (fseeko(fh, coffset, SEEK_SET) != 0) return false;
+        uint8_t header[18];
+        size_t got = fread(header, 1, 18, fh);
+        if (got == 0) return false;
+        if (got < 18 || header[0] != 0x1f || header[1] != 0x8b) return false;
+        uint16_t xlen;
+        memcpy(&xlen, header + 10, 2);
+        // Find the BC subfield for the block size.
+        std::vector<uint8_t> extra(xlen);
+        if (xlen > 6) {
+            // We already read 6 bytes of extra in header[12..18).
+            memcpy(extra.data(), header + 12, 6);
+            if (fread(extra.data() + 6, 1, xlen - 6, fh) != (size_t)(xlen - 6)) return false;
+        } else {
+            memcpy(extra.data(), header + 12, xlen);
+            if (xlen < 6) fseeko(fh, coffset + 12 + xlen, SEEK_SET);
+        }
+        int bsize = -1;
+        for (size_t i = 0; i + 4 <= extra.size();) {
+            uint8_t si1 = extra[i], si2 = extra[i + 1];
+            uint16_t slen;
+            memcpy(&slen, extra.data() + i + 2, 2);
+            if (si1 == 66 && si2 == 67 && slen == 2) {
+                uint16_t bs;
+                memcpy(&bs, extra.data() + i + 4, 2);
+                bsize = bs + 1;
+                break;
+            }
+            i += 4 + slen;
+        }
+        if (bsize < 0) return false;
+        int64_t payload_len = bsize - 18 - (int64_t)xlen + 6 - 6;
+        // Total block = 12 + xlen + cdata + 8; cdata = bsize - 12 - xlen - 8.
+        int64_t cdata_len = bsize - 12 - xlen - 8;
+        (void)payload_len;
+        std::vector<uint8_t> cdata(cdata_len);
+        if (fseeko(fh, coffset + 12 + xlen, SEEK_SET) != 0) return false;
+        if (fread(cdata.data(), 1, cdata_len, fh) != (size_t)cdata_len) return false;
+        uint8_t tail[8];
+        if (fread(tail, 1, 8, fh) != 8) return false;
+        uint32_t isize;
+        memcpy(&isize, tail + 4, 4);
+
+        block.resize(isize);
+        if (isize > 0) {
+            z_stream zs{};
+            inflateInit2(&zs, -15);
+            zs.next_in = cdata.data();
+            zs.avail_in = (uInt)cdata_len;
+            zs.next_out = block.data();
+            zs.avail_out = isize;
+            int rc = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (rc != Z_STREAM_END) return false;
+        }
+        block_coffset = coffset;
+        block_clen = bsize;
+        within = 0;
+        return true;
+    }
+
+    bool seek_virtual(int64_t voffset) {
+        int64_t coffset = voffset >> 16;
+        size_t w = voffset & 0xFFFF;
+        if (coffset != block_coffset) {
+            if (!load_block(coffset)) return false;
+        }
+        within = w;
+        return true;
+    }
+
+    int64_t virtual_offset() const {
+        return (block_coffset << 16) | (int64_t)within;
+    }
+
+    // Read n bytes; returns bytes read (fewer only at EOF).
+    size_t read(uint8_t* out, size_t n) {
+        size_t done = 0;
+        while (done < n) {
+            if (within >= block.size()) {
+                int64_t next = block_coffset + block_clen;
+                if (!load_block(next)) break;
+                continue;  // skips zero-length (EOF marker) blocks naturally
+            }
+            size_t take = std::min(n - done, block.size() - within);
+            memcpy(out + done, block.data() + within, take);
+            within += take;
+            done += take;
+        }
+        return done;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// BAI
+// ---------------------------------------------------------------------------
+
+struct BaiRef {
+    // bin id -> chunks
+    std::vector<std::pair<uint32_t, std::vector<std::pair<uint64_t, uint64_t>>>> bins;
+    std::vector<uint64_t> linear;
+};
+
+struct BaiIndex {
+    std::vector<BaiRef> refs;
+
+    bool load(const char* path) {
+        FILE* fh = fopen(path, "rb");
+        if (!fh) return false;
+        fseeko(fh, 0, SEEK_END);
+        int64_t size = ftello(fh);
+        fseeko(fh, 0, SEEK_SET);
+        std::vector<uint8_t> data(size);
+        if (fread(data.data(), 1, size, fh) != (size_t)size) {
+            fclose(fh);
+            return false;
+        }
+        fclose(fh);
+        if (size < 8 || memcmp(data.data(), "BAI\x01", 4) != 0) return false;
+        size_t off = 4;
+        auto rd_i32 = [&](void) { int32_t v; memcpy(&v, data.data() + off, 4); off += 4; return v; };
+        auto rd_u32 = [&](void) { uint32_t v; memcpy(&v, data.data() + off, 4); off += 4; return v; };
+        auto rd_u64 = [&](void) { uint64_t v; memcpy(&v, data.data() + off, 8); off += 8; return v; };
+        int32_t n_ref = rd_i32();
+        refs.resize(n_ref);
+        for (int r = 0; r < n_ref; r++) {
+            int32_t n_bin = rd_i32();
+            for (int b = 0; b < n_bin; b++) {
+                uint32_t bin_id = rd_u32();
+                int32_t n_chunk = rd_i32();
+                std::vector<std::pair<uint64_t, uint64_t>> chunks(n_chunk);
+                for (int c = 0; c < n_chunk; c++) {
+                    uint64_t u = rd_u64(), v = rd_u64();
+                    chunks[c] = {u, v};
+                }
+                refs[r].bins.push_back({bin_id, std::move(chunks)});
+            }
+            int32_t n_intv = rd_i32();
+            refs[r].linear.resize(n_intv);
+            for (int i = 0; i < n_intv; i++) refs[r].linear[i] = rd_u64();
+        }
+        return true;
+    }
+
+    std::vector<std::pair<uint64_t, uint64_t>> chunks_for_region(int ref_id, int64_t beg,
+                                                                 int64_t end) const {
+        std::vector<std::pair<uint64_t, uint64_t>> out;
+        if (ref_id < 0 || ref_id >= (int)refs.size()) return out;
+        const BaiRef& ref = refs[ref_id];
+        uint64_t min_off = 0;
+        if (!ref.linear.empty()) {
+            size_t w = std::min((size_t)(beg >> 14), ref.linear.size() - 1);
+            min_off = ref.linear[w];
+        }
+        // reg2bins
+        std::vector<uint32_t> bins;
+        bins.push_back(0);
+        int64_t e = end - 1;
+        int shifts[5] = {26, 23, 20, 17, 14};
+        uint32_t offsets[5] = {1, 9, 73, 585, 4681};
+        for (int level = 0; level < 5; level++) {
+            for (int64_t k = offsets[level] + (beg >> shifts[level]);
+                 k <= offsets[level] + (e >> shifts[level]); k++) {
+                bins.push_back((uint32_t)k);
+            }
+        }
+        for (const auto& [bin_id, chunks] : ref.bins) {
+            if (bin_id == 37450) continue;
+            if (std::find(bins.begin(), bins.end(), bin_id) == bins.end()) continue;
+            for (auto [u, v] : chunks) {
+                if (v > min_off) out.push_back({std::max(u, min_off), v});
+            }
+        }
+        std::sort(out.begin(), out.end());
+        std::vector<std::pair<uint64_t, uint64_t>> merged;
+        for (auto [u, v] : out) {
+            if (!merged.empty() && u <= merged.back().second) {
+                merged.back().second = std::max(merged.back().second, v);
+            } else {
+                merged.push_back({u, v});
+            }
+        }
+        return merged;
+    }
+};
+
+const char SEQ_LOOKUP[17] = "=ACMGRSVTWYHKDBN";
+
+constexpr uint32_t kConsumesRef = (1u << 0) | (1u << 2) | (1u << 3) | (1u << 7) | (1u << 8);
+
+struct ParsedRead {
+    std::vector<uint8_t> seq;
+    std::vector<uint8_t> qual;
+    std::vector<uint32_t> cigar;
+    int64_t pos, end, mate_pos;
+    int32_t rlen, mapq, flag, chrom_id, mate_chrom_id, insert_size;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Opaque fetch result handle.
+struct PtpuBamBatch {
+    std::vector<ParsedRead>* reads;
+    int32_t max_len;
+    int64_t n_cigar_total;
+};
+
+// Fetch all records overlapping [start, end) on ref_id.  Returns a handle
+// (nullptr on failure); query sizes with ptpu_batch_dims, copy out with
+// ptpu_batch_fill, release with ptpu_batch_free.
+PtpuBamBatch* ptpu_bam_fetch(const char* bam_path, const char* bai_path,
+                             int32_t want_ref, int64_t start, int64_t end,
+                             int64_t first_record_voffset) {
+    BgzfFile bg;
+    if (!bg.open(bam_path)) return nullptr;
+    BaiIndex bai;
+    bool have_index = bai.load(bai_path);
+
+    std::vector<std::pair<uint64_t, uint64_t>> chunks;
+    if (have_index) {
+        chunks = bai.chunks_for_region(want_ref, start, end);
+    } else {
+        chunks.push_back({(uint64_t)first_record_voffset, ~0ull});
+    }
+
+    auto* reads = new std::vector<ParsedRead>();
+    int32_t max_len = 0;
+    int64_t n_cigar_total = 0;
+    std::vector<uint8_t> rec;
+
+    for (auto [u, v] : chunks) {
+        if (!bg.seek_virtual((int64_t)u)) continue;
+        while ((uint64_t)bg.virtual_offset() < v) {
+            uint8_t size_bytes[4];
+            if (bg.read(size_bytes, 4) < 4) break;
+            int32_t block_size;
+            memcpy(&block_size, size_bytes, 4);
+            if (block_size <= 0) break;
+            rec.resize(block_size);
+            if (bg.read(rec.data(), block_size) < (size_t)block_size) break;
+
+            int32_t ref_id, pos, l_seq, next_ref, next_pos, tlen;
+            memcpy(&ref_id, rec.data() + 0, 4);
+            memcpy(&pos, rec.data() + 4, 4);
+            uint8_t l_read_name = rec[8];
+            uint8_t mapq = rec[9];
+            uint16_t n_cigar, flag;
+            memcpy(&n_cigar, rec.data() + 12, 2);
+            memcpy(&flag, rec.data() + 14, 2);
+            memcpy(&l_seq, rec.data() + 16, 4);
+            memcpy(&next_ref, rec.data() + 20, 4);
+            memcpy(&next_pos, rec.data() + 24, 4);
+            memcpy(&tlen, rec.data() + 28, 4);
+
+            if (ref_id != want_ref || l_seq == 0) continue;
+            size_t off = 32 + l_read_name;
+            const uint32_t* cigar = (const uint32_t*)(rec.data() + off);
+            off += 4 * (size_t)n_cigar;
+            const uint8_t* packed = rec.data() + off;
+            off += (l_seq + 1) / 2;
+            const uint8_t* qual = rec.data() + off;
+            if (qual[0] == 0xFF) continue;
+
+            int64_t ref_span = 0;
+            for (int c = 0; c < n_cigar; c++) {
+                uint32_t op = cigar[c] & 0xF;
+                if (kConsumesRef & (1u << op)) ref_span += cigar[c] >> 4;
+            }
+            int64_t rec_end = (int64_t)pos + ref_span;
+            if (rec_end <= start || pos >= end) continue;
+
+            ParsedRead pr;
+            pr.seq.resize(l_seq);
+            for (int i = 0; i < l_seq; i++) {
+                uint8_t nib = (i % 2 == 0) ? (packed[i / 2] >> 4) : (packed[i / 2] & 0xF);
+                pr.seq[i] = (uint8_t)SEQ_LOOKUP[nib];
+            }
+            pr.qual.assign(qual, qual + l_seq);
+            pr.cigar.assign(cigar, cigar + n_cigar);
+            int64_t adj_pos = pos;
+            if (n_cigar > 0 && (cigar[0] & 0xF) == 4) adj_pos -= cigar[0] >> 4;
+            pr.pos = adj_pos;
+            pr.end = rec_end;
+            pr.rlen = l_seq;
+            pr.mapq = mapq;
+            pr.flag = flag;
+            pr.chrom_id = ref_id;
+            pr.mate_chrom_id = next_ref;
+            pr.mate_pos = next_pos;
+            pr.insert_size = tlen;
+            max_len = std::max(max_len, (int32_t)l_seq);
+            n_cigar_total += n_cigar;
+            reads->push_back(std::move(pr));
+        }
+        if (!have_index) break;  // full scan covers everything once
+    }
+
+    auto* batch = new PtpuBamBatch{reads, max_len, n_cigar_total};
+    return batch;
+}
+
+void ptpu_batch_dims(PtpuBamBatch* b, int64_t* n_reads, int32_t* max_len,
+                     int64_t* n_cigar_total) {
+    *n_reads = (int64_t)b->reads->size();
+    *max_len = b->max_len;
+    *n_cigar_total = b->n_cigar_total;
+}
+
+void ptpu_batch_fill(PtpuBamBatch* b, uint8_t* seq, uint8_t* qual, int32_t* rlen,
+                     int64_t* pos, int64_t* end, int32_t* mapq, int32_t* flag,
+                     int32_t* chrom_id, int32_t* mate_chrom_id, int64_t* mate_pos,
+                     int32_t* insert_size, uint32_t* cigar_flat, int64_t* cigar_off) {
+    const auto& reads = *b->reads;
+    int64_t n = (int64_t)reads.size();
+    int32_t L = b->max_len;
+    int64_t coff = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const ParsedRead& pr = reads[i];
+        memcpy(seq + i * L, pr.seq.data(), pr.seq.size());
+        memcpy(qual + i * L, pr.qual.data(), pr.qual.size());
+        rlen[i] = pr.rlen;
+        pos[i] = pr.pos;
+        end[i] = pr.end;
+        mapq[i] = pr.mapq;
+        flag[i] = pr.flag;
+        chrom_id[i] = pr.chrom_id;
+        mate_chrom_id[i] = pr.mate_chrom_id;
+        mate_pos[i] = pr.mate_pos;
+        insert_size[i] = pr.insert_size;
+        cigar_off[i] = coff;
+        memcpy(cigar_flat + coff, pr.cigar.data(), 4 * pr.cigar.size());
+        coff += (int64_t)pr.cigar.size();
+    }
+    cigar_off[n] = coff;
+}
+
+void ptpu_batch_free(PtpuBamBatch* b) {
+    delete b->reads;
+    delete b;
+}
+
+// ---------------------------------------------------------------------------
+// Read QC trimming (cwindow.pyx:416-479 semantics) — in-place over the SoA.
+// ---------------------------------------------------------------------------
+
+void ptpu_trim_reads(int64_t n_reads, int32_t max_len, uint8_t* qual,
+                     const int32_t* rlen, const int32_t* flag,
+                     const int32_t* insert_size, const uint32_t* cigar_flat,
+                     const int64_t* cigar_off, const uint8_t* good_mask,
+                     int32_t trim_read_flank, int32_t trim_overlapping,
+                     int32_t trim_adapter, int32_t trim_soft_clipped) {
+    const int32_t FLAG_PAIRED = 1, FLAG_REVERSE = 16, FLAG_MREVERSE = 32;
+    for (int64_t i = 0; i < n_reads; i++) {
+        if (!good_mask[i]) continue;
+        uint8_t* q = qual + i * max_len;
+        int32_t rl = rlen[i];
+        int32_t fl = flag[i];
+        bool reverse = fl & FLAG_REVERSE;
+
+        if (!reverse) {
+            for (int32_t k = 1; k <= rl; k++) {
+                if (k < trim_read_flank || q[rl - k] < 5) q[rl - k] = 0;
+                else break;
+            }
+        } else {
+            for (int32_t k = 0; k < rl; k++) {
+                if (k < trim_read_flank || q[k] < 5) q[k] = 0;
+                else break;
+            }
+        }
+
+        int32_t ins = insert_size[i];
+        int32_t abs_ins = ins < 0 ? -ins : ins;
+        bool paired = fl & FLAG_PAIRED;
+
+        if (trim_overlapping && paired && abs_ins > 0 && !reverse &&
+            (fl & FLAG_MREVERSE) && abs_ins < 2 * rl) {
+            int32_t n_zero = std::min(rl, 2 * rl - ins + 1);
+            for (int32_t k = 1; k <= n_zero; k++) q[rl - k] = 0;
+        }
+
+        if (trim_adapter && paired && abs_ins > 0 && abs_ins < rl) {
+            for (int32_t k = abs_ins; k < rl; k++) q[k] = 0;
+        }
+
+        if (trim_soft_clipped) {
+            int32_t idx = 0;
+            for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; c++) {
+                uint32_t op = cigar_flat[c] & 0xF;
+                int32_t ln = (int32_t)(cigar_flat[c] >> 4);
+                if (op == 0 || op == 1) {
+                    idx += ln;
+                } else if (op == 4) {
+                    for (int32_t k = 0; k < ln && idx < rl; k++, idx++) q[idx] = 0;
+                }
+            }
+        }
+    }
+}
+
+}  // extern "C"
