@@ -49,7 +49,13 @@ def make_inputs(seed=0):
 def bench_device(hap, go, read, qual, rl, n_trials=4):
     import jax
 
-    from platypus_tpu.ops.align_jax import band_align_padded, pad_alignment_inputs
+    from platypus_tpu.ops.align_jax import (
+        band_align_padded,
+        configure_compilation_cache,
+        pad_alignment_inputs,
+    )
+
+    configure_compilation_cache()
 
     padded = pad_alignment_inputs(hap, go, read, qual, rl)
     # Warmup/compile.

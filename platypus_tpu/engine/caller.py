@@ -184,14 +184,30 @@ def get_haplotypes_in_window(
                                    ref_file, config, rt)
 
 
-def call_window(
+@dataclass
+class PreparedWindow:
+    """Host-side window state awaiting the batched alignment pass."""
+
+    window: Window
+    buffers: Sequence[SampleReadBuffer]
+    all_haps: List[Haplotype]
+    ref_hap_index: int
+    reads: WindowReads
+    request: object  # Optional[AlignmentRequest]
+
+
+def prepare_window(
     window: Window,
     buffers: Sequence[SampleReadBuffer],
     ref_file,
     config: PlatypusConfig,
     rt: RuntimeState,
-) -> Optional[WindowCall]:
-    """Full per-window inference (callVariantsInWindow + Population.call)."""
+) -> Optional[PreparedWindow]:
+    """Everything before device alignment: read gathering, haplotype
+    enumeration/merging, pair construction.  Returns None for skipped
+    windows (callVariantsInWindow gating, variantcaller.pyx:74-137)."""
+    from .score import build_alignment_request
+
     chrom = window.chromosome
     variants = list(window.variants)
 
@@ -225,17 +241,32 @@ def call_window(
     all_haps = merge_haplotypes([ref_hap] + var_haps, ref_file)
     if len(all_haps) <= 1 and not config.output_ref_calls:
         return None
-
     ref_idx = next(i for i, h in enumerate(all_haps) if h == ref_hap)
+    request = build_alignment_request(
+        all_haps, reads, use_map_qual_cap=bool(config.hla_typing)
+    )
+    return PreparedWindow(window, buffers, all_haps, ref_idx, reads, request)
+
+
+def finish_window(
+    prep: PreparedWindow,
+    loglik: np.ndarray,
+    ref_file,
+    config: PlatypusConfig,
+) -> Optional[WindowCall]:
+    """Post-alignment inference: GLs, EM, posteriors (Population.setup/call,
+    cpopulation.pyx:197-720)."""
+    window = prep.window
+    buffers = prep.buffers
+    all_haps = prep.all_haps
+    reads = prep.reads
+    ref_idx = prep.ref_hap_index
     H = len(all_haps)
     hap1_idx, hap2_idx = lk.genotype_index_pairs(H)
     G = len(hap1_idx)
     I = len(buffers)
-
-    # ---- the big tensor: per-(hap, read) log-likelihoods ----------------
-    loglik = score_reads_vs_haplotypes(
-        all_haps, reads, use_map_qual_cap=bool(config.hla_typing)
-    )
+    if loglik.size == 0:
+        loglik = np.zeros((H, len(reads)), np.float64)
 
     n_reads = np.zeros(I, np.int64)
     gl_by_ind = np.zeros((I, G))
@@ -295,3 +326,20 @@ def call_window(
         reads=reads,
         loglik=loglik,
     )
+
+
+def call_window(
+    window: Window,
+    buffers: Sequence[SampleReadBuffer],
+    ref_file,
+    config: PlatypusConfig,
+    rt: RuntimeState,
+) -> Optional[WindowCall]:
+    """Single-window convenience wrapper: prepare -> align -> finish."""
+    from .score import run_alignment_requests
+
+    prep = prepare_window(window, buffers, ref_file, config, rt)
+    if prep is None:
+        return None
+    loglik = run_alignment_requests([prep.request])[0]
+    return finish_window(prep, loglik, ref_file, config)

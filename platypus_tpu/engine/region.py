@@ -257,8 +257,10 @@ def call_variants_in_region(
     if rt.rlen != rlen0:
         ref_file.set_cache_sequence(chrom, start - 10 * rt.rlen, end + 10 * rt.rlen)
 
-    n_written = 0
-    for window in generate_windows(
+    from .caller import finish_window, prepare_window
+    from .score import run_alignment_requests
+
+    windows = list(generate_windows(
         chrom, start, end, max_contig_pos, variants,
         rlen=rt.rlen, max_size=config.max_size,
         large_windows=bool(config.large_windows),
@@ -267,16 +269,43 @@ def call_variants_in_region(
         merge_clustered=bool(config.merge_clustered_variants),
         output_ref_calls=bool(config.output_ref_calls),
         ref_call_block_size=config.ref_call_block_size,
-    ):
+    ))
+
+    # Phase 1 (host): haplotype enumeration + pair construction per window.
+    prepared = {}
+    for w_idx, window in enumerate(windows):
+        if not window.variants:
+            continue
+        if window.end_pos - window.start_pos > config.max_size:
+            logger.info(
+                "Skipping very large window %s:%s-%s", chrom, window.start_pos, window.end_pos
+            )
+            prepared[w_idx] = "skip"
+            continue
         try:
-            if window.end_pos - window.start_pos > config.max_size and window.variants:
-                logger.info(
-                    "Skipping very large window %s:%s-%s", chrom, window.start_pos, window.end_pos
-                )
+            prepared[w_idx] = prepare_window(window, buffers, ref_file, config, rt)
+        except Exception:  # noqa: BLE001 — window crash containment
+            logger.exception(
+                "Exception preparing window %s:%s-%s", chrom, window.start_pos, window.end_pos
+            )
+            prepared[w_idx] = "skip"
+
+    # Phase 2 (device): every window's alignments in a few big batched calls.
+    live = [(w_idx, p) for w_idx, p in prepared.items() if p not in (None, "skip")]
+    logliks = run_alignment_requests([p.request for _, p in live])
+    loglik_by_idx = {w_idx: ll for (w_idx, _p), ll in zip(live, logliks)}
+
+    # Phase 3 (host): per-window inference + output, in window order.
+    n_written = 0
+    for w_idx, window in enumerate(windows):
+        try:
+            prep = prepared.get(w_idx)
+            if prep == "skip":
                 continue
             result = None
             if window.variants:
-                result = call_window(window, buffers, ref_file, config, rt)
+                if prep is not None:
+                    result = finish_window(prep, loglik_by_idx[w_idx], ref_file, config)
                 if result is not None and result.variant_posteriors:
                     n_written += output_call_to_vcf(result, buffers, ref_file, config, writer)
                     if config.output_ref_calls and len(result.vars_by_pos) > 1:

@@ -105,6 +105,9 @@ def run_single_process(
     append: bool = False,
 ) -> int:
     """One worker: call all given regions into one VCF file."""
+    from ..ops.align_jax import configure_compilation_cache
+
+    configure_compilation_cache()
     bam_files, samples_by_bam, samples = open_bams(config)
     ref_file = FastaFile(config.ref_file, parse_ncbi=bool(config.parse_ncbi))
     rt = derive_runtime(config, n_individuals=len(samples))

@@ -9,10 +9,16 @@ of aligning read-by-read in C, we
    layout),
 2. compute, per haplotype, the k-mer anchor segments for all reads at once
    (ops/kmer.py),
-3. gather the haplotype segments into one padded batch and run the banded
-   DP for every (read, hap, anchor) lane on the device in a single
-   `band_align_padded` call (ops/align_jax.py),
+3. gather the haplotype segments into padded batches and run the banded DP
+   for every (read, hap, anchor) lane on the device,
 4. min-reduce anchors, convert scores to log-likelihoods.
+
+Because host↔device round trips can dominate on a tunneled TPU, scoring is
+two-phase: `build_alignment_request` does the host-side pair construction
+per window, and `run_alignment_requests` aligns MANY windows' pairs in a
+handful of large fixed-shape device calls, scattering scores back per
+window.  `score_reads_vs_haplotypes` is the single-window convenience
+wrapper (used by the beam search and HLA paths).
 
 Reads that are QC-failed or overlap the window haplotype span by < 7 bases
 contribute log-likelihood 0 (probability 1) without being aligned; broken
@@ -33,6 +39,10 @@ from ..ops.kmer import HASH_NUCS, candidate_segments
 from ..ops.likelihood import scores_to_logliks
 
 _N_CHAR = ord("N")
+
+# Fixed device-call lane widths (each distinct width is one compiled
+# program per read-length bucket; keep this list short).
+LANE_BUCKETS = (2048, 16384)
 
 
 @dataclass
@@ -113,34 +123,60 @@ def _aligned_mask(reads: WindowReads, hap_start: int, hap_end: int) -> np.ndarra
     return ok
 
 
-def score_reads_vs_haplotypes(
+def _l2_bucket(n: int) -> int:
+    """Canonical padded read length (multiple of 32) to bound the number of
+    compiled kernel shapes."""
+    return max(32, -(-n // 32) * 32)
+
+
+@dataclass
+class AlignmentRequest:
+    """Host-side pair batch for one window, ready for device alignment."""
+
+    haps: Sequence[Haplotype]
+    reads: WindowReads
+    use_map_qual_cap: bool
+    align_rows: np.ndarray   # rows of `reads` that get real alignments
+    pair_hap: np.ndarray     # [P] hap index
+    pair_read: np.ndarray    # [P] index into align_rows
+    pair_seg: np.ndarray     # [P] hap segment start
+    sub_seq: np.ndarray      # [A, L2] uint8 (L2 = own bucket)
+    sub_qual: np.ndarray     # [A, L2] uint8
+    sub_len: np.ndarray      # [A]
+    hap_matrix: np.ndarray   # [H, hapmax + seg] uint8, 'N'-padded
+    go_matrix: np.ndarray    # [H, hapmax + seg] int32
+
+    def n_pairs(self) -> int:
+        return len(self.pair_hap)
+
+
+def build_alignment_request(
     haps: Sequence[Haplotype],
     reads: WindowReads,
-    gapextend: int = 3,
-    nucprior: int = 2,
     use_map_qual_cap: bool = False,
-    batch_cap: int = 1 << 14,
-) -> np.ndarray:
-    """Log-likelihood matrix [H, R] for every (haplotype, read) pair."""
+) -> Optional[AlignmentRequest]:
+    """Pair construction for one window; None when nothing needs aligning."""
     H = len(haps)
     R = len(reads)
-    loglik = np.zeros((H, R), np.float64)
     if R == 0 or H == 0:
-        return loglik
-
+        return None
     win_start = haps[0].start_pos
     win_end = haps[0].end_pos
-    mask = _aligned_mask(reads, win_start, win_end)
-    align_rows = np.nonzero(mask)[0]
+    align_rows = np.nonzero(_aligned_mask(reads, win_start, win_end))[0]
     if len(align_rows) == 0:
-        return loglik
+        return None
 
-    sub_seq = reads.seq[align_rows]
     sub_len = reads.rlen[align_rows]
+    L2 = _l2_bucket(int(sub_len.max()))
+    L = reads.seq.shape[1]
+    if L < L2:
+        sub_seq = np.pad(reads.seq[align_rows], ((0, 0), (0, L2 - L)))
+        sub_qual = np.pad(reads.qual[align_rows], ((0, 0), (0, L2 - L)))
+    else:
+        sub_seq = reads.seq[align_rows][:, :L2]
+        sub_qual = reads.qual[align_rows][:, :L2]
     sub_pos = reads.pos[align_rows]
-    L2max = int(sub_len.max())
 
-    # --- collect (hap, read, segment) triples --------------------------
     pair_hap: List[np.ndarray] = []
     pair_read: List[np.ndarray] = []
     pair_seg: List[np.ndarray] = []
@@ -155,50 +191,125 @@ def score_reads_vs_haplotypes(
     pr = np.concatenate(pair_read)
     ps = np.concatenate(pair_seg)
 
-    # scores default: reads shorter than 7 bases score 0 without alignment.
-    scores = np.zeros((H, len(align_rows)), np.int64)
-    if len(ph):
-        scores[:] = np.iinfo(np.int32).max
-        short = sub_len < HASH_NUCS
-        scores[:, short] = 0
+    seg_len = L2 + 15
+    hap_len_max = max(h.hap_len for h in haps)
+    hap_matrix = np.full((H, hap_len_max + seg_len), _N_CHAR, np.uint8)
+    go_matrix = np.zeros((H, hap_len_max + seg_len), np.int32)
+    for h_idx, hap in enumerate(haps):
+        hap_matrix[h_idx, : hap.hap_len] = np.frombuffer(hap.sequence, np.uint8)
+        go_matrix[h_idx, : hap.hap_len] = hap.gap_open[: hap.hap_len]
 
-        seg_len = L2max + 15
-        pair_scores = np.empty(len(ph), np.int64)
-        for lo in range(0, len(ph), batch_cap):
-            hi = min(lo + batch_cap, len(ph))
-            bh, br, bs = ph[lo:hi], pr[lo:hi], ps[lo:hi]
-            B = hi - lo
-            hap_seg = np.full((B, seg_len), _N_CHAR, np.uint8)
-            go_seg = np.zeros((B, seg_len), np.int32)
-            for b in range(B):
-                hap = haps[bh[b]]
-                s = int(bs[b])
-                e = min(s + seg_len, hap.hap_len)
-                n = e - s
-                hap_seg[b, :n] = np.frombuffer(hap.sequence, np.uint8)[s:e]
-                go_seg[b, :n] = hap.gap_open[s:e]
-            # Pad the batch to a power-of-two lane count so XLA compiles a
-            # small, reusable set of kernel shapes.
-            B_pad = max(128, 1 << (B - 1).bit_length())
-            if B_pad != B:
-                pad = B_pad - B
-                hap_seg = np.concatenate([hap_seg, np.full((pad, seg_len), _N_CHAR, np.uint8)])
-                go_seg = np.concatenate([go_seg, np.zeros((pad, seg_len), np.int32)])
-                r_seq = np.concatenate([sub_seq[br], np.zeros((pad, L2max), np.uint8)])
-                r_qual = np.concatenate([reads.qual[align_rows][br], np.zeros((pad, L2max), np.uint8)])
-                r_len = np.concatenate([sub_len[br], np.full(pad, min(8, L2max), np.int32)])
-            else:
-                r_seq = sub_seq[br]
-                r_qual = reads.qual[align_rows][br]
-                r_len = sub_len[br]
-            padded = pad_alignment_inputs(hap_seg, go_seg, r_seq, r_qual, r_len)
-            pair_scores[lo:hi] = np.asarray(
-                band_align_padded(*padded, gapextend=gapextend, nucprior=nucprior)
-            )[:B]
-        np.minimum.at(scores, (ph, pr), pair_scores)
-
-    sub_loglik = scores_to_logliks(
-        scores, reads.mapq[align_rows][None, :], use_map_qual_cap=use_map_qual_cap
+    return AlignmentRequest(
+        haps=haps, reads=reads, use_map_qual_cap=use_map_qual_cap,
+        align_rows=align_rows, pair_hap=ph, pair_read=pr, pair_seg=ps,
+        sub_seq=sub_seq, sub_qual=sub_qual, sub_len=sub_len,
+        hap_matrix=hap_matrix, go_matrix=go_matrix,
     )
-    loglik[:, align_rows] = sub_loglik
-    return loglik
+
+
+def run_alignment_requests(
+    requests: Sequence[Optional[AlignmentRequest]],
+    gapextend: int = 3,
+    nucprior: int = 2,
+) -> List[np.ndarray]:
+    """Align every request's pairs in a few large device calls.
+
+    Returns one [H, R] log-likelihood matrix per request (zeros matrix for
+    None requests)."""
+    live = [r for r in requests if r is not None and r.n_pairs() > 0]
+    pair_scores: dict = {}
+
+    if live:
+        # Group by read-length bucket; concatenate pair rows across windows.
+        by_l2: dict = {}
+        for req in live:
+            by_l2.setdefault(req.sub_seq.shape[1], []).append(req)
+
+        for L2, group in by_l2.items():
+            seg_len = L2 + 15
+            col_idx = np.arange(seg_len)
+            hap_rows, go_rows, rd_rows, ql_rows, ln_rows, owners = [], [], [], [], [], []
+            for req in group:
+                cols = req.pair_seg[:, None] + col_idx[None, :]
+                hap_rows.append(req.hap_matrix[req.pair_hap[:, None], cols])
+                go_rows.append(req.go_matrix[req.pair_hap[:, None], cols])
+                rd_rows.append(req.sub_seq[req.pair_read])
+                ql_rows.append(req.sub_qual[req.pair_read])
+                ln_rows.append(req.sub_len[req.pair_read])
+                owners.append(req)
+            hap_all = np.concatenate(hap_rows)
+            go_all = np.concatenate(go_rows)
+            rd_all = np.concatenate(rd_rows)
+            ql_all = np.concatenate(ql_rows)
+            ln_all = np.concatenate(ln_rows)
+
+            total = len(hap_all)
+            out_scores = np.empty(total, np.int64)
+            done = 0
+            while done < total:
+                remaining = total - done
+                # Smallest bucket that covers the remainder (or the largest).
+                lane = next((b for b in LANE_BUCKETS if remaining <= b), LANE_BUCKETS[-1])
+                take = min(remaining, lane)
+                sl = slice(done, done + take)
+                pad = lane - take
+                h = hap_all[sl]
+                g = go_all[sl]
+                r = rd_all[sl]
+                q = ql_all[sl]
+                n = ln_all[sl]
+                if pad:
+                    h = np.concatenate([h, np.full((pad, seg_len), _N_CHAR, np.uint8)])
+                    g = np.concatenate([g, np.zeros((pad, seg_len), np.int32)])
+                    r = np.concatenate([r, np.zeros((pad, L2), np.uint8)])
+                    q = np.concatenate([q, np.zeros((pad, L2), np.uint8)])
+                    n = np.concatenate([n, np.full(pad, min(8, L2), np.int32)])
+                padded = pad_alignment_inputs(h, g, r, q, n)
+                out_scores[sl] = np.asarray(
+                    band_align_padded(*padded, gapextend=gapextend, nucprior=nucprior)
+                )[:take]
+                done += take
+
+            off = 0
+            for req in owners:
+                p = req.n_pairs()
+                pair_scores[id(req)] = out_scores[off : off + p]
+                off += p
+
+    results: List[np.ndarray] = []
+    for req in requests:
+        if req is None:
+            results.append(np.zeros((0, 0), np.float64))
+            continue
+        H = len(req.haps)
+        R = len(req.reads)
+        loglik = np.zeros((H, R), np.float64)
+        A = len(req.align_rows)
+        scores = np.zeros((H, A), np.int64)
+        if req.n_pairs():
+            scores[:] = np.iinfo(np.int32).max
+            short = req.sub_len < HASH_NUCS
+            scores[:, short] = 0
+            np.minimum.at(scores, (req.pair_hap, req.pair_read), pair_scores[id(req)])
+        sub_loglik = scores_to_logliks(
+            scores, req.reads.mapq[req.align_rows][None, :],
+            use_map_qual_cap=req.use_map_qual_cap,
+        )
+        loglik[:, req.align_rows] = sub_loglik
+        results.append(loglik)
+    return results
+
+
+def score_reads_vs_haplotypes(
+    haps: Sequence[Haplotype],
+    reads: WindowReads,
+    gapextend: int = 3,
+    nucprior: int = 2,
+    use_map_qual_cap: bool = False,
+) -> np.ndarray:
+    """Log-likelihood matrix [H, R] for every (haplotype, read) pair
+    (single-window wrapper over the batched path)."""
+    req = build_alignment_request(haps, reads, use_map_qual_cap)
+    if req is None:
+        return np.zeros((len(haps), len(reads)), np.float64)
+    return run_alignment_requests([req], gapextend, nucprior)[0]

@@ -33,6 +33,32 @@ from .align_core import N_LANES, POS_INF
 _N_CHAR = ord("N")
 _PAD_CHAR = ord("0")
 
+_cache_configured = False
+
+
+def configure_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache.
+
+    Compiling the alignment scan through the remote TPU service can take
+    minutes per distinct shape; the on-disk cache makes every later process
+    start instantly.  Called by the engine and bench entry points."""
+    global _cache_configured
+    if _cache_configured:
+        return
+    _cache_configured = True
+    import os
+
+    cache_dir = os.environ.get(
+        "PLATYPUS_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "platypus_tpu_jax"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimisation only
+        pass
+
 
 def pad_alignment_inputs(
     hap_seg: np.ndarray,
@@ -78,11 +104,14 @@ def pad_alignment_inputs(
     rd = np.where(cols2 < read_len[:, None], rd, _PAD_CHAR)
     qd = np.where(cols2 < read_len[:, None], qd, 64)
 
+    # Ship compact dtypes over the host->device link; kernels upcast to
+    # int32 on device (transfers through the tunnel are latency/bandwidth
+    # bound, so this quarters the payload).
     return (
-        jnp.asarray(hp.T),
-        jnp.asarray(4 * go.T),
-        jnp.asarray(rd.T),
-        jnp.asarray(4 * qd.T),
+        jnp.asarray(hp.T.astype(np.uint8)),
+        jnp.asarray((4 * go.T).astype(np.int16)),
+        jnp.asarray(rd.T.astype(np.uint8)),
+        jnp.asarray((4 * qd.T).astype(np.int16)),
         jnp.asarray(read_len),
     )
 
@@ -108,6 +137,10 @@ def band_align_padded(
     nucprior: int = 2,
 ) -> jnp.ndarray:
     """Scores [B] int32 (integer phred), given pre-padded column tensors."""
+    hap_cols = hap_cols.astype(jnp.int32)
+    go4_cols = go4_cols.astype(jnp.int32)
+    read_cols = read_cols.astype(jnp.int32)
+    qual4_cols = qual4_cols.astype(jnp.int32)
     n_steps, B = read_cols.shape
     L2max = n_steps - N_LANES
     ge = jnp.int32(4 * gapextend)

@@ -131,6 +131,10 @@ def band_align_padded_pallas(
     """Pallas version of ops.align_jax.band_align_padded; same contract."""
     if interpret is None:
         interpret = _use_interpret()
+    hap_cols = hap_cols.astype(jnp.int32)
+    go4_cols = go4_cols.astype(jnp.int32)
+    read_cols = read_cols.astype(jnp.int32)
+    qual4_cols = qual4_cols.astype(jnp.int32)
     n_steps, B = read_cols.shape
     L1 = hap_cols.shape[0]
     if B % LANES != 0:
