@@ -132,50 +132,49 @@ class CandidateGenerator:
 
     def _scan_match_segment(self, seq, qual, read_start: int, read_off: int,
                             ref_off: int, length: int, read_len: int) -> None:
-        """SNP/MNP scan of one M segment (variant.pyx:518-610)."""
+        """SNP/MNP scan of one M segment (variant.pyx:518-610), vectorised.
+
+        The reference's run-merging is equivalent to grouping qualifying
+        mismatch positions by successive gaps <= minFlank (a closing match
+        at gap d can only precede a mismatch at gap > d, so explicit run
+        closing never changes the grouping).
+        """
         min_flank = self.min_flank
-        mm_start_ref = -1
-        mm_end_ref = -1
-        mm_start_read = -1
-        mm_end_read = -1
         ref_seq = self.ref_seq
         n_char = ord("N")
 
-        def emit():
-            ref_bytes = ref_seq[mm_start_ref : mm_end_ref + 1]
-            read_bytes = bytes(seq[mm_start_read : mm_end_read + 1])
+        ref_base = (ref_off + read_start) - self.ref_seq_start
+        # Candidate indices within the segment, honouring the read-edge and
+        # reference-cache bounds.
+        lo = min_flank if read_off == 0 else 0
+        hi = min(length, read_len - min_flank - read_off)
+        lo = max(lo, -ref_base)
+        hi = min(hi, len(ref_seq) - ref_base)
+        if hi <= lo:
+            return
+
+        read_slice = seq[read_off + lo : read_off + hi]
+        ref_slice = np.frombuffer(ref_seq[ref_base + lo : ref_base + hi], np.uint8)
+        qual_slice = qual[read_off + lo : read_off + hi]
+        mm = (
+            (read_slice != ref_slice)
+            & (read_slice != n_char)
+            & (ref_slice != n_char)
+            & (qual_slice >= self.min_base_qual)
+        )
+        positions = np.nonzero(mm)[0]
+        if len(positions) == 0:
+            return
+        # Group by gaps > minFlank.
+        breaks = np.nonzero(np.diff(positions) > min_flank)[0]
+        group_starts = np.concatenate([[0], breaks + 1])
+        group_ends = np.concatenate([breaks, [len(positions) - 1]])
+        for gs, ge in zip(group_starts, group_ends):
+            i0 = int(positions[gs]) + lo
+            i1 = int(positions[ge]) + lo
+            ref_bytes = ref_seq[ref_base + i0 : ref_base + i1 + 1]
+            read_bytes = bytes(seq[read_off + i0 : read_off + i1 + 1])
             self.add_variant(
-                Variant(self.ref_name, mm_start_ref + self.ref_seq_start,
+                Variant(self.ref_name, ref_base + i0 + self.ref_seq_start,
                         ref_bytes, read_bytes, 1, PLATYPUS_VAR)
             )
-
-        for index in range(length):
-            if read_off == 0 and index < min_flank:
-                continue
-            if index + read_off >= read_len - min_flank:
-                continue
-            read_index = index + read_off
-            ref_index = (index + ref_off + read_start) - self.ref_seq_start
-            if ref_index < 0 or ref_index >= len(ref_seq):
-                continue
-            read_char = int(seq[read_index])
-            ref_char = ref_seq[ref_index]
-            base_qual = int(qual[read_index])
-            if read_char != ref_char:
-                if read_char != n_char and ref_char != n_char and base_qual >= self.min_base_qual:
-                    if mm_start_ref == -1:
-                        mm_start_ref = mm_end_ref = ref_index
-                        mm_start_read = mm_end_read = read_index
-                    elif ref_index - mm_end_ref <= min_flank:
-                        mm_end_ref = ref_index
-                        mm_end_read = read_index
-                    else:
-                        emit()
-                        mm_start_ref = mm_end_ref = ref_index
-                        mm_start_read = mm_end_read = read_index
-            else:
-                if mm_start_ref != -1 and ref_index - mm_end_ref > min_flank:
-                    emit()
-                    mm_start_ref = mm_end_ref = mm_start_read = mm_end_read = -1
-        if mm_start_ref != -1:
-            emit()
