@@ -152,6 +152,8 @@ def output_hla_call_to_vcf(haplotypes: List[Haplotype], buffers, ref_file,
     var_source = set()
     all_gts, gls, nrs, nv1s, nv2s, cfs = [], [], [], [], [], []
 
+    score_file = open(config.align_score_file, "a") if config.align_score_file else None
+
     for i in range(n_ind):
         good_rows = np.nonzero((reads.sample_idx == i) & reads.is_good)[0]
         all_rows = np.nonzero(reads.sample_idx == i)[0]
@@ -179,6 +181,18 @@ def output_hla_call_to_vcf(haplotypes: List[Haplotype], buffers, ref_file,
             np.where(diff >= 3.0, LOG_HALF + mx, np.where(diff <= 1e-3, l1, exact)),
         )
         pair_ll = per_read.sum(axis=2)  # [H, H]
+
+        if score_file is not None:
+            # --alignScoreFile dump (vcfutils.pyx:666-716): per-individual
+            # haplotype sequences and the ordered-pair likelihood matrix.
+            score_file.write(f"Individual\t{i}\t{H}\t{n_reads}:{window_start}-{window_end}\n")
+            for hap in haplotypes:
+                score_file.write(
+                    f"{hap.start_pos + 1} {hap.end_pos} "
+                    f"{hap.short_haplotype_sequence.decode()}\n"
+                )
+            for h1 in range(H):
+                score_file.write("\t".join(str(pair_ll[h1, h2]) for h2 in range(H)) + "\n")
 
         best_genotypes: List[List[int]] = []
         max_like = 0.0
@@ -233,6 +247,9 @@ def output_hla_call_to_vcf(haplotypes: List[Haplotype], buffers, ref_file,
         nv1s.append(this_nv1)
         nv2s.append(this_nv2)
         cfs.append(confidence)
+
+    if score_file is not None:
+        score_file.close()
 
     qual = max(int(cf) for cf in cfs) if cfs else 0
     if not alts:

@@ -76,7 +76,10 @@ def load_region_buffers(
                     "Too many reads (%s) in region %s:%s-%s", total_reads, chrom, start, end
                 )
                 return None
-            buffers.append(build_sample_buffer(sample, stream, qc))
+            broken = None
+            if config.assemble_broken_pairs:
+                broken = _fetch_broken_mates(bam, stream, chrom, start, end)
+            buffers.append(build_sample_buffer(sample, stream, qc, broken))
     else:
         # Multi-sample BAMs: split the stream by RG tag.
         streams: Dict[str, list] = {}
@@ -119,6 +122,37 @@ def load_region_buffers(
             buffers.append(build_sample_buffer(sample, stream, qc))
     buffers.sort(key=lambda b: b.sample)
     return buffers
+
+
+def _fetch_broken_mates(bam: BamFile, stream, chrom: str, start: int, end: int):
+    """Fetch the mates of broken pairs (not proper / mate unmapped) whose
+    mate maps back into this region (platypusutils.pyx:522-559,690-707)."""
+    from ..io.bam import FLAG_MUNMAP, FLAG_PAIRED, FLAG_PROPER_PAIR, FLAG_UNMAP, empty_read_set
+
+    flags = stream.flag
+    is_broken = ((flags & FLAG_PROPER_PAIR) == 0) | ((flags & FLAG_UNMAP) != 0) | (
+        (flags & FLAG_MUNMAP) != 0
+    )
+    same_chrom = stream.mate_chrom_id == stream.chrom_id
+    coords = np.sort(stream.mate_pos[is_broken & same_chrom])
+    if len(coords) == 0:
+        return empty_read_set()
+    # Merge single-position queries into spans (mergeQueries semantics).
+    queries = []
+    for pos in coords:
+        pos = int(pos)
+        if queries and pos - queries[-1][1] < 1e4 and pos - queries[-1][0] < 1e5:
+            queries[-1][1] = pos + 1
+        else:
+            queries.append([pos, pos + 1])
+    pieces = []
+    for q_start, q_end in queries:
+        rs = bam.fetch(chrom, q_start, q_end)
+        keep = (rs.mate_chrom_id == rs.chrom_id) & (rs.mate_pos >= start) & (rs.mate_pos <= end)
+        idx = np.nonzero(keep)[0]
+        if len(idx):
+            pieces.append(rs.take(idx))
+    return _concat_read_sets(pieces)
 
 
 def _concat_read_sets(subsets):

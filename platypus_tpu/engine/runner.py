@@ -70,6 +70,23 @@ def get_regions(config: PlatypusConfig) -> List[Region]:
                 if chrom in ref.refs:
                     regions.append((chrom, 0, ref.refs[chrom].length))
 
+    # Optional skip list (chr or chr:start-end per line / comma-separated).
+    # NB: the reference parses --skipRegionsFile but never applies it
+    # (runner.py:386-387,522); here it actually skips.
+    skip_spans: List[Region] = []
+    if config.skip_regions_file and os.path.exists(config.skip_regions_file):
+        with open(config.skip_regions_file) as fh:
+            for token in fh.read().replace(",", "\n").split():
+                if ":" in token:
+                    c, span = token.rsplit(":", 1)
+                    s, e = span.split("-")
+                    skip_spans.append((c, int(s) - 1, int(e)))
+                else:
+                    skip_spans.append((token, 0, 1 << 60))
+
+    def skipped(chrom: str, start: int, end: int) -> bool:
+        return any(c == chrom and start < e and end > s for c, s, e in skip_spans)
+
     final: List[Region] = []
     for chrom, start, end in regions:
         if chrom not in ref.refs:
@@ -79,8 +96,10 @@ def get_regions(config: PlatypusConfig) -> List[Region]:
             continue
         if end - start > config.buffer_size:
             for i in range(start, end, config.buffer_size):
-                final.append((chrom, i, min(i + config.buffer_size, end)))
-        else:
+                shard = (chrom, i, min(i + config.buffer_size, end))
+                if not skipped(*shard):
+                    final.append(shard)
+        elif not skipped(chrom, start, end):
             final.append((chrom, start, end))
     bam.close()
     ref.close()

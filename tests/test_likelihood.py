@@ -1,0 +1,132 @@
+"""Unit tests for the likelihood/EM kernels (host f64 vs device f32)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from platypus_tpu.ops import likelihood as lk
+
+
+def test_scores_to_logliks():
+    out = lk.scores_to_logliks(np.array([0, 10, 10000]), np.array([60, 60, 60]))
+    # Perfect alignment: ~ln(1 - 1e-6); score 10: -10*ln10/10 + eps; capped at -300.
+    assert abs(out[0] - math.log(1 - 1e-6)) < 1e-12
+    assert abs(out[1] - (lk.MLTOT * 10 + math.log(1 - 1e-6))) < 1e-12
+    assert out[2] == -300.0
+    # mapq 0: probMapRight = -inf -> floor.
+    out0 = lk.scores_to_logliks(np.array([0]), np.array([0]))
+    assert out0[0] == -300.0
+
+
+def test_genotype_log_likelihoods_fast_paths():
+    # 2 haps, 3 reads designed to hit each fast path.
+    loglik = np.array([
+        [0.0, -10.0, -1.0],    # hap0
+        [-5.0, -10.0005, -1.5],  # hap1
+    ])
+    h1 = np.array([0, 0, 1])
+    h2 = np.array([0, 1, 1])
+    gl, gof = lk.genotype_log_likelihoods(loglik, h1, h2)
+    # Hom genotypes: plain sums.
+    np.testing.assert_allclose(gl[0], loglik[0].sum())
+    np.testing.assert_allclose(gl[2], loglik[1].sum())
+    # Het: read0 |d|=5>=3 -> log(1/2)+max; read1 |d|<=1e-3 -> l1; read2 exact.
+    expected = (math.log(0.5) + 0.0) + (-10.0) + math.log(
+        0.5 * (math.exp(-1.0) + math.exp(-1.5))
+    )
+    np.testing.assert_allclose(gl[1], expected)
+
+
+def test_em_converges_to_allele_frequency():
+    """Haps A/B with reads 70/30 split -> EM frequency ~0.7/0.3."""
+    rng = np.random.default_rng(0)
+    n_ind = 20
+    h1, h2 = lk.genotype_index_pairs(2)
+    gl = np.zeros((n_ind, len(h1)))
+    # Each individual: genotype sampled under HWE p=0.7.
+    true_p = 0.7
+    for i in range(n_ind):
+        a1 = rng.random() < true_p
+        a2 = rng.random() < true_p
+        n_a = int(a1) + int(a2)
+        # Likelihood peaked at the true genotype.
+        target = {2: 0, 1: 1, 0: 2}[n_a]  # genotype index for (AA, AB, BB)
+        gl[i] = [-50.0, -50.0, -50.0]
+        gl[i][target] = 0.0
+    lik = lk.rescale_likelihoods(gl, np.full(n_ind, 10))
+    freq, _, iters = lk.em_haplotype_frequencies(lik, h1, h2, 2, np.full(n_ind, 10))
+    assert iters <= 100
+    assert abs(freq.sum() - 1.0) < 1e-9
+    emp = np.mean([gl[i].argmin() for i in range(n_ind)])  # not used; sanity only
+    # EM should land near the empirical allele frequency.
+    counts = sum({0: 2, 1: 1, 2: 0}[int(np.argmax(lik[i]))] for i in range(n_ind))
+    np.testing.assert_allclose(freq[0], counts / (2 * n_ind), atol=0.02)
+
+
+def test_variant_posterior_extremes():
+    h1, h2 = lk.genotype_index_pairs(2)
+    n_ind = 5
+    # All individuals strongly support the het genotype containing hap 1.
+    lik = np.full((n_ind, 3), 1e-300)
+    lik[:, 1] = 1.0
+    freq = np.array([0.5, 0.5])
+    has_var = np.array([False, True])
+    post = lk.variant_posterior_phred(lik, freq, has_var, h1, h2,
+                                      np.full(n_ind, 10), prior=1e-3)
+    assert post > 100
+    # All individuals homozygous ref: posterior ~0.
+    lik2 = np.full((n_ind, 3), 1e-300)
+    lik2[:, 0] = 1.0
+    post2 = lk.variant_posterior_phred(lik2, freq, has_var, h1, h2,
+                                       np.full(n_ind, 10), prior=1e-3)
+    assert post2 <= 1
+
+
+def test_device_em_matches_host():
+    """f32 device pipeline approximates the exact host EM."""
+    import jax.numpy as jnp
+
+    from platypus_tpu.ops import likelihood_jax as ljx
+
+    rng = np.random.default_rng(1)
+    H = 3
+    h1, h2 = lk.genotype_index_pairs(H)
+    G = len(h1)
+    n_ind = 4
+    gl = rng.normal(-20, 8, size=(n_ind, G))
+    n_reads = np.full(n_ind, 12)
+
+    lik_host = lk.rescale_likelihoods(gl, n_reads)
+    freq_host, _, _ = lk.em_haplotype_frequencies(lik_host, h1, h2, H, n_reads)
+
+    lik_dev, freq_dev = ljx.window_em_batch(
+        jnp.asarray(gl[None].astype(np.float32)),
+        jnp.asarray(h1[None]), jnp.asarray(h2[None]),
+        jnp.ones((1, G), bool), jnp.ones((1, H), bool),
+        jnp.ones((1, n_ind), bool), n_iters=100,
+    )
+    freq_dev = np.asarray(freq_dev)[0]
+    assert abs(freq_dev.sum() - 1.0) < 1e-5
+    # The device path runs the fixed iteration cap while the host stops at
+    # the reference tolerance, so near-zero frequencies keep decaying on
+    # device; compare only well-supported haplotypes.
+    major = freq_host > 0.05
+    np.testing.assert_allclose(freq_dev[major], freq_host[major], atol=0.02)
+
+
+def test_beta_binomial_and_binomial():
+    from platypus_tpu.utils.maths import beta_binomial_cdf, binomial_pmf, log_factorial
+
+    assert beta_binomial_cdf(5, 5, 20, 20) == 1.0
+    # Symmetric beta-binomial: CDF at the midpoint ~0.5 (plus half the pmf).
+    mid = beta_binomial_cdf(10, 20, 20, 20)
+    assert 0.5 < mid < 0.65
+    # Monotone in k.
+    vals = [beta_binomial_cdf(k, 20, 20, 20) for k in range(21)]
+    assert all(b >= a - 1e-12 for a, b in zip(vals, vals[1:]))
+    # binomial pmf sums to 1.
+    total = sum(binomial_pmf(k, 10, 0.3) for k in range(11))
+    assert abs(total - 1.0) < 1e-9
+    # Stirling branch continuous-ish at the switch point.
+    assert abs(log_factorial(14) - (log_factorial(15) - math.log(15))) < 1e-6
