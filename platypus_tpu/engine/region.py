@@ -79,7 +79,16 @@ def load_region_buffers(
             broken = None
             if config.assemble_broken_pairs:
                 broken = _fetch_broken_mates(bam, stream, chrom, start, end)
-            buffers.append(build_sample_buffer(sample, stream, qc, broken))
+            buf = build_sample_buffer(sample, stream, qc, broken)
+            if config.compress_reads and config.qual_bin_size > 1:
+                # The lossy part of --compressReads (quality binning) is
+                # applied post-QC, matching the reference's observable
+                # behaviour (htslibWrapper.pyx:505-507; io/compression.py).
+                from ..io.compression import apply_qual_binning
+
+                for rs in (buf.good, buf.bad, buf.broken):
+                    apply_qual_binning(rs, config.qual_bin_size)
+            buffers.append(buf)
     else:
         # Multi-sample BAMs: split the stream by RG tag.
         streams: Dict[str, list] = {}
