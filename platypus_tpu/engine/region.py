@@ -28,6 +28,7 @@ from ..candidates.windows import Window, generate_windows
 from ..config import PlatypusConfig, RuntimeState
 from ..io.bam import BamFile
 from ..io.readbuffer import QCOptions, SampleReadBuffer, build_sample_buffer
+from ..utils.observability import GLOBAL_METRICS as metrics
 from ..vcfout.records import output_call_to_vcf
 from .caller import call_window
 
@@ -282,6 +283,7 @@ def call_variants_in_region(
 ) -> int:
     """Full region pipeline; returns number of VCF lines written."""
     rlen0 = rt.rlen
+    region_t0 = __import__("time").perf_counter()
     ref_file.set_cache_sequence(chrom, start - 10 * rt.rlen, end + 10 * rt.rlen)
     contig_len = ref_file.refs[chrom].length
     max_contig_pos = contig_len - 1
@@ -295,7 +297,14 @@ def call_variants_in_region(
         logger.info("Skipping region %s:%s-%s (data could not be loaded)", chrom, start, end)
         return 0
 
-    variants = generate_variants_in_region(chrom, start, end, ref_file, buffers, config, rt)
+    for buf in buffers:
+        metrics.count("reads", len(buf.good) + len(buf.bad))
+        if config.verbosity >= 3:
+            logger.info("sample %s: %d good, %d bad, %d broken; filters %s",
+                        buf.sample, len(buf.good), len(buf.bad), len(buf.broken),
+                        buf.filter_counts)
+    with metrics.timer("candidate_generation"):
+        variants = generate_variants_in_region(chrom, start, end, ref_file, buffers, config, rt)
     # Re-cache with the updated read length.
     if rt.rlen != rlen0:
         ref_file.set_cache_sequence(chrom, start - 10 * rt.rlen, end + 10 * rt.rlen)
@@ -335,7 +344,11 @@ def call_variants_in_region(
 
     # Phase 2 (device): every window's alignments in a few big batched calls.
     live = [(w_idx, p) for w_idx, p in prepared.items() if p not in (None, "skip")]
-    logliks = run_alignment_requests([p.request for _, p in live])
+    metrics.count("windows", len(windows))
+    metrics.count("alignment_pairs",
+                  sum(p.request.n_pairs() for _, p in live if p.request is not None))
+    with metrics.timer("device_alignment"):
+        logliks = run_alignment_requests([p.request for _, p in live])
     loglik_by_idx = {w_idx: ll for (w_idx, _p), ll in zip(live, logliks)}
 
     # Phase 3 (host): per-window inference + output, in window order.
@@ -391,4 +404,7 @@ def call_variants_in_region(
             logger.exception(
                 "Exception in window %s:%s-%s: %s", chrom, window.start_pos, window.end_pos, exc
             )
+    metrics.timers["region_total"] += __import__("time").perf_counter() - region_t0
+    if config.verbosity >= 3:
+        metrics.log_summary(f"region {chrom}:{start}-{end} cumulative: ")
     return n_written

@@ -1,0 +1,92 @@
+"""Multi-host execution: region sharding across a TPU slice.
+
+The reference scales with fork()ed share-nothing processes and a temp-file
+merge (runner.py:470-504).  Across a multi-host TPU slice the same
+structure maps onto jax.distributed:
+
+* every host calls `initialize()` (coordinator discovery via the standard
+  JAX env vars / args);
+* the region manifest is partitioned deterministically by process index —
+  regions are independent given their reference halo, so there is no
+  inter-host communication in the calling path;
+* each host writes a temp VCF; host 0 gathers completion via a tiny psum
+  barrier and merge-sorts the shards (same deterministic merge as the
+  single-host path);
+* within each host, device-level parallelism is the mesh in
+  parallel/mesh.py.
+
+Run: `platypus-tpu callVariants ... --nCPU=1` under
+`python -m platypus_tpu.parallel.distributed` on every host, or call
+`run_distributed` programmatically.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional, Tuple
+
+from ..config import PlatypusConfig
+
+logger = logging.getLogger("platypus_tpu")
+
+Region = Tuple[str, int, int]
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> Tuple[int, int]:
+    """jax.distributed.initialize with env fallbacks; returns
+    (process_index, process_count)."""
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
+
+
+def shard_regions(regions: List[Region], process_index: int,
+                  process_count: int) -> List[Region]:
+    """Deterministic round-robin region assignment (the reference's
+    runner.py:470-474 scheme, by host instead of by fork)."""
+    return [r for i, r in enumerate(regions) if i % process_count == process_index]
+
+
+def barrier() -> None:
+    """Cross-host completion barrier via a trivial psum."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("platypus_tpu_region_barrier")
+
+
+def run_distributed(config: PlatypusConfig,
+                    coordinator_address: Optional[str] = None,
+                    num_processes: Optional[int] = None,
+                    process_id: Optional[int] = None) -> None:
+    """Whole-run driver for one host of a multi-host slice."""
+    from ..engine.runner import get_regions, merge_vcf_files, run_single_process
+
+    pid, pcount = initialize(coordinator_address, num_processes, process_id)
+    regions = get_regions(config)
+    mine = shard_regions(regions, pid, pcount)
+    logger.info("host %d/%d: %d of %d regions", pid, pcount, len(mine), len(regions))
+
+    temp = f"{config.output}_host{pid}" if pcount > 1 else config.output
+    run_single_process(config, mine, temp)
+    barrier()
+
+    if pcount > 1 and pid == 0:
+        merge_vcf_files([f"{config.output}_host{i}" for i in range(pcount)],
+                        config.output)
+    barrier()
