@@ -246,3 +246,140 @@ def indel_prior(ref_context: bytes, rel_ref_pos: int, indel_length_and_type: int
                 * math.pow(0.33, indel_length_and_type)
             )
     return dprior
+
+
+# ---------------------------------------------------------------------------
+# Repeat-unit canonicalisation and per-base gap-open annotation from
+# calibrated error models (cerrormodel.pyx:40-455).  Used by the offline
+# error-model calibration tool; the main calling path uses the simpler
+# homopolymer table above, exactly as the reference does.
+# ---------------------------------------------------------------------------
+
+MINIMUM_TANDEM_LENGTH = 4
+
+_COMPLEMENT = {"A": "T", "T": "A", "C": "G", "G": "C"}
+
+
+def normalize_repunit(unit: str) -> str:
+    """Canonical repeat unit: lexicographic minimum over all rotations of the
+    unit and of its reverse complement (lower-cased when the reverse strand
+    wins) — cerrormodel.pyx:86-96."""
+    unit = unit.upper()
+    if "N" in unit:
+        return "N" * len(unit)
+    length = len(unit)
+    unit2 = "".join(_COMPLEMENT.get(c, "N") for c in reversed(unit))
+    doubled = unit + unit
+    doubled2 = unit2 + unit2
+    candidates = [doubled[i : i + length] for i in range(length)]
+    candidates += [doubled2[i : i + length] + "-" for i in range(length)]
+    norm = sorted(candidates)[0]
+    if norm.endswith("-"):
+        return norm[:-1].lower()
+    return norm
+
+
+def get_repeats(sequence: bytes, min_length: int, pos: int):
+    """Non-overlapping (position, tract length, canonical unit) repeats with
+    tract length >= min_length (cerrormodel.pyx:99-131)."""
+    sizes, disps = calculate_size_and_displacement(sequence, True)
+    seq_str = sequence.decode() if isinstance(sequence, bytes) else sequence
+    repeats = []
+    for idx in range(len(seq_str)):
+        size = int(sizes[idx])
+        if size >= min_length:
+            disp = int(disps[idx])
+            if (not repeats or repeats[-1][1] != size
+                    or len(repeats[-1][2]) != disp
+                    or repeats[-1][0] + size < pos + idx):
+                unit = normalize_repunit(seq_str[idx : idx + disp])
+                if not unit.upper().startswith("N"):
+                    repeats.append((pos + idx, size, unit))
+    return repeats
+
+
+def _model_lookup(indel_q_data: dict, tandemunit: str, tandemlen: int) -> int:
+    """Per-(unit, tract length) phred+33 byte (add_tandem core,
+    cerrormodel.pyx:185-221)."""
+    tandemunit = tandemunit.upper()
+    qdata = 99
+    model = indel_q_data.get(tandemunit)
+    if model is not None:
+        qdata = ord(model[min(tandemlen - 1, len(model) - 1)])
+    generic = indel_q_data.get(len(tandemunit))
+    if generic is not None and (model is None or tandemlen > len(model)):
+        qdata = min(qdata, ord(generic[min(tandemlen - 1, len(generic) - 1)]))
+    return qdata
+
+
+def _iter_tandems(sequence: str):
+    """Concatenated repeat spans as the fast annotator sees them
+    (cerrormodel.pyx:309-355)."""
+    seq_b = sequence.encode() if isinstance(sequence, str) else sequence
+    sizes, disps = calculate_size_and_displacement(seq_b, False)
+    seq_str = seq_b.decode()
+    old_pos = -1
+    old_len = -1
+    old_unit = None
+    for pos in range(len(seq_str)):
+        tandemlen = int(sizes[pos])
+        unitlen = int(disps[pos])
+        unit = normalize_repunit(seq_str[pos : pos + unitlen])
+        if tandemlen >= 2 and "N" not in unit.upper():
+            if old_pos + old_len >= pos and old_unit == unit:
+                old_len = pos + tandemlen - old_pos
+            else:
+                if old_pos != -1 and old_len >= MINIMUM_TANDEM_LENGTH:
+                    yield old_pos, old_len, old_unit
+                old_pos, old_len, old_unit = pos, tandemlen, unit
+    if old_pos != -1:
+        yield old_pos, old_len, old_unit
+
+
+def annotate_sequence(sequence, indel_q_data: dict, output_base: int = 0) -> bytes:
+    """Per-base gap-open penalties from a calibrated error model
+    (cerrormodel.pyx:306-355)."""
+    seq_str = sequence.decode() if isinstance(sequence, bytes) else sequence
+    default = ord(indel_q_data[1][0]) - ord("!") + output_base
+    indelq = [default] * len(seq_str)
+    for pos, tandemlen, unit in _iter_tandems(seq_str):
+        qdata = _model_lookup(indel_q_data, unit, tandemlen)
+        if qdata == 99:
+            continue
+        q = qdata - 33 + output_base
+        for idx in range(pos, min(pos + tandemlen, len(indelq))):
+            indelq[idx] = min(q, indelq[idx])
+    return bytes(indelq)
+
+
+def annotate_sequence_read(sequence, indel_q_data: dict, output_base: int = 0,
+                           reverse: bool = False) -> bytes:
+    """Read-oriented variant: per-position model index, followed by a
+    running forward minimum (cerrormodel.pyx:360-424)."""
+    seq_str = sequence.decode() if isinstance(sequence, bytes) else sequence
+    if reverse:
+        seq_str = seq_str[::-1]
+    default = ord(indel_q_data[1][0]) - ord("!") + output_base
+    indelq = [default] * len(seq_str)
+    for pos, tandemlen, unit in _iter_tandems(seq_str):
+        unit_u = unit.upper()
+        model = indel_q_data.get(unit_u)
+        generic = indel_q_data.get(len(unit_u))
+        for idx in range(pos, min(pos + tandemlen, len(indelq))):
+            qdata = 99
+            model_idx = idx - pos
+            if model is not None:
+                qdata = ord(model[min(model_idx, len(model) - 1)])
+            if generic is not None and (model is None or model_idx > len(model)):
+                qdata = min(qdata, ord(generic[min(model_idx, len(generic) - 1)]))
+            if qdata == 99:
+                break
+            indelq[idx] = min(qdata - 33 + output_base, indelq[idx])
+    # Forward running minimum.
+    q = indelq[0] if indelq else 0
+    for idx in range(len(indelq)):
+        indelq[idx] = min(q, indelq[idx])
+        q = indelq[idx]
+    if reverse:
+        indelq = indelq[::-1]
+    return bytes(indelq)
