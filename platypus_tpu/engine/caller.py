@@ -243,7 +243,8 @@ def prepare_window(
         return None
     ref_idx = next(i for i, h in enumerate(all_haps) if h == ref_hap)
     request = build_alignment_request(
-        all_haps, reads, use_map_qual_cap=bool(config.hla_typing)
+        all_haps, reads, use_map_qual_cap=bool(config.hla_typing),
+        calculate_flank_score=bool(config.calculate_flank_score),
     )
     return PreparedWindow(window, buffers, all_haps, ref_idx, reads, request)
 

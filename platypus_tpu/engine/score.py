@@ -136,6 +136,7 @@ class AlignmentRequest:
     haps: Sequence[Haplotype]
     reads: WindowReads
     use_map_qual_cap: bool
+    calculate_flank_score: bool
     align_rows: np.ndarray   # rows of `reads` that get real alignments
     pair_hap: np.ndarray     # [P] hap index
     pair_read: np.ndarray    # [P] index into align_rows
@@ -154,6 +155,7 @@ def build_alignment_request(
     haps: Sequence[Haplotype],
     reads: WindowReads,
     use_map_qual_cap: bool = False,
+    calculate_flank_score: bool = False,
 ) -> Optional[AlignmentRequest]:
     """Pair construction for one window; None when nothing needs aligning."""
     H = len(haps)
@@ -201,6 +203,7 @@ def build_alignment_request(
 
     return AlignmentRequest(
         haps=haps, reads=reads, use_map_qual_cap=use_map_qual_cap,
+        calculate_flank_score=calculate_flank_score,
         align_rows=align_rows, pair_hap=ph, pair_read=pr, pair_seg=ps,
         sub_seq=sub_seq, sub_qual=sub_qual, sub_len=sub_len,
         hap_matrix=hap_matrix, go_matrix=go_matrix,
@@ -218,6 +221,13 @@ def run_alignment_requests(
     None requests)."""
     live = [r for r in requests if r is not None and r.n_pairs() > 0]
     pair_scores: dict = {}
+
+    # Experimental --calculateFlankScore mode needs per-pair traceback, so
+    # those requests run through the scalar host kernel.
+    flank_reqs = [r for r in live if r.calculate_flank_score]
+    for req in flank_reqs:
+        pair_scores[id(req)] = _scalar_flank_scores(req, gapextend, nucprior)
+    live = [r for r in live if not r.calculate_flank_score]
 
     if live:
         # Group by read-length bucket; concatenate pair rows across windows.
@@ -313,3 +323,34 @@ def score_reads_vs_haplotypes(
     if req is None:
         return np.zeros((len(haps), len(reads)), np.float64)
     return run_alignment_requests([req], gapextend, nucprior)[0]
+
+
+def _scalar_flank_scores(req: AlignmentRequest, gapextend: int, nucprior: int) -> np.ndarray:
+    """Per-pair scores with the flank-penalty correction (scalar host path;
+    calign.pyx:232-237 when --calculateFlankScore is on)."""
+    from ..ops.align_core import band_align_traceback, calculate_flank_score
+
+    L2 = req.sub_seq.shape[1]
+    out = np.empty(req.n_pairs(), np.int64)
+    for k in range(req.n_pairs()):
+        h_idx = int(req.pair_hap[k])
+        r_idx = int(req.pair_read[k])
+        seg = int(req.pair_seg[k])
+        hap = req.haps[h_idx]
+        rlen = int(req.sub_len[r_idx])
+        seg_len = rlen + 15
+        hap_bytes = bytes(req.hap_matrix[h_idx, seg : seg + seg_len].tobytes())
+        gapopen = req.go_matrix[h_idx, seg : seg + seg_len]
+        read = bytes(req.sub_seq[r_idx, :rlen].tobytes())
+        quals = req.sub_qual[r_idx, :rlen]
+        score, aln1, aln2, firstpos = band_align_traceback(
+            hap_bytes, read, quals, gapextend, nucprior, gapopen
+        )
+        hap_flank = hap.end_buffer_size
+        if score > 0 and hap_flank > 0:
+            score -= calculate_flank_score(
+                hap.hap_len, hap_flank, quals, hap.gap_open, gapextend, nucprior,
+                firstpos + seg, aln1, aln2,
+            )
+        out[k] = score
+    return out
