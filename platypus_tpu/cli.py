@@ -143,7 +143,43 @@ def main(argv: Optional[List[str]] = None) -> int:
         args = parser.parse_args(rest)
         continue_calling(args.vcfFile)
         return 0
-    print(f"unknown command {command!r}; use callVariants or continueCalling")
+    if command == "somatic":
+        # Tumour/normal head (extensions/Cancer CLI contract).
+        from .heads.somatic import filter_somatic_vcf
+
+        parser = argparse.ArgumentParser(prog="platypus-tpu somatic")
+        parser.add_argument("--inputVCF", required=True)
+        parser.add_argument("--outputVCF", required=True)
+        parser.add_argument("--tumourSample", required=True)
+        parser.add_argument("--normalSample", required=True)
+        parser.add_argument("--minPosterior", type=int, default=5)
+        args = parser.parse_args(rest)
+        with open(args.inputVCF) as src, open(args.outputVCF, "w") as dst:
+            n = filter_somatic_vcf(src, dst, args.tumourSample, args.normalSample,
+                                   args.minPosterior)
+        print(f"wrote {n} somatic calls to {args.outputVCF}")
+        return 0
+    if command == "denovo":
+        # Trio head (extensions/DeNovo CLI contract: inVCF pedFile [ext]).
+        from .heads.denovo import filter_denovo_vcf
+
+        parser = argparse.ArgumentParser(prog="platypus-tpu denovo")
+        parser.add_argument("inputVCF")
+        parser.add_argument("pedFile")
+        parser.add_argument("extension", nargs="?", default="")
+        args = parser.parse_args(rest)
+        stem = args.inputVCF.split(".")[0]
+        ext = args.extension
+        with open(args.inputVCF) as src, \
+                open(f"{stem}_mendelErrors{ext}.vcf", "w") as out_m, \
+                open(f"{stem}_deNovoVariants{ext}.vcf", "w") as out_d, \
+                open(f"{stem}_deNovoVariantsPassingBayesianFilter{ext}.vcf", "w") as out_f:
+            counts = filter_denovo_vcf(src, args.pedFile, out_m, out_d, out_f)
+        print(f"Found {counts[0]} mendel errors, {counts[1]} de novos "
+              f"({counts[2]} passing the bayesian filter)")
+        return 0
+    print(f"unknown command {command!r}; use callVariants, continueCalling, "
+          f"somatic or denovo")
     return 2
 
 
