@@ -130,7 +130,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     if not argv:
-        print("usage: platypus-tpu {callVariants,continueCalling} [options]")
+        print("usage: platypus-tpu {callVariants,continueCalling,somatic,denovo} [options]")
         return 2
     command, rest = argv[0], argv[1:]
     if command == "callVariants":
