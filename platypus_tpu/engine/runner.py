@@ -168,6 +168,13 @@ def run_single_process(
 
 def _worker_entry(args):
     config_json, regions, path = args
+    # Honour a platform override in spawned workers (the axon TPU plugin
+    # ignores JAX_PLATFORMS; tests set PLATYPUS_TPU_PLATFORM=cpu).
+    platform = os.environ.get("PLATYPUS_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     config = PlatypusConfig.from_json(config_json)
     return run_single_process(config, regions, path)
 

@@ -16,6 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ["PLATYPUS_TPU_PLATFORM"] = "cpu"  # spawned workers honour this
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -132,3 +132,38 @@ def test_resume_from_partial_vcf(tmp_path):
     assert [(r[0], r[1], r[3], r[4]) for r in resumed] == [
         (r[0], r[1], r[3], r[4]) for r in full
     ]
+
+
+def test_multiprocess_run(tmp_path):
+    """--nCPU=2: spawn workers over round-robined regions, merged output
+    equals the single-process result."""
+    from platypus_tpu.engine.runner import run_variant_caller
+
+    ref_path, ref_seq = make_reference(tmp_path, length=9000, seed=61)
+    variants = []
+    for p in (1500, 3500, 5500, 7500):
+        alt = b"A" if ref_seq[p] != ord("A") else b"G"
+        variants.append((p, 1, alt))
+    hap_ref = SimHaplotype(ref_seq, [])
+    hap_var = SimHaplotype(ref_seq, variants)
+    reads = simulate_reads([hap_ref, hap_var], 1000, 8500, coverage=30, seed=62)
+    bam = write_synth_bam(tmp_path, reads, ref_len=9000)
+
+    out_single = str(tmp_path / "single.vcf")
+    config = PlatypusConfig(
+        bam_files=[bam], ref_file=ref_path, output=out_single,
+        regions=["chr20:1001-8500"], buffer_size=2000, n_cpu=1,
+    )
+    run_variant_caller(config)
+    single = [(r[0], r[1], r[3], r[4], r[9]) for r in _parse(out_single)]
+
+    out_multi = str(tmp_path / "multi.vcf")
+    config2 = PlatypusConfig(
+        bam_files=[bam], ref_file=ref_path, output=out_multi,
+        regions=["chr20:1001-8500"], buffer_size=2000, n_cpu=2,
+    )
+    run_variant_caller(config2)
+    multi = [(r[0], r[1], r[3], r[4], r[9]) for r in _parse(out_multi)]
+
+    assert len(single) >= 4
+    assert multi == single
