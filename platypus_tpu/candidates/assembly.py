@@ -203,37 +203,57 @@ def detect_cycles(graph: DeBruijnGraph) -> bool:
 def assemble_reads_and_detect_variants(
     chrom: str, assem_start: int, assem_end: int, ref_start: int,
     ref_seq: bytes, buffers, config: PlatypusConfig,
+    use_native: bool = True,
 ) -> List[Variant]:
-    """assembler.pyx:1429-1476 for one tile."""
+    """assembler.pyx:1429-1476 for one tile.  Uses the C++ graph when built
+    (same semantics; this module is the parity oracle)."""
+    from ..native import NativeAssembler
+
     min_qual = config.min_base_qual
     kmer_size = config.assembler_kmer_size
     min_weight = config.min_reads * min_qual
+    native = use_native and NativeAssembler.available()
 
-    def build(k: int) -> DeBruijnGraph:
-        g = DeBruijnGraph(k)
-        load_reference(g, ref_seq, ref_start)
+    def read_piles(buf):
+        piles = [(buf.good, buf.window_slice(assem_start, assem_end))]
+        if config.assemble_bad_reads:
+            piles.append((buf.bad, buf.bad_window_slice(assem_start, assem_end)))
+        if config.assemble_broken_pairs:
+            piles.append((buf.broken, buf.broken_window_slice(assem_start, assem_end)))
+        return piles
+
+    def build(k: int):
+        g = NativeAssembler(k) if native else DeBruijnGraph(k)
+        if native:
+            g.load_reference(ref_seq, ref_start)
+        else:
+            load_reference(g, ref_seq, ref_start)
         for buf in buffers:
-            piles = [(buf.good, buf.window_slice(assem_start, assem_end))]
-            if config.assemble_bad_reads:
-                piles.append((buf.bad, buf.bad_window_slice(assem_start, assem_end)))
-            if config.assemble_broken_pairs:
-                piles.append((buf.broken, buf.broken_window_slice(assem_start, assem_end)))
-            for rs, sl in piles:
+            for rs, sl in read_piles(buf):
                 for i in range(sl.start, sl.stop):
                     if not rs.qc_fail[i]:
-                        load_read(g, rs.seq[i], rs.qual[i], int(rs.rlen[i]), min_qual, )
+                        if native:
+                            g.load_read(rs.seq[i], rs.qual[i], int(rs.rlen[i]), min_qual)
+                        else:
+                            load_read(g, rs.seq[i], rs.qual[i], int(rs.rlen[i]), min_qual)
         return g
 
     graph = build(kmer_size)
     if config.no_cycles:
-        while detect_cycles(graph):
+        while (graph.detect_cycles() if native else detect_cycles(graph)):
             if kmer_size > 50:
                 return []
             kmer_size += 5
             graph = build(kmer_size)
 
-    variants = find_bubbles(graph, min_weight, ref_seq, chrom, ref_start,
-                            assem_start, assem_end)
+    if native:
+        raw = graph.find_bubbles(float(min_weight), ref_seq, ref_start,
+                                 assem_start, assem_end)
+        variants = [Variant(chrom, pos, removed, added, 0, ASSEMBLER_VAR)
+                    for pos, removed, added in raw]
+    else:
+        variants = find_bubbles(graph, min_weight, ref_seq, chrom, ref_start,
+                                assem_start, assem_end)
     return sorted(variants, key=lambda v: v.sort_key())
 
 

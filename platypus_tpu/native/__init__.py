@@ -144,3 +144,87 @@ def native_trim_reads(reads, good_mask: np.ndarray, trim_read_flank: int,
         ctypes.c_int32(trim_adapter), ctypes.c_int32(trim_soft_clipped),
     )
     return True
+
+
+# ---------------------------------------------------------------------------
+# Assembler bindings
+# ---------------------------------------------------------------------------
+
+def _setup_asm(lib) -> None:
+    if getattr(lib, "_asm_setup", False):
+        return
+    lib.ptpu_asm_create.restype = ctypes.c_void_p
+    lib.ptpu_asm_create.argtypes = [ctypes.c_int]
+    lib.ptpu_asm_free.argtypes = [ctypes.c_void_p]
+    lib.ptpu_asm_load_reference.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.ptpu_asm_load_read.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.ptpu_asm_detect_cycles.restype = ctypes.c_int32
+    lib.ptpu_asm_detect_cycles.argtypes = [ctypes.c_void_p]
+    lib.ptpu_asm_find_bubbles.restype = ctypes.c_int64
+    lib.ptpu_asm_find_bubbles.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_char_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.ptpu_asm_packed_size.restype = ctypes.c_int64
+    lib.ptpu_asm_packed_size.argtypes = [ctypes.c_void_p]
+    lib.ptpu_asm_results.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib._asm_setup = True
+
+
+class NativeAssembler:
+    """ctypes wrapper over the C++ colored de Bruijn graph; None-able via
+    NativeAssembler.available()."""
+
+    @staticmethod
+    def available() -> bool:
+        return load() is not None
+
+    def __init__(self, kmer_size: int):
+        self._lib = load()
+        _setup_asm(self._lib)
+        self._h = self._lib.ptpu_asm_create(kmer_size)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.ptpu_asm_free(self._h)
+            self._h = None
+
+    def load_reference(self, ref_seq: bytes, ref_start: int) -> None:
+        self._lib.ptpu_asm_load_reference(self._h, ref_seq, len(ref_seq), ref_start)
+
+    def load_read(self, seq: np.ndarray, qual: np.ndarray, rlen: int,
+                  min_qual: int) -> None:
+        s = np.ascontiguousarray(seq[:rlen], np.uint8)
+        q = np.ascontiguousarray(qual[:rlen], np.uint8)
+        self._lib.ptpu_asm_load_read(self._h, _np_ptr(s), _np_ptr(q), rlen, min_qual)
+
+    def detect_cycles(self) -> bool:
+        return bool(self._lib.ptpu_asm_detect_cycles(self._h))
+
+    def find_bubbles(self, min_weight: float, ref_seq: bytes, ref_start: int,
+                     assem_start: int, assem_end: int):
+        n = self._lib.ptpu_asm_find_bubbles(
+            self._h, ctypes.c_double(min_weight), ref_seq, len(ref_seq),
+            ref_start, assem_start, assem_end,
+        )
+        if n == 0:
+            return []
+        packed_size = self._lib.ptpu_asm_packed_size(self._h)
+        pos = np.zeros(n, np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        packed = ctypes.create_string_buffer(int(packed_size))
+        self._lib.ptpu_asm_results(self._h, _np_ptr(pos), _np_ptr(offsets), packed)
+        raw = packed.raw
+        out = []
+        for i in range(n):
+            blob = raw[offsets[i] : offsets[i + 1]]
+            removed, added = blob.split(b"\x00")[:2]
+            out.append((int(pos[i]), removed, added))
+        return out

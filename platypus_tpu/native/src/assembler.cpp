@@ -1,0 +1,292 @@
+// Native colored de Bruijn assembler.
+//
+// Same semantics as the Python implementation in
+// platypus_tpu/candidates/assembly.py (which mirrors the reference
+// assembler.pyx and stays as the parity oracle): insertion-ordered nodes,
+// REF/READ colour merging, 4-out-edge cap with accumulating weights,
+// per-start-node DFS bubble walk with a 20-path cap, per-path cycle check,
+// weight-thresholded extension, and context-trimmed variant extraction.
+//
+// C ABI, loaded via ctypes.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+constexpr int REF = 1;
+constexpr int READ = 2;
+constexpr int REF_AND_READ = 3;
+constexpr int MAX_EDGES = 4;
+constexpr int MAX_PATHS = 20;
+
+struct Node {
+    std::string kmer;
+    int colours;
+    int64_t position;
+    double weight;
+    // (target node index, weight)
+    int n_edges = 0;
+    int32_t edge_to[MAX_EDGES];
+    double edge_w[MAX_EDGES];
+};
+
+struct Graph {
+    int kmer_size;
+    std::vector<Node> nodes;                      // insertion order
+    std::unordered_map<std::string, int32_t> index;
+
+    int32_t insert_or_update(const char* kmer, int colours, int64_t position,
+                             double weight) {
+        std::string key(kmer, kmer_size);
+        auto it = index.find(key);
+        if (it == index.end()) {
+            int32_t id = (int32_t)nodes.size();
+            Node n;
+            n.kmer = std::move(key);
+            n.colours = colours;
+            n.position = position;
+            n.weight = weight;
+            nodes.push_back(std::move(n));
+            index.emplace(nodes.back().kmer, id);
+            return id;
+        }
+        Node& n = nodes[it->second];
+        n.colours |= colours;
+        n.weight += weight;
+        return it->second;
+    }
+
+    void add_edge(const char* k1, const char* k2, int colours, int64_t p1,
+                  int64_t p2, double weight) {
+        int32_t a = insert_or_update(k1, colours, p1, weight);
+        int32_t b = insert_or_update(k2, colours, p2, weight);
+        Node& n = nodes[a];
+        for (int i = 0; i < n.n_edges; i++) {
+            if (n.edge_to[i] == b) {
+                n.edge_w[i] += weight;
+                return;
+            }
+        }
+        if (n.n_edges < MAX_EDGES) {
+            n.edge_to[n.n_edges] = b;
+            n.edge_w[n.n_edges] = weight;
+            n.n_edges++;
+        }
+    }
+};
+
+struct VariantOut {
+    int64_t pos;
+    std::string removed;
+    std::string added;
+};
+
+struct AsmHandle {
+    Graph graph;
+    std::vector<VariantOut> variants;
+    std::string packed;          // removed\0added\0 per variant
+    std::vector<int64_t> pos_out;
+    std::vector<int64_t> off_out;
+};
+
+// DFS continuation (assembly.py::_variant_paths_from_node).  Returns false
+// when the 20-path cap trips (discard all paths from this start node).
+bool variant_paths(const Graph& g, std::vector<int32_t> start_path,
+                   double min_weight,
+                   std::vector<std::vector<int32_t>>& finished) {
+    std::vector<std::vector<int32_t>> stack;
+    stack.push_back(std::move(start_path));
+    while (!stack.empty()) {
+        std::vector<int32_t> path = std::move(stack.back());
+        stack.pop_back();
+        if ((int)stack.size() + 1 > MAX_PATHS || (int)finished.size() + 1 > MAX_PATHS) {
+            return false;
+        }
+        // cycle check
+        {
+            std::unordered_set<int32_t> seen(path.begin(), path.end());
+            if (seen.size() != path.size()) continue;
+        }
+        const Node& end = g.nodes[path.back()];
+        if (end.colours == REF_AND_READ) {
+            finished.push_back(std::move(path));
+        } else if (end.colours == REF) {
+            continue;
+        } else {
+            for (int i = 0; i < end.n_edges; i++) {
+                const Node& child = g.nodes[end.edge_to[i]];
+                if (end.edge_w[i] >= min_weight || child.colours == REF_AND_READ ||
+                    child.colours == REF) {
+                    std::vector<int32_t> np = path;
+                    np.push_back(end.edge_to[i]);
+                    stack.push_back(std::move(np));
+                }
+            }
+        }
+    }
+    return true;
+}
+
+bool extract_variant(const Graph& g, const std::vector<int32_t>& path,
+                     const char* ref_seq, int64_t ref_len, int64_t ref_start,
+                     VariantOut& out) {
+    const Node& start = g.nodes[path.front()];
+    const Node& end = g.nodes[path.back()];
+    int64_t start_pos = start.position;
+    int64_t end_pos = end.position;
+    if (end_pos < start_pos) return false;
+
+    std::string read_seq;
+    read_seq.reserve(path.size());
+    for (int32_t id : path) read_seq.push_back(g.nodes[id].kmer[0]);
+
+    int64_t lo = start_pos - ref_start;
+    int64_t hi = end_pos - ref_start + 1;
+    lo = std::max<int64_t>(0, lo);
+    hi = std::min(hi, ref_len);
+    std::string this_ref(ref_seq + lo, ref_seq + std::max(lo, hi));
+
+    while (!read_seq.empty() && !this_ref.empty() &&
+           this_ref.back() == read_seq.back()) {
+        this_ref.pop_back();
+        read_seq.pop_back();
+    }
+    size_t f = 0;
+    while (f < read_seq.size() && f < this_ref.size() &&
+           this_ref[f] == read_seq[f]) {
+        f++;
+    }
+    start_pos += (int64_t)f;
+    out.pos = start_pos;
+    out.removed = this_ref.substr(f);
+    out.added = read_seq.substr(f);
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+AsmHandle* ptpu_asm_create(int kmer_size) {
+    auto* h = new AsmHandle();
+    h->graph.kmer_size = kmer_size;
+    return h;
+}
+
+void ptpu_asm_free(AsmHandle* h) { delete h; }
+
+void ptpu_asm_load_reference(AsmHandle* h, const char* ref_seq, int64_t len,
+                             int64_t ref_start) {
+    int k = h->graph.kmer_size;
+    for (int64_t i = 0; i < len - k - 1; i++) {
+        h->graph.add_edge(ref_seq + i, ref_seq + i + 1, REF, ref_start + i,
+                          ref_start + i + 1, 1.0);
+    }
+}
+
+void ptpu_asm_load_read(AsmHandle* h, const uint8_t* seq, const uint8_t* qual,
+                        int32_t rlen, int32_t min_qual) {
+    int k = h->graph.kmer_size;
+    int64_t n = (int64_t)rlen - k - 1;
+    if (n <= 0) return;
+    // Sliding min quality and N check over windows of k+1 bases.
+    for (int64_t i = 0; i < n; i++) {
+        int min_q = 1 << 30;
+        bool has_n = false;
+        for (int j = 0; j <= k; j++) {
+            min_q = std::min(min_q, (int)qual[i + j]);
+            if (seq[i + j] == 'N') has_n = true;
+        }
+        if (min_q >= min_qual && !has_n) {
+            h->graph.add_edge((const char*)seq + i, (const char*)seq + i + 1,
+                              READ, -1, -1, (double)min_q);
+        }
+    }
+}
+
+int32_t ptpu_asm_detect_cycles(AsmHandle* h) {
+    const Graph& g = h->graph;
+    std::vector<uint8_t> colour(g.nodes.size(), 0);  // 0 white 1 grey 2 black
+    std::vector<std::pair<int32_t, int>> stack;
+    for (int32_t root = 0; root < (int32_t)g.nodes.size(); root++) {
+        if (colour[root] != 0) continue;
+        stack.clear();
+        stack.push_back({root, 0});
+        colour[root] = 1;
+        while (!stack.empty()) {
+            auto& [node, ei] = stack.back();
+            const Node& n = g.nodes[node];
+            if (ei < n.n_edges) {
+                int32_t child = n.edge_to[ei];
+                ei++;
+                if (colour[child] == 1) return 1;
+                if (colour[child] == 0) {
+                    colour[child] = 1;
+                    stack.push_back({child, 0});
+                }
+            } else {
+                colour[node] = 2;
+                stack.pop_back();
+            }
+        }
+    }
+    return 0;
+}
+
+// Find bubbles; results retrievable via ptpu_asm_results.
+int64_t ptpu_asm_find_bubbles(AsmHandle* h, double min_weight,
+                              const char* ref_seq, int64_t ref_len,
+                              int64_t ref_start, int64_t assem_start,
+                              int64_t assem_end) {
+    Graph& g = h->graph;
+    h->variants.clear();
+    for (int32_t ni = 0; ni < (int32_t)g.nodes.size(); ni++) {
+        const Node& node = g.nodes[ni];
+        if (node.colours != REF_AND_READ) continue;
+        if (node.position < assem_start || node.position >= assem_end) continue;
+        for (int e = 0; e < node.n_edges; e++) {
+            const Node& child = g.nodes[node.edge_to[e]];
+            if (child.colours != READ) continue;
+            std::vector<std::vector<int32_t>> finished;
+            std::vector<int32_t> path = {ni, node.edge_to[e]};
+            if (!variant_paths(g, std::move(path), min_weight, finished)) continue;
+            for (const auto& p : finished) {
+                VariantOut v;
+                if (extract_variant(g, p, ref_seq, ref_len, ref_start, v)) {
+                    h->variants.push_back(std::move(v));
+                }
+            }
+        }
+    }
+    // Pack output.
+    h->packed.clear();
+    h->pos_out.clear();
+    h->off_out.clear();
+    h->off_out.push_back(0);
+    for (const auto& v : h->variants) {
+        h->pos_out.push_back(v.pos);
+        h->packed += v.removed;
+        h->packed.push_back('\0');
+        h->packed += v.added;
+        h->packed.push_back('\0');
+        h->off_out.push_back((int64_t)h->packed.size());
+    }
+    return (int64_t)h->variants.size();
+}
+
+void ptpu_asm_results(AsmHandle* h, int64_t* pos, int64_t* offsets,
+                      char* packed) {
+    memcpy(pos, h->pos_out.data(), h->pos_out.size() * sizeof(int64_t));
+    memcpy(offsets, h->off_out.data(), h->off_out.size() * sizeof(int64_t));
+    memcpy(packed, h->packed.data(), h->packed.size());
+}
+
+int64_t ptpu_asm_packed_size(AsmHandle* h) { return (int64_t)h->packed.size(); }
+
+}  // extern "C"

@@ -130,3 +130,45 @@ def test_assembler_through_region_pipeline(tmp_path):
         variants = assemble_region_variants("chr20", 1000, 2000, ref_file, [buf], config)
     ins_vars = [v for v in variants if v.n_added - v.n_removed == len(ins)]
     assert ins_vars, f"assembler missed the insertion: {variants[:10]}"
+
+
+def test_native_assembler_matches_python(tmp_path):
+    """C++ assembler produces the identical variant list on real-ish data."""
+    from platypus_tpu import native
+    from platypus_tpu.candidates.assembly import assemble_reads_and_detect_variants
+    from platypus_tpu.io.bam import BamFile
+    from platypus_tpu.io.fasta import FastaFile
+
+    if not native.NativeAssembler.available():
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(12)
+    ref_path, ref_seq = make_reference(tmp_path, length=4000, seed=22)
+    mutated = (ref_seq.tobytes()[:2000] + b"TTAGGCAT" + ref_seq.tobytes()[2000:2990]
+               + ref_seq.tobytes()[3000:])
+    reads = []
+    for i in range(120):
+        start = int(rng.integers(1800, 3000))
+        seq = mutated[start : start + 100]
+        if len(seq) < 100:
+            continue
+        reads.append(dict(name=f"r{i}", ref_id=0, pos=start, mapq=60, flag=0,
+                          cigar=[(0, 100)], seq=seq, qual=[35] * 100))
+    reads.sort(key=lambda r: r["pos"])
+    bam_path = write_synth_bam(tmp_path, reads, ref_len=4000)
+    with BamFile(bam_path) as bf:
+        stream = bf.fetch("chr20", 1500, 3500)
+    buf = build_sample_buffer("s", stream, QCOptions(
+        filter_read_pairs_with_small_inserts=0, filter_reads_with_distant_mates=0,
+        filter_reads_with_unmapped_mates=0))
+    config = PlatypusConfig()
+    with FastaFile(ref_path) as ref_file:
+        ref_bytes = ref_file.get_sequence("chr20", 1000, 3999)
+    py = assemble_reads_and_detect_variants(
+        "chr20", 1500, 3500, 1000, ref_bytes, [buf], config, use_native=False)
+    nat = assemble_reads_and_detect_variants(
+        "chr20", 1500, 3500, 1000, ref_bytes, [buf], config, use_native=True)
+    assert [(v.ref_pos, v.removed, v.added) for v in py] == [
+        (v.ref_pos, v.removed, v.added) for v in nat
+    ]
+    assert py, "expected assembler variants"
