@@ -124,7 +124,7 @@ def _beam_search_haplotypes(
         old = sorted(heap)
         var_tuple = (temp_var,)
         candidates = [var_tuple]
-        for _score, vars2 in old:
+        for _score, _sk, vars2 in old:
             combo = tuple(sorted(var_tuple + vars2, key=lambda v: v.sort_key()))
             if is_haplotype_valid(combo):
                 candidates.append(combo)
