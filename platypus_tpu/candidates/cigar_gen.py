@@ -68,6 +68,19 @@ class CandidateGenerator:
         read_len = int(rs.rlen[i])
         seq = rs.seq[i]
         qual = rs.qual[i]
+        # Fast path: single-M reads (the overwhelming majority) skip the
+        # CIGAR materialisation entirely.
+        c_lo = int(rs.cigar_off[i])
+        c_hi = int(rs.cigar_off[i + 1])
+        if c_hi - c_lo == 1:
+            word = int(rs.cigar_flat[c_lo])
+            op = word & 0xF
+            length = word >> 4
+            if op == CIGAR_M:
+                if self.gen_snps and length >= self.min_flank:
+                    self._scan_match_segment(seq, qual, read_start, 0, 0,
+                                             length, read_len)
+                return
         cigar = rs.cigar_ops(i)
         n_ops = len(cigar)
         ref_off = 0

@@ -60,6 +60,35 @@ def configure_compilation_cache() -> None:
         pass
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _sentinel_pad_device(hap_seg, gapopen_seg, read, qual, read_len):
+    """Device-side sentinel padding (one fused program): build the
+    'N'-padded hap columns, end-clamped 4*gapopen columns, '0'-padded read
+    columns and 256-padded 4*qual columns from raw [B, L] uint8 inputs."""
+    B, L2max = read.shape
+    L1max = L2max + 2 * N_LANES
+    len1 = (read_len + 15).astype(jnp.int32)
+
+    hp = jnp.full((B, L1max), _N_CHAR, jnp.int32)
+    hp = hp.at[:, : hap_seg.shape[1]].set(hap_seg.astype(jnp.int32))
+    go = jnp.zeros((B, L1max), jnp.int32)
+    go = go.at[:, : gapopen_seg.shape[1]].set(gapopen_seg.astype(jnp.int32))
+    cols = jnp.arange(L1max)[None, :]
+    hp = jnp.where(cols < len1[:, None], hp, _N_CHAR)
+    last_go = jnp.take_along_axis(go, jnp.maximum(len1 - 1, 0)[:, None], axis=1)
+    go = jnp.where(cols < len1[:, None], go, last_go)
+
+    rd = jnp.full((B, L2max + N_LANES), _PAD_CHAR, jnp.int32)
+    rd = rd.at[:, :L2max].set(read.astype(jnp.int32))
+    qd = jnp.full((B, L2max + N_LANES), 64, jnp.int32)
+    qd = qd.at[:, :L2max].set(qual.astype(jnp.int32))
+    cols2 = jnp.arange(L2max + N_LANES)[None, :]
+    rd = jnp.where(cols2 < read_len[:, None], rd, _PAD_CHAR)
+    qd = jnp.where(cols2 < read_len[:, None], qd, 64)
+
+    return hp.T, 4 * go.T, rd.T, 4 * qd.T, read_len.astype(jnp.int32)
+
+
 def pad_alignment_inputs(
     hap_seg: np.ndarray,
     gapopen_seg: np.ndarray,
@@ -67,52 +96,20 @@ def pad_alignment_inputs(
     qual: np.ndarray,
     read_len: np.ndarray,
 ):
-    """Host-side sentinel padding.
+    """Sentinel padding for the banded kernel.
 
-    hap_seg/gapopen_seg: [B, L1max] with L1max >= max(read_len) + 15.
-    read/qual: [B, L2max].  Positions beyond each element's true length are
-    overwritten with the reference's padding conventions so the scan body
-    needs no per-element bounds checks.
-    Returns int32 arrays (hap cols, gapopen*4 cols, read cols, qual*4 cols)
-    transposed to [L, B] plus read_len int32.
+    hap_seg/gapopen_seg: [B, L1max] with L1max >= max(read_len) + 15;
+    read/qual: [B, L2max].  Raw uint8 arrays ship to the device (minimal
+    transfer) and a fused jitted program applies the reference's padding
+    conventions there.  Returns ([L1,B] hap cols, [L1,B] 4*gapopen cols,
+    [S,B] read cols, [S,B] 4*qual cols, read_len) as int32 device arrays.
     """
-    hap_seg = np.asarray(hap_seg, dtype=np.int32)
-    gapopen_seg = np.asarray(gapopen_seg, dtype=np.int32)
-    read = np.asarray(read, dtype=np.int32)
-    qual = np.asarray(qual, dtype=np.int32)
-    read_len = np.asarray(read_len, dtype=np.int32)
-
-    B, L2max = read.shape
-    L1max = L2max + 2 * N_LANES  # covers index 8 + (L2max + 7)
-    len1 = read_len + 15
-
-    hp = np.full((B, L1max), _N_CHAR, np.int32)
-    go = np.zeros((B, L1max), np.int32)
-    hp[:, : hap_seg.shape[1]] = hap_seg
-    go[:, : gapopen_seg.shape[1]] = gapopen_seg
-    cols = np.arange(L1max)[None, :]
-    hp = np.where(cols < len1[:, None], hp, _N_CHAR)
-    # Gap-open reads index min(8+s2, len1-1): clamp by copying the last base.
-    last_go = np.take_along_axis(go, np.maximum(len1 - 1, 0)[:, None], axis=1)
-    go = np.where(cols < len1[:, None], go, last_go)
-
-    rd = np.full((B, L2max + N_LANES), _PAD_CHAR, np.int32)
-    qd = np.full((B, L2max + N_LANES), 64, np.int32)
-    rd[:, :L2max] = read
-    qd[:, :L2max] = qual
-    cols2 = np.arange(L2max + N_LANES)[None, :]
-    rd = np.where(cols2 < read_len[:, None], rd, _PAD_CHAR)
-    qd = np.where(cols2 < read_len[:, None], qd, 64)
-
-    # Ship compact dtypes over the host->device link; kernels upcast to
-    # int32 on device (transfers through the tunnel are latency/bandwidth
-    # bound, so this quarters the payload).
-    return (
-        jnp.asarray(hp.T.astype(np.uint8)),
-        jnp.asarray((4 * go.T).astype(np.int16)),
-        jnp.asarray(rd.T.astype(np.uint8)),
-        jnp.asarray((4 * qd.T).astype(np.int16)),
-        jnp.asarray(read_len),
+    return _sentinel_pad_device(
+        jnp.asarray(np.ascontiguousarray(hap_seg, dtype=np.uint8)),
+        jnp.asarray(np.ascontiguousarray(gapopen_seg, dtype=np.uint8)),
+        jnp.asarray(np.ascontiguousarray(read, dtype=np.uint8)),
+        jnp.asarray(np.ascontiguousarray(qual, dtype=np.uint8)),
+        jnp.asarray(np.ascontiguousarray(read_len, dtype=np.int32)),
     )
 
 
