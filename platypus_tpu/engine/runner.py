@@ -127,6 +127,13 @@ def run_single_process(
     from ..ops.align_jax import configure_compilation_cache
 
     configure_compilation_cache()
+    if config.use_pallas:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from .score import set_alignment_kernel
+
+            set_alignment_kernel("pallas")
     bam_files, samples_by_bam, samples = open_bams(config)
     ref_file = FastaFile(config.ref_file, parse_ncbi=bool(config.parse_ncbi))
     rt = derive_runtime(config, n_individuals=len(samples))

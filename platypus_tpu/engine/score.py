@@ -35,6 +35,22 @@ import numpy as np
 from ..io.readbuffer import SampleReadBuffer
 from ..models.haplotype import Haplotype
 from ..ops.align_jax import band_align_padded, pad_alignment_inputs
+
+# Kernel selection: 'xla' (default) or 'pallas' (config.use_pallas on TPU).
+_KERNEL = "xla"
+
+
+def set_alignment_kernel(name: str) -> None:
+    global _KERNEL
+    _KERNEL = name
+
+
+def _kernel_fn():
+    if _KERNEL == "pallas":
+        from ..ops.align_pallas import band_align_padded_pallas
+
+        return band_align_padded_pallas
+    return band_align_padded
 from ..ops.kmer import HASH_NUCS, candidate_segments
 from ..ops.likelihood import scores_to_logliks
 
@@ -276,7 +292,7 @@ def run_alignment_requests(
                     n = np.concatenate([n, np.full(pad, min(8, L2), np.int32)])
                 padded = pad_alignment_inputs(h, g, r, q, n)
                 out_scores[sl] = np.asarray(
-                    band_align_padded(*padded, gapextend=gapextend, nucprior=nucprior)
+                    _kernel_fn()(*padded, gapextend=gapextend, nucprior=nucprior)
                 )[:take]
                 done += take
 
