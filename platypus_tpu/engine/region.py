@@ -99,36 +99,24 @@ def load_region_buffers(
                 if "ID" in rg and "SM" in rg:
                     sample_by_rg[rg["ID"].encode()] = rg["SM"]
         all_samples = sorted({s for ss in samples_by_bam.values() for s in ss})
-        per_sample_rows: Dict[str, List[Tuple[object, int]]] = {s: [] for s in all_samples}
-        read_sets = []
+        per_sample_subsets: Dict[str, list] = {s: [] for s in all_samples}
         for bam in bam_files:
             rs = bam.fetch(chrom, start, end, store_rg=True)
             total_reads += len(rs)
             if total_reads >= config.max_reads:
                 return None
-            read_sets.append(rs)
-            for i in range(len(rs)):
-                rg = rs.rg_id[i] if rs.rg_id else None
-                sample = sample_by_rg.get(rg, all_samples[0])
-                per_sample_rows[sample].append((rs, i))
+            samples_arr = np.array([
+                sample_by_rg.get(rs.rg_id[i] if rs.rg_id else None, all_samples[0])
+                for i in range(len(rs))
+            ]) if len(rs) else np.zeros(0, dtype=object)
+            for sample in all_samples:
+                idx = np.nonzero(samples_arr == sample)[0]
+                if len(idx):
+                    per_sample_subsets[sample].append(rs.take(idx))
+        from ..io.bam import empty_read_set
+
         for sample in all_samples:
-            rows = per_sample_rows[sample]
-            if rows:
-                rs0 = rows[0][0]
-                idx_by_rs: Dict[int, List[int]] = {}
-                # Regroup rows by their originating ReadSet, then take().
-                subsets = []
-                for rs, i in rows:
-                    subsets.append(rs.take(np.array([i])))
-                # Concatenate via repeated take is slow but multi-sample BAMs
-                # are rare; keep simple for now.
-                from ..io.bam import empty_read_set
-
-                stream = _concat_read_sets(subsets)
-            else:
-                from ..io.bam import empty_read_set
-
-                stream = empty_read_set()
+            stream = _concat_read_sets(per_sample_subsets[sample])
             buffers.append(build_sample_buffer(sample, stream, qc))
     buffers.sort(key=lambda b: b.sample)
     return buffers

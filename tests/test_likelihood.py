@@ -130,3 +130,20 @@ def test_beta_binomial_and_binomial():
     assert abs(total - 1.0) < 1e-9
     # Stirling branch continuous-ish at the switch point.
     assert abs(log_factorial(14) - (log_factorial(15) - math.log(15))) < 1e-6
+
+
+def test_hla_map_qual_cap_conversion():
+    """HLA mode: cap at ln P(map wrong) and the smooth truncation above
+    score 100 (chaplotype.pyx:628-676)."""
+    mapq = np.array([40.0, 40.0, 254.0])
+    scores = np.array([0, 150, 150])
+    out = lk.scores_to_logliks(scores, mapq, use_map_qual_cap=True)
+    # score 0: mLTOT*0 + probMapRight ~ -1e-4 (not capped).
+    assert out[0] > -1e-3
+    # score 150 with moderate mapq: the cap ln P(map wrong) = mLTOT*40 wins
+    # over the truncation value (reference max(likelihoodCap, trunc)).
+    np.testing.assert_allclose(out[1], lk.MLTOT * 40, rtol=1e-12)
+    # With a mapq beyond ~102 the smooth truncation is the binding value:
+    # mLTOT * (99 + ((150-100+1)^0.5)/0.5).
+    expected = lk.MLTOT * (99 + (150 - 100 + 1) ** 0.5 / 0.5)
+    np.testing.assert_allclose(out[2], expected, rtol=1e-12)

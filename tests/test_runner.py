@@ -167,3 +167,78 @@ def test_multiprocess_run(tmp_path):
 
     assert len(single) >= 4
     assert multi == single
+
+
+def test_multi_sample_single_bam_rg_split(tmp_path):
+    """One BAM containing two samples via RG tags splits into per-sample
+    buffers and genotypes jointly."""
+    from platypus_tpu.io.bam import write_bam
+
+    ref_path, ref_seq = make_reference(tmp_path, length=4000, seed=63)
+    pos = 2000
+    alt = b"A" if ref_seq[pos] != ord("A") else b"G"
+    hap_ref = SimHaplotype(ref_seq, [])
+    hap_var = SimHaplotype(ref_seq, [(pos, 1, alt)])
+    reads_a = simulate_reads([hap_ref, hap_var], 1500, 2500, coverage=30, seed=64)
+    reads_b = simulate_reads([hap_ref, hap_ref], 1500, 2500, coverage=30, seed=65)
+
+    # Interleave with distinct RG aux tags by writing a custom BAM.
+    import struct
+
+    from platypus_tpu.io.bgzf import BGZFWriter
+    from platypus_tpu.io.bam import _SEQ_ENCODE
+
+    path = str(tmp_path / "multi_rg.bam")
+    header_text = ("@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr20\tLN:4000\n"
+                   "@RG\tID:rgA\tSM:ALPHA\n@RG\tID:rgB\tSM:BETA\n")
+    all_reads = ([(r, b"rgA") for r in reads_a] + [(r, b"rgB") for r in reads_b])
+    all_reads.sort(key=lambda t: t[0]["pos"])
+    with BGZFWriter(path) as out:
+        out.write(b"BAM\x01")
+        ht = header_text.encode()
+        out.write(struct.pack("<i", len(ht)) + ht)
+        out.write(struct.pack("<i", 1))
+        nb = b"chr20\x00"
+        out.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", 4000))
+        for rd, rg in all_reads:
+            name = rd["name"].encode() + b"\x00"
+            cig = [(ln << 4) | op for op, ln in rd["cigar"]]
+            seq = rd["seq"]
+            packed = bytearray((len(seq) + 1) // 2)
+            for i, base in enumerate(seq):
+                code = _SEQ_ENCODE.get(base, 15)
+                packed[i // 2] |= code << (4 if i % 2 == 0 else 0)
+            aux = b"RGZ" + rg + b"\x00"
+            body = struct.pack("<iiBBHHHiiii", 0, rd["pos"], len(name), 60, 0,
+                               len(cig), rd.get("flag", 0), len(seq), -1, -1, 0)
+            body += name + b"".join(struct.pack("<I", w) for w in cig)
+            body += bytes(packed) + bytes(rd["qual"]) + aux
+            out.write(struct.pack("<i", len(body)) + body)
+
+    out_vcf = str(tmp_path / "rg.vcf")
+    config = PlatypusConfig(bam_files=[path], ref_file=ref_path, output=out_vcf)
+    run_single_process(config, [("chr20", 1500, 2500)], out_vcf)
+    header = next(l for l in open(out_vcf) if l.startswith("#CHROM")).split("\t")
+    samples = [s.strip() for s in header[9:]]
+    assert samples == ["ALPHA", "BETA"]
+    recs = [r for r in _parse(out_vcf) if int(r[1]) == pos + 1]
+    assert recs
+    assert recs[0][9].split(":")[0] in ("0/1", "1/0")   # ALPHA het
+    assert recs[0][10].split(":")[0] == "0/0"           # BETA ref
+
+
+def test_region_boundary_ownership(tmp_path):
+    """A variant near a region boundary is reported exactly once across
+    adjacent region shards (ownership = the region its position starts in)."""
+    ref_path, ref_seq = make_reference(tmp_path, length=6000, seed=66)
+    pos = 3001  # just after the boundary at 3000
+    alt = b"A" if ref_seq[pos] != ord("A") else b"G"
+    hap_ref = SimHaplotype(ref_seq, [])
+    hap_var = SimHaplotype(ref_seq, [(pos, 1, alt)])
+    reads = simulate_reads([hap_ref, hap_var], 2500, 3500, coverage=30, seed=67)
+    bam = write_synth_bam(tmp_path, reads, ref_len=6000)
+    out = str(tmp_path / "bnd.vcf")
+    config = PlatypusConfig(bam_files=[bam], ref_file=ref_path, output=out)
+    run_single_process(config, [("chr20", 2000, 3000), ("chr20", 3000, 4000)], out)
+    recs = [r for r in _parse(out) if int(r[1]) == pos + 1]
+    assert len(recs) == 1, f"boundary variant reported {len(recs)} times"
