@@ -230,12 +230,12 @@ def assemble_reads_and_detect_variants(
             load_reference(g, ref_seq, ref_start)
         for buf in buffers:
             for rs, sl in read_piles(buf):
-                for i in range(sl.start, sl.stop):
-                    if not rs.qc_fail[i]:
-                        if native:
-                            g.load_read(rs.seq[i], rs.qual[i], int(rs.rlen[i]), min_qual)
-                        else:
-                            load_read(g, rs.seq[i], rs.qual[i], int(rs.rlen[i]), min_qual)
+                rows = np.arange(sl.start, sl.stop)[~rs.qc_fail[sl.start:sl.stop]]
+                if native:
+                    g.load_reads_batch(rs, rows, min_qual)
+                else:
+                    for i in rows:
+                        load_read(g, rs.seq[i], rs.qual[i], int(rs.rlen[i]), min_qual)
         return g
 
     graph = build(kmer_size)

@@ -172,6 +172,10 @@ def _setup_asm(lib) -> None:
     ]
     lib.ptpu_asm_packed_size.restype = ctypes.c_int64
     lib.ptpu_asm_packed_size.argtypes = [ctypes.c_void_p]
+    lib.ptpu_asm_load_reads.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+    ]
     lib.ptpu_asm_results.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
@@ -198,6 +202,19 @@ class NativeAssembler:
 
     def load_reference(self, ref_seq: bytes, ref_start: int) -> None:
         self._lib.ptpu_asm_load_reference(self._h, ref_seq, len(ref_seq), ref_start)
+
+    def load_reads_batch(self, read_set, rows: np.ndarray, min_qual: int) -> None:
+        """Load many reads from a ReadSet's SoA arrays in one C call."""
+        if len(rows) == 0:
+            return
+        seq = np.ascontiguousarray(read_set.seq)
+        qual = np.ascontiguousarray(read_set.qual)
+        rlen = np.ascontiguousarray(read_set.rlen, dtype=np.int32)
+        rows = np.ascontiguousarray(rows, dtype=np.int64)
+        self._lib.ptpu_asm_load_reads(
+            self._h, _np_ptr(seq), _np_ptr(qual), seq.shape[1], _np_ptr(rlen),
+            _np_ptr(rows), len(rows), min_qual,
+        )
 
     def load_read(self, seq: np.ndarray, qual: np.ndarray, rlen: int,
                   min_qual: int) -> None:

@@ -290,3 +290,20 @@ void ptpu_asm_results(AsmHandle* h, int64_t* pos, int64_t* offsets,
 int64_t ptpu_asm_packed_size(AsmHandle* h) { return (int64_t)h->packed.size(); }
 
 }  // extern "C"
+
+extern "C" {
+
+// Batched read loading: seq/qual are [n, max_len] row-major; rows[idx]
+// selects reads.  Equivalent to calling ptpu_asm_load_read per row.
+void ptpu_asm_load_reads(AsmHandle* h, const uint8_t* seq, const uint8_t* qual,
+                         int32_t max_len, const int32_t* rlen,
+                         const int64_t* rows, int64_t n_rows,
+                         int32_t min_qual) {
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t i = rows[r];
+        ptpu_asm_load_read(h, seq + i * max_len, qual + i * max_len, rlen[i],
+                           min_qual);
+    }
+}
+
+}  // extern "C"
