@@ -34,7 +34,7 @@ import numpy as np
 
 from ..io.readbuffer import SampleReadBuffer
 from ..models.haplotype import Haplotype
-from ..ops.align_jax import band_align_padded, pad_alignment_inputs
+from ..ops.align_jax import band_align_padded, gather_pad_device, pad_alignment_inputs
 
 # Kernel selection: 'xla' (default) or 'pallas' (config.use_pallas on TPU).
 _KERNEL = "xla"
@@ -145,6 +145,18 @@ def _l2_bucket(n: int) -> int:
     return max(32, -(-n // 32) * 32)
 
 
+def _geom_bucket(n: int, base: int) -> int:
+    """Smallest base*{1,1.5}*2^k >= n: geometric row/width buckets keep the
+    number of compiled gather shapes logarithmic in problem size while
+    capping padding overhead (and hence upload bytes) at 33%."""
+    b = base
+    while b < n:
+        if b + b // 2 >= n:
+            return b + b // 2
+        b *= 2
+    return b
+
+
 @dataclass
 class AlignmentRequest:
     """Host-side pair batch for one window, ready for device alignment."""
@@ -253,23 +265,48 @@ def run_alignment_requests(
 
         for L2, group in by_l2.items():
             seg_len = L2 + 15
-            col_idx = np.arange(seg_len)
-            hap_rows, go_rows, rd_rows, ql_rows, ln_rows, owners = [], [], [], [], [], []
+            # Deduplicated device-resident matrices: each window's unique
+            # haplotypes and reads upload ONCE per region batch; per chunk
+            # only four [lane] int32 index vectors ship, and the pair rows
+            # are gathered on device (ops/align_jax.py:_gather_pad_device).
+            # Row counts and hap width are bucketed to bound compile shapes.
+            H_tot = sum(req.hap_matrix.shape[0] for req in group)
+            A_tot = sum(req.sub_seq.shape[0] for req in group)
+            L1B = _geom_bucket(max(req.hap_matrix.shape[1] for req in group), 256)
+            HB = _geom_bucket(H_tot, 256)
+            AB = _geom_bucket(A_tot, 4096)
+            hap_mat = np.full((HB, L1B), _N_CHAR, np.uint8)
+            go_mat = np.zeros((HB, L1B), np.uint8)   # gap opens are <= 78
+            seq_mat = np.zeros((AB, L2), np.uint8)
+            qual_mat = np.zeros((AB, L2), np.uint8)
+            ph_rows, pr_rows, ps_rows, ln_rows, owners = [], [], [], [], []
+            h_off = a_off = 0
             for req in group:
-                cols = req.pair_seg[:, None] + col_idx[None, :]
-                hap_rows.append(req.hap_matrix[req.pair_hap[:, None], cols])
-                go_rows.append(req.go_matrix[req.pair_hap[:, None], cols])
-                rd_rows.append(req.sub_seq[req.pair_read])
-                ql_rows.append(req.sub_qual[req.pair_read])
+                h, a = req.hap_matrix.shape[0], req.sub_seq.shape[0]
+                hap_mat[h_off : h_off + h, : req.hap_matrix.shape[1]] = req.hap_matrix
+                go_mat[h_off : h_off + h, : req.go_matrix.shape[1]] = req.go_matrix
+                seq_mat[a_off : a_off + a] = req.sub_seq
+                qual_mat[a_off : a_off + a] = req.sub_qual
+                ph_rows.append(req.pair_hap + h_off)
+                pr_rows.append(req.pair_read + a_off)
+                ps_rows.append(req.pair_seg)
                 ln_rows.append(req.sub_len[req.pair_read])
                 owners.append(req)
-            hap_all = np.concatenate(hap_rows)
-            go_all = np.concatenate(go_rows)
-            rd_all = np.concatenate(rd_rows)
-            ql_all = np.concatenate(ql_rows)
+                h_off += h
+                a_off += a
+            ph_all = np.concatenate(ph_rows)
+            pr_all = np.concatenate(pr_rows)
+            ps_all = np.concatenate(ps_rows)
             ln_all = np.concatenate(ln_rows)
 
-            total = len(hap_all)
+            import jax.numpy as jnp
+
+            hap_dev = jnp.asarray(hap_mat)
+            go_dev = jnp.asarray(go_mat)
+            seq_dev = jnp.asarray(seq_mat)
+            qual_dev = jnp.asarray(qual_mat)
+
+            total = len(ph_all)
             out_scores = np.empty(total, np.int64)
             done = 0
             while done < total:
@@ -279,18 +316,17 @@ def run_alignment_requests(
                 take = min(remaining, lane)
                 sl = slice(done, done + take)
                 pad = lane - take
-                h = hap_all[sl]
-                g = go_all[sl]
-                r = rd_all[sl]
-                q = ql_all[sl]
+                ph = ph_all[sl]
+                pr = pr_all[sl]
+                ps = ps_all[sl]
                 n = ln_all[sl]
                 if pad:
-                    h = np.concatenate([h, np.full((pad, seg_len), _N_CHAR, np.uint8)])
-                    g = np.concatenate([g, np.zeros((pad, seg_len), np.int32)])
-                    r = np.concatenate([r, np.zeros((pad, L2), np.uint8)])
-                    q = np.concatenate([q, np.zeros((pad, L2), np.uint8)])
+                    ph = np.concatenate([ph, np.zeros(pad, ph.dtype)])
+                    pr = np.concatenate([pr, np.zeros(pad, pr.dtype)])
+                    ps = np.concatenate([ps, np.zeros(pad, ps.dtype)])
                     n = np.concatenate([n, np.full(pad, min(8, L2), np.int32)])
-                padded = pad_alignment_inputs(h, g, r, q, n)
+                padded = gather_pad_device(hap_dev, go_dev, seq_dev, qual_dev,
+                                           ph, pr, ps, n)
                 out_scores[sl] = np.asarray(
                     _kernel_fn()(*padded, gapextend=gapextend, nucprior=nucprior)
                 )[:take]

@@ -60,11 +60,11 @@ def configure_compilation_cache() -> None:
         pass
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _sentinel_pad_device(hap_seg, gapopen_seg, read, qual, read_len):
-    """Device-side sentinel padding (one fused program): build the
-    'N'-padded hap columns, end-clamped 4*gapopen columns, '0'-padded read
-    columns and 256-padded 4*qual columns from raw [B, L] uint8 inputs."""
+def _pad_core(hap_seg, gapopen_seg, read, qual, read_len):
+    """Traced sentinel-padding body shared by the upload and gather paths:
+    build the 'N'-padded hap columns, end-clamped 4*gapopen columns,
+    '0'-padded read columns and 256-padded 4*qual columns from raw
+    [B, L] integer inputs."""
     B, L2max = read.shape
     L1max = L2max + 2 * N_LANES
     len1 = (read_len + 15).astype(jnp.int32)
@@ -87,6 +87,46 @@ def _sentinel_pad_device(hap_seg, gapopen_seg, read, qual, read_len):
     qd = jnp.where(cols2 < read_len[:, None], qd, 64)
 
     return hp.T, 4 * go.T, rd.T, 4 * qd.T, read_len.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _sentinel_pad_device(hap_seg, gapopen_seg, read, qual, read_len):
+    return _pad_core(hap_seg, gapopen_seg, read, qual, read_len)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather_pad_device(hap_mat, go_mat, seq_mat, qual_mat,
+                       pair_hap, pair_read, pair_seg, read_len):
+    """Device-side pair materialisation: gather each pair's haplotype
+    segment / read row from the deduplicated matrices, then sentinel-pad.
+
+    Shipping only [H, L1] unique haplotypes, [A, L2] unique reads (once per
+    region batch) plus four [B] int32 index vectors per chunk cuts
+    host->device transfer ~30x vs uploading gathered per-pair rows — the
+    tunnel link, not the TPU, is the bottleneck for the engine.
+    """
+    L2max = seq_mat.shape[1]
+    seg_len = L2max + 15
+    cols = pair_seg[:, None] + jnp.arange(seg_len, dtype=jnp.int32)[None, :]
+    hap_seg = hap_mat[pair_hap[:, None], cols]
+    go_seg = go_mat[pair_hap[:, None], cols]
+    read = seq_mat[pair_read]
+    qual = qual_mat[pair_read]
+    return _pad_core(hap_seg, go_seg, read, qual, read_len)
+
+
+def gather_pad_device(hap_mat, go_mat, seq_mat, qual_mat,
+                      pair_hap, pair_read, pair_seg, read_len):
+    """Host wrapper for the per-chunk gather: the matrices should already be
+    device arrays (upload them once per region batch with jnp.asarray);
+    only the four [B] index/length vectors transfer per call."""
+    return _gather_pad_device(
+        hap_mat, go_mat, seq_mat, qual_mat,
+        jnp.asarray(np.ascontiguousarray(pair_hap, dtype=np.int32)),
+        jnp.asarray(np.ascontiguousarray(pair_read, dtype=np.int32)),
+        jnp.asarray(np.ascontiguousarray(pair_seg, dtype=np.int32)),
+        jnp.asarray(np.ascontiguousarray(read_len, dtype=np.int32)),
+    )
 
 
 def pad_alignment_inputs(
