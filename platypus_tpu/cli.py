@@ -16,6 +16,7 @@ from typing import List, Optional
 
 from .config import PlatypusConfig
 from .engine.runner import continue_calling, run_variant_caller
+from .utils.fileio import expand_bam_file_names, expand_list_arg
 
 # CLI flag name (reference spelling) -> config field.
 _FLAG_MAP = {
@@ -116,12 +117,13 @@ def build_config(argv: List[str]) -> PlatypusConfig:
         if value is None:
             continue
         if flag in _LIST_FLAGS:
-            value = value.split(",")
+            value = expand_list_arg(value)
         setattr(config, field_name, value)
     if args.output_short:
         config.output = args.output_short
     if not config.bam_files or not config.ref_file:
         parser.error("--bamFiles and --refFile are required")
+    config.bam_files = expand_bam_file_names(config.bam_files)
     return config
 
 

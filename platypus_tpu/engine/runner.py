@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from ..config import PlatypusConfig, RuntimeState, derive_runtime
 from ..io.bam import BamFile
 from ..io.fasta import FastaFile
+from ..utils.fileio import expand_bam_file_names, open_transparent
 from ..vcfout.writer import VCFWriter
 from .region import call_variants_in_region
 
@@ -39,14 +40,14 @@ def get_regions(config: PlatypusConfig) -> List[Region]:
     regions: List[Region] = []
     if config.regions is not None and os.path.exists(config.regions[0]):
         path = config.regions[0]
-        if path.endswith(".txt"):
-            with open(path) as fh:
+        if path.endswith((".txt", ".txt.gz")):
+            with open_transparent(path) as fh:
                 for line in fh:
                     chrom, span = line.strip().rsplit(":", 1)
                     s, e = span.split("-")
                     regions.append((chrom, int(s) - 1, int(e)))
-        elif path.endswith(".bed"):
-            with open(path) as fh:
+        elif path.endswith((".bed", ".bed.gz")):
+            with open_transparent(path) as fh:
                 for line in fh:
                     try:
                         cols = line.split("\t")
@@ -75,7 +76,7 @@ def get_regions(config: PlatypusConfig) -> List[Region]:
     # (runner.py:386-387,522); here it actually skips.
     skip_spans: List[Region] = []
     if config.skip_regions_file and os.path.exists(config.skip_regions_file):
-        with open(config.skip_regions_file) as fh:
+        with open_transparent(config.skip_regions_file) as fh:
             for token in fh.read().replace(",", "\n").split():
                 if ":" in token:
                     c, span = token.rsplit(":", 1)
@@ -107,6 +108,7 @@ def get_regions(config: PlatypusConfig) -> List[Region]:
 
 
 def open_bams(config: PlatypusConfig):
+    config.bam_files = expand_bam_file_names(list(config.bam_files))
     bam_files = [BamFile(path) for path in config.bam_files]
     samples_by_bam: Dict[BamFile, List[str]] = {}
     samples: List[str] = []

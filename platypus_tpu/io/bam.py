@@ -200,6 +200,12 @@ class BaiIndex:
 class BamFile:
     def __init__(self, filename: str, index_filename: Optional[str] = None):
         self.filename = filename
+        if filename.lower().endswith(".cram"):
+            # The reference reads CRAM through htslib; this decoder speaks
+            # BAM/BGZF only.  Convert first (samtools view -b in.cram).
+            raise NotImplementedError(
+                f"{filename}: CRAM input is not supported; convert to BAM"
+            )
         self._bgzf = BGZFReader(filename)
         magic = self._bgzf.read(4)
         if magic != b"BAM\x01":
