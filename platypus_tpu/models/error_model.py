@@ -101,8 +101,21 @@ def _encode_two_bit(seq: bytes, total: int) -> np.ndarray:
 
 def calculate_size_and_displacement(seq: bytes, annotate_all: bool) -> Tuple[np.ndarray, np.ndarray]:
     """Per-base (repeat tract length, repeat unit size), matching
-    tandem.c annotate() exactly, including the 64-nt scan-window caps and
-    the ascending (pos-block, unit) update order."""
+    tandem.c annotate() exactly.  Dispatches to the C++ annotator
+    (native/src/tandem.cpp, ~40x) when built; the Python implementation
+    below is the parity oracle."""
+    from ..native import native_tandem_annotate
+
+    res = native_tandem_annotate(bytes(seq), annotate_all)
+    if res is not None:
+        return res
+    return _calculate_size_and_displacement_py(seq, annotate_all)
+
+
+def _calculate_size_and_displacement_py(seq: bytes, annotate_all: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-Python oracle, matching tandem.c annotate() exactly, including
+    the 64-nt scan-window caps and the ascending (pos-block, unit) update
+    order."""
     length = len(seq)
     sizes = np.ones(length, dtype=np.int32)
     disps = np.ones(length, dtype=np.int32)

@@ -61,8 +61,28 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         [ctypes.c_int64, ctypes.c_int32] + [ctypes.c_void_p] * 7
         + [ctypes.c_int32] * 4
     )
+    lib.ptpu_tandem_annotate.restype = None
+    lib.ptpu_tandem_annotate.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return lib
+
+
+def native_tandem_annotate(seq: bytes, annotate_all: bool):
+    """Per-base (tract length, unit size) via the C++ annotator; None when
+    the library is unavailable (callers fall back to the Python oracle)."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(seq)
+    sizes = np.ones(n, np.int32)
+    disps = np.ones(n, np.int32)
+    if n:
+        lib.ptpu_tandem_annotate(seq, n, int(annotate_all),
+                                 _np_ptr(sizes), _np_ptr(disps))
+    return sizes, disps
 
 
 def _np_ptr(arr: np.ndarray):

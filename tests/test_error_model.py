@@ -129,3 +129,30 @@ def test_indel_prior_repeat_vs_complex():
     p_complex = indel_prior(random_ctx, 100, -1)
     p_repeat = indel_prior(hp_ctx, 100, -1)
     assert p_repeat > 10 * p_complex
+
+
+def test_native_tandem_matches_python_oracle():
+    """C++ annotator (native/src/tandem.cpp) is output-identical to the
+    Python oracle on random sequences with Ns, both annotate modes."""
+    import numpy as np
+
+    from platypus_tpu.models.error_model import _calculate_size_and_displacement_py
+    from platypus_tpu.native import native_tandem_annotate
+
+    if native_tandem_annotate(b"ACGT", True) is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    alphabet = np.frombuffer(b"ACGTN", np.uint8)
+    for trial in range(12):
+        n = int(rng.integers(1, 400))
+        seq = bytes(rng.choice(alphabet, size=n, p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        if trial % 3 == 0:  # add real repeats
+            unit = bytes(rng.choice(alphabet[:4], size=int(rng.integers(1, 6))))
+            seq = seq[: n // 2] + unit * 12 + seq[n // 2 :]
+        for annotate_all in (False, True):
+            ns, nd = native_tandem_annotate(seq, annotate_all)
+            ps, pd = _calculate_size_and_displacement_py(seq, annotate_all)
+            np.testing.assert_array_equal(ns, ps)
+            np.testing.assert_array_equal(nd, pd)
