@@ -57,11 +57,72 @@ class CandidateGenerator:
 
     # ------------------------------------------------------------------
     def add_candidates_from_reads(self, read_set, indices) -> None:
-        """Scan a pile of reads (skipping QC-failed ones)."""
-        for i in indices:
-            if read_set.qc_fail[i]:
-                continue
+        """Scan a pile of reads (skipping QC-failed ones).
+
+        Single-M reads — the overwhelming majority — go through one
+        vectorised mismatch pass over the whole pile; reads with any other
+        CIGAR walk the scalar per-read path."""
+        idx = np.asarray(indices, dtype=np.int64)
+        if len(idx) == 0:
+            return
+        idx = idx[~read_set.qc_fail[idx]]
+        if len(idx) == 0:
+            return
+        c_lo = read_set.cigar_off[idx]
+        single = (read_set.cigar_off[idx + 1] - c_lo) == 1
+        scalar_rows = idx[~single]
+        if single.any():
+            words = read_set.cigar_flat[c_lo[single]].astype(np.int64)
+            is_m = (words & 0xF) == CIGAR_M
+            lens = words >> 4
+            srows = idx[single]
+            if self.gen_snps:
+                batch = is_m & (lens >= self.min_flank)
+                if batch.any():
+                    self._scan_single_m_batch(read_set, srows[batch], lens[batch])
+            # Single-op reads that aren't plain M still walk the scalar path.
+            scalar_rows = np.concatenate([scalar_rows, srows[~is_m]])
+        for i in scalar_rows:
             self._scan_read(read_set, int(i))
+
+    def _scan_single_m_batch(self, rs, rows: np.ndarray, lens: np.ndarray) -> None:
+        """Vectorised equivalent of _scan_match_segment(read_off=0, ref_off=0)
+        over a pile of single-M reads (variant.pyx:518-610 semantics)."""
+        ref_arr = np.frombuffer(self.ref_seq, np.uint8)
+        n_char = ord("N")
+        L = rs.seq.shape[1]
+        col = np.arange(L, dtype=np.int32)
+        for done in range(0, len(rows), 16384):
+            rws = rows[done : done + 16384]
+            lns = lens[done : done + 16384]
+            ref_base = (rs.pos[rws] - self.ref_seq_start).astype(np.int32)
+            lo = np.maximum(self.min_flank, -ref_base)
+            hi = np.minimum(np.minimum(lns, rs.rlen[rws] - self.min_flank),
+                            len(ref_arr) - ref_base)
+            refm = ref_arr.take(ref_base[:, None] + col[None, :], mode="clip")
+            seq = rs.seq[rws]
+            mm = (
+                (col[None, :] >= lo[:, None]) & (col[None, :] < hi[:, None])
+                & (seq != refm) & (seq != n_char) & (refm != n_char)
+                & (rs.qual[rws] >= self.min_base_qual)
+            )
+            rr, cc = np.nonzero(mm)
+            if len(rr) == 0:
+                continue
+            breaks = (rr[1:] != rr[:-1]) | (cc[1:] - cc[:-1] > self.min_flank)
+            bpos = np.nonzero(breaks)[0]
+            starts = np.concatenate([[0], bpos + 1])
+            ends = np.concatenate([bpos, [len(rr) - 1]])
+            for s, e in zip(starts, ends):
+                r = int(rr[s])
+                i0 = int(cc[s])
+                i1 = int(cc[e])
+                rb = int(ref_base[r])
+                self.add_variant(
+                    Variant(self.ref_name, rb + i0 + self.ref_seq_start,
+                            self.ref_seq[rb + i0 : rb + i1 + 1],
+                            bytes(seq[r, i0 : i1 + 1]), 1, PLATYPUS_VAR)
+                )
 
     def _scan_read(self, rs, i: int) -> None:
         read_start = int(rs.pos[i])
