@@ -243,8 +243,37 @@ def _line_key(line: str):
     return (_chrom_sort_key(cols[0]), int(cols[1]))
 
 
+def setup_logging(config: PlatypusConfig, continuing: bool = False) -> None:
+    """Console + log-file handlers with the reference's verbosity mapping
+    (runner.py:404-439): console ERROR/WARNING/INFO for verbosity 0/1/>=2,
+    file always DEBUG, appended on resume."""
+    root = logging.getLogger()
+    # DEBUG only matters when a file handler is attached (file gets DEBUG,
+    # console is gated per verbosity); INFO otherwise keeps third-party
+    # debug chatter out.
+    root.setLevel(logging.DEBUG if config.log_file_name else logging.INFO)
+    formatter = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+    for h in list(root.handlers):
+        root.removeHandler(h)
+    ch = logging.StreamHandler()
+    ch.setFormatter(formatter)
+    ch.setLevel({0: logging.ERROR, 1: logging.WARNING}.get(
+        int(config.verbosity), logging.INFO))
+    root.addHandler(ch)
+    if config.log_file_name:
+        try:
+            fh = logging.FileHandler(config.log_file_name,
+                                     "a" if continuing else "w")
+            fh.setFormatter(formatter)
+            fh.setLevel(logging.DEBUG)
+            root.addHandler(fh)
+        except OSError:
+            logger.warning("Could not open log file %s", config.log_file_name)
+
+
 def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] = None,
                        continuing: bool = False) -> None:
+    setup_logging(config, continuing)
     if regions is None:
         regions = get_regions(config)
     regions = sorted(regions, key=lambda r: (_chrom_sort_key(r[0]), r[1], r[2]))
