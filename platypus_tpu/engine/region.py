@@ -258,6 +258,17 @@ def generate_variants_in_region(
     return filter_variants(left_norm, config.min_reads, config.min_reads, config.max_size)
 
 
+class PreparedRegion:
+    """Host-side state of a region whose device alignments are in flight."""
+
+    __slots__ = ("chrom", "start", "end", "buffers", "windows", "prepared",
+                 "live", "pending", "region_t0")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
 def call_variants_in_region(
     chrom: str,
     start: int,
@@ -270,6 +281,32 @@ def call_variants_in_region(
     writer,
 ) -> int:
     """Full region pipeline; returns number of VCF lines written."""
+    state = prepare_region_call(chrom, start, end, bam_files, samples_by_bam,
+                                ref_file, config, rt)
+    if state is None:
+        return 0
+    return finish_region_call(state, ref_file, config, writer)
+
+
+def prepare_region_call(
+    chrom: str,
+    start: int,
+    end: int,
+    bam_files: Sequence[BamFile],
+    samples_by_bam,
+    ref_file,
+    config: PlatypusConfig,
+    rt: RuntimeState,
+):
+    """Host phases of a region (load, candidates, window prep) ending with
+    the ASYNC dispatch of all its device alignments.  Returns None when the
+    region is skipped, else a PreparedRegion for finish_region_call.
+
+    The prepare(k+1) / finish(k) split lets the caller overlap region k's
+    in-flight device pass and result transfer with region k+1's host work —
+    the host/device pipeline of SURVEY §2.5 (the reference's analogue is
+    nothing: its single process strictly alternates, variantcaller.pyx
+    :535-615)."""
     rlen0 = rt.rlen
     region_t0 = __import__("time").perf_counter()
     ref_file.set_cache_sequence(chrom, start - 10 * rt.rlen, end + 10 * rt.rlen)
@@ -280,10 +317,10 @@ def call_variants_in_region(
         buffers = load_region_buffers(bam_files, samples_by_bam, chrom, start, end, config)
     except Exception as exc:  # noqa: BLE001 — region-level crash containment
         logger.exception("Exception loading region %s:%s-%s: %s", chrom, start, end, exc)
-        return 0
+        return None
     if buffers is None:
         logger.info("Skipping region %s:%s-%s (data could not be loaded)", chrom, start, end)
-        return 0
+        return None
 
     for buf in buffers:
         metrics.count("reads", len(buf.good) + len(buf.bad))
@@ -297,8 +334,8 @@ def call_variants_in_region(
     if rt.rlen != rlen0:
         ref_file.set_cache_sequence(chrom, start - 10 * rt.rlen, end + 10 * rt.rlen)
 
-    from .caller import finish_window, prepare_window
-    from .score import run_alignment_requests
+    from .caller import prepare_window
+    from .score import dispatch_alignment_requests
 
     windows = list(generate_windows(
         chrom, start, end, max_contig_pos, variants,
@@ -330,14 +367,31 @@ def call_variants_in_region(
             )
             prepared[w_idx] = "skip"
 
-    # Phase 2 (device): every window's alignments in a few big batched calls.
+    # Phase 2 (device): dispatch every window's alignments in a few big
+    # batched calls; results are awaited in finish_region_call.
     live = [(w_idx, p) for w_idx, p in prepared.items() if p not in (None, "skip")]
     metrics.count("windows", len(windows))
     metrics.count("alignment_pairs",
                   sum(p.request.n_pairs() for _, p in live if p.request is not None))
+    with metrics.timer("device_dispatch"):
+        pending = dispatch_alignment_requests([p.request for _, p in live])
+
+    return PreparedRegion(chrom=chrom, start=start, end=end, buffers=buffers,
+                          windows=windows, prepared=prepared, live=live,
+                          pending=pending, region_t0=region_t0)
+
+
+def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
+    """Await the region's device results and run per-window inference +
+    output (in window order)."""
+    from .caller import finish_window
+
+    chrom, start, end = state.chrom, state.start, state.end
+    buffers, windows, prepared = state.buffers, state.windows, state.prepared
+    ref_file.set_cache_sequence(chrom, start - 2000, end + 2000)
     with metrics.timer("device_alignment"):
-        logliks = run_alignment_requests([p.request for _, p in live])
-    loglik_by_idx = {w_idx: ll for (w_idx, _p), ll in zip(live, logliks)}
+        logliks = state.pending.finalize()
+    loglik_by_idx = {w_idx: ll for (w_idx, _p), ll in zip(state.live, logliks)}
 
     # Phase 3 (host): per-window inference + output, in window order.
     n_written = 0
@@ -392,7 +446,7 @@ def call_variants_in_region(
             logger.exception(
                 "Exception in window %s:%s-%s: %s", chrom, window.start_pos, window.end_pos, exc
             )
-    metrics.timers["region_total"] += __import__("time").perf_counter() - region_t0
+    metrics.timers["region_total"] += __import__("time").perf_counter() - state.region_t0
     if config.verbosity >= 3:
         metrics.log_summary(f"region {chrom}:{start}-{end} cumulative: ")
     return n_written

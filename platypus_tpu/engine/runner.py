@@ -150,6 +150,22 @@ def run_single_process(
         writer.write_header()
 
     n_written = 0
+    # Two-deep region pipeline: region k's device alignments stay in flight
+    # while region k+1 does its host-side work (prepare), then k's results
+    # are awaited and written (finish) — output order is preserved because
+    # finish runs in region order.
+    from .region import finish_region_call, prepare_region_call
+
+    in_flight = None  # (chrom, start, end, PreparedRegion)
+
+    def _finish(entry):
+        nonlocal n_written
+        chrom, start, end, state = entry
+        try:
+            n_written += finish_region_call(state, ref_file, config, writer)
+        except Exception:  # noqa: BLE001 — region crash containment
+            logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
+
     for index, (chrom, start, end) in enumerate(regions):
         if index % 10 == 0:
             logger.info("Processing region %s:%s-%s", chrom, start, end)
@@ -157,16 +173,27 @@ def run_single_process(
             if config.hla_typing:
                 from .hla import call_hla_variants_in_region
 
+                if in_flight is not None:
+                    _finish(in_flight)
+                    in_flight = None
                 n_written += call_hla_variants_in_region(
                     chrom, start, end, bam_files, samples_by_bam, ref_file,
                     config, rt, out,
                 )
-            else:
-                n_written += call_variants_in_region(
-                    chrom, start, end, bam_files, samples_by_bam, ref_file, config, rt, writer
-                )
+                continue
+            state = prepare_region_call(
+                chrom, start, end, bam_files, samples_by_bam, ref_file, config, rt
+            )
         except Exception:  # noqa: BLE001 — region crash containment
             logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
+            state = None
+        if in_flight is not None:
+            _finish(in_flight)
+            in_flight = None
+        if state is not None:
+            in_flight = (chrom, start, end, state)
+    if in_flight is not None:
+        _finish(in_flight)
     if output_path != "-":
         out.close()
     for bam in bam_files:

@@ -238,17 +238,69 @@ def build_alignment_request(
     )
 
 
-def run_alignment_requests(
+class PendingAlignments:
+    """In-flight device alignments for a batch of requests.
+
+    Chunks are dispatched asynchronously (JAX async dispatch keeps the
+    uploads/kernels in flight); finalize() blocks on the transfers and
+    produces the per-request [H, R] log-likelihood matrices.  This split
+    lets the engine overlap region k+1's host work with region k's device
+    pass (the pipeline-parallel host/device split of SURVEY §2.5)."""
+
+    def __init__(self, requests, gapextend: int, nucprior: int):
+        self.requests = list(requests)
+        self.gapextend = gapextend
+        self.nucprior = nucprior
+        self.pair_scores: dict = {}
+        # Per L2-group: (owner requests, host score buffer, device chunks).
+        self.groups: list = []
+
+    def finalize(self) -> List[np.ndarray]:
+        for owners, out_scores, chunks in self.groups:
+            for dev, sl, take in chunks:
+                out_scores[sl] = np.asarray(dev)[:take]
+            off = 0
+            for req in owners:
+                p = req.n_pairs()
+                self.pair_scores[id(req)] = out_scores[off : off + p]
+                off += p
+        self.groups = []
+
+        results: List[np.ndarray] = []
+        for req in self.requests:
+            if req is None:
+                results.append(np.zeros((0, 0), np.float64))
+                continue
+            H = len(req.haps)
+            R = len(req.reads)
+            loglik = np.zeros((H, R), np.float64)
+            A = len(req.align_rows)
+            scores = np.zeros((H, A), np.int64)
+            if req.n_pairs():
+                scores[:] = np.iinfo(np.int32).max
+                short = req.sub_len < HASH_NUCS
+                scores[:, short] = 0
+                np.minimum.at(scores, (req.pair_hap, req.pair_read),
+                              self.pair_scores[id(req)])
+            sub_loglik = scores_to_logliks(
+                scores, req.reads.mapq[req.align_rows][None, :],
+                use_map_qual_cap=req.use_map_qual_cap,
+            )
+            loglik[:, req.align_rows] = sub_loglik
+            results.append(loglik)
+        return results
+
+
+def dispatch_alignment_requests(
     requests: Sequence[Optional[AlignmentRequest]],
     gapextend: int = 3,
     nucprior: int = 2,
-) -> List[np.ndarray]:
-    """Align every request's pairs in a few large device calls.
-
-    Returns one [H, R] log-likelihood matrix per request (zeros matrix for
-    None requests)."""
+) -> PendingAlignments:
+    """Upload + launch every request's pair alignments without waiting for
+    the results; returns a PendingAlignments to finalize() later."""
+    pending = PendingAlignments(requests, gapextend, nucprior)
+    pair_scores = pending.pair_scores
     live = [r for r in requests if r is not None and r.n_pairs() > 0]
-    pair_scores: dict = {}
 
     # Experimental --calculateFlankScore mode needs per-pair traceback, so
     # those requests run through the scalar host kernel.
@@ -307,7 +359,7 @@ def run_alignment_requests(
             qual_dev = jnp.asarray(qual_mat)
 
             total = len(ph_all)
-            out_scores = np.empty(total, np.int64)
+            chunks = []
             done = 0
             while done < total:
                 remaining = total - done
@@ -327,39 +379,25 @@ def run_alignment_requests(
                     n = np.concatenate([n, np.full(pad, min(8, L2), np.int32)])
                 padded = gather_pad_device(hap_dev, go_dev, seq_dev, qual_dev,
                                            ph, pr, ps, n)
-                out_scores[sl] = np.asarray(
-                    _kernel_fn()(*padded, gapextend=gapextend, nucprior=nucprior)
-                )[:take]
+                dev = _kernel_fn()(*padded, gapextend=gapextend, nucprior=nucprior)
+                chunks.append((dev, sl, take))
                 done += take
 
-            off = 0
-            for req in owners:
-                p = req.n_pairs()
-                pair_scores[id(req)] = out_scores[off : off + p]
-                off += p
+            pending.groups.append((owners, np.empty(total, np.int64), chunks))
 
-    results: List[np.ndarray] = []
-    for req in requests:
-        if req is None:
-            results.append(np.zeros((0, 0), np.float64))
-            continue
-        H = len(req.haps)
-        R = len(req.reads)
-        loglik = np.zeros((H, R), np.float64)
-        A = len(req.align_rows)
-        scores = np.zeros((H, A), np.int64)
-        if req.n_pairs():
-            scores[:] = np.iinfo(np.int32).max
-            short = req.sub_len < HASH_NUCS
-            scores[:, short] = 0
-            np.minimum.at(scores, (req.pair_hap, req.pair_read), pair_scores[id(req)])
-        sub_loglik = scores_to_logliks(
-            scores, req.reads.mapq[req.align_rows][None, :],
-            use_map_qual_cap=req.use_map_qual_cap,
-        )
-        loglik[:, req.align_rows] = sub_loglik
-        results.append(loglik)
-    return results
+    return pending
+
+
+def run_alignment_requests(
+    requests: Sequence[Optional[AlignmentRequest]],
+    gapextend: int = 3,
+    nucprior: int = 2,
+) -> List[np.ndarray]:
+    """Align every request's pairs in a few large device calls.
+
+    Returns one [H, R] log-likelihood matrix per request (zeros matrix for
+    None requests)."""
+    return dispatch_alignment_requests(requests, gapextend, nucprior).finalize()
 
 
 def score_reads_vs_haplotypes(
