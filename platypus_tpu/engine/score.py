@@ -51,7 +51,7 @@ def _kernel_fn():
 
         return band_align_padded_pallas
     return band_align_padded
-from ..ops.kmer import HASH_NUCS, candidate_segments
+from ..ops.kmer import HASH_NUCS, candidate_segments, read_kmer_table
 from ..ops.likelihood import scores_to_logliks
 
 _N_CHAR = ord("N")
@@ -210,9 +210,11 @@ def build_alignment_request(
     pair_hap: List[np.ndarray] = []
     pair_read: List[np.ndarray] = []
     pair_seg: List[np.ndarray] = []
+    kmer_table = read_kmer_table(sub_seq, sub_len)
     for h_idx, hap in enumerate(haps):
         pr, ps = candidate_segments(
-            hap.kmer_index, sub_seq, sub_len, sub_pos, hap.hap_start
+            hap.kmer_index, sub_seq, sub_len, sub_pos, hap.hap_start,
+            kmer_table=kmer_table,
         )
         pair_hap.append(np.full(len(pr), h_idx, np.int64))
         pair_read.append(pr)

@@ -38,27 +38,35 @@ HOMOPOLQ = bytes(
 )
 
 
+_HOMOPOLQ_ARR = np.frombuffer(HOMOPOLQ, np.uint8).astype(np.int32) - ord("!")
+# Run-length cap: the reference stops extending where the table would go
+# non-positive (chaplotype.pyx:566-570); with this table that never
+# happens, so the cap is the table end.
+_HOMOPOL_CAP = len(HOMOPOLQ) - 1
+
+
 def annotate_gap_open(hap_seq: bytes) -> np.ndarray:
     """Per-base phred gap-open array for a haplotype sequence
-    (chaplotype.pyx:552-590: filled back-to-front, run length capped where
-    the table would go non-positive, N resets the run)."""
+    (chaplotype.pyx:552-590: filled back-to-front, run length capped at the
+    table end, N resets the run).
+
+    Vectorised: the scalar recurrence is homopollen(i) = min(e(i) - i, cap)
+    where e(i) is the last index of the homopolymer run containing i (runs
+    are broken at every N, which the scalar code achieves by clobbering the
+    remembered previous base)."""
     n = len(hap_seq)
-    out = np.zeros(n + 1, dtype=np.int32)
-    homopol = -1
-    homopollen = 0
-    table = HOMOPOLQ
-    for index in range(n - 1, -1, -1):
-        c = hap_seq[index]
-        if c == homopol:
-            if homopollen + 1 < len(table) and table[homopollen + 1] != 0:
-                homopollen += 1
-        else:
-            homopollen = 0
-        out[index] = table[homopollen] - ord("!")
-        homopol = c
-        if homopol == ord("N"):
-            homopol = 0
-    return out[:n]
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    arr = np.frombuffer(bytes(hap_seq), np.uint8)
+    is_n = arr == ord("N")
+    # boundary[i]: position i ends its run (next char differs or either is N).
+    boundary = np.empty(n, bool)
+    boundary[-1] = True
+    boundary[:-1] = (arr[:-1] != arr[1:]) | is_n[:-1] | is_n[1:]
+    ends = np.nonzero(boundary)[0]
+    e = ends[np.searchsorted(ends, np.arange(n))]
+    homopollen = np.minimum(e - np.arange(n), _HOMOPOL_CAP)
+    return _HOMOPOLQ_ARR[homopollen]
 
 
 # ---------------------------------------------------------------------------

@@ -64,12 +64,30 @@ class HaplotypeKmerIndex:
         self.sorted_pos = order.astype(np.int64)
 
 
+def read_kmer_table(read_seq: np.ndarray, read_len: np.ndarray):
+    """Flat (read row, k-mer offset, hash) table for a pile of reads —
+    computed once per window and shared by every haplotype's vote."""
+    R, L = read_seq.shape
+    codes = _CODE_LUT[read_seq]
+    if L >= HASH_NUCS:
+        windows = np.lib.stride_tricks.sliding_window_view(codes, HASH_NUCS, axis=1)
+        all_hashes = windows @ _POWERS            # [R, L-6]
+    else:
+        all_hashes = np.zeros((R, 0), dtype=np.int64)
+    K = all_hashes.shape[1]
+    # k-mers used for mapping: indices 0 .. read_len-8 (count read_len-7).
+    kmer_valid = np.arange(K)[None, :] < (read_len.astype(np.int64) - HASH_NUCS)[:, None]
+    rr, kk = np.nonzero(kmer_valid)
+    return rr, kk, all_hashes[rr, kk]
+
+
 def candidate_segments(
     index: HaplotypeKmerIndex,
     read_seq: np.ndarray,        # [R, L] uint8 padded
     read_len: np.ndarray,        # [R]
     read_start: np.ndarray,      # [R] genomic pos
     hap_start: int,              # genomic pos of hap sequence start
+    kmer_table=None,             # optional precomputed read_kmer_table(...)
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Anchor segment starts for every read against one haplotype.
 
@@ -81,19 +99,9 @@ def candidate_segments(
     hap_len = index.hap_len
     read_len = read_len.astype(np.int64)
 
-    # --- flat k-mer table for all reads --------------------------------
-    codes = _CODE_LUT[read_seq]
-    if L >= HASH_NUCS:
-        windows = np.lib.stride_tricks.sliding_window_view(codes, HASH_NUCS, axis=1)
-        all_hashes = windows @ _POWERS            # [R, L-6]
-    else:
-        all_hashes = np.zeros((R, 0), dtype=np.int64)
-    K = all_hashes.shape[1]
-    # k-mers used for mapping: indices 0 .. read_len-8 (count read_len-7).
-    kmer_valid = np.arange(K)[None, :] < (read_len - HASH_NUCS)[:, None]
-
-    rr, kk = np.nonzero(kmer_valid)
-    flat_hash = all_hashes[rr, kk]
+    if kmer_table is None:
+        kmer_table = read_kmer_table(read_seq, read_len)
+    rr, kk, flat_hash = kmer_table
 
     lo = np.searchsorted(index.sorted_hashes, flat_hash, side="left")
     hi = np.searchsorted(index.sorted_hashes, flat_hash, side="right")
