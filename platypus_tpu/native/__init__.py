@@ -16,7 +16,9 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_DIR, "libplatypus_native.so")
+_LIB_PATH = os.environ.get(
+    "PLATYPUS_TPU_NATIVE_LIB", os.path.join(_DIR, "libplatypus_native.so")
+)
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
 
