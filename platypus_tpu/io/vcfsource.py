@@ -26,6 +26,8 @@ class VariantCandidateReader:
         self.files: List[TabixFile] = []
         self.long_haps = long_haps
         self.max_size = max_size
+        if isinstance(filenames, (str, bytes)):
+            filenames = [filenames]
         for name in filenames:
             if not name.endswith((".gz", ".bgz")):
                 raise ValueError(
