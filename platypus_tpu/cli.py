@@ -33,6 +33,7 @@ _FLAG_MAP = {
     "logFileName": "log_file_name",
     "source": "source_file",
     "nCPU": "n_cpu",
+    "workerPlatform": "worker_platform",
     "parseNCBI": "parse_ncbi",
     "longHaps": "long_haps",
     "alignScoreFile": "align_score_file",

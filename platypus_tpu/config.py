@@ -31,6 +31,12 @@ class PlatypusConfig:
     # ---- Sharding / process model ---------------------------------------
     buffer_size: int = 100_000         # region shard size in bp
     n_cpu: int = 1                     # host-side worker processes
+    # JAX platform for spawned workers when n_cpu>1.  Default "cpu": a single
+    # TPU device cannot be shared efficiently by multiple processes (measured
+    # 16x per-dispatch collapse under two concurrent clients); one process
+    # owns the device, extra workers run the bit-identical CPU kernels.
+    # Device-scale parallelism goes through parallel/ (mesh + jax.distributed).
+    worker_platform: str = "cpu"
     max_reads: int = 5_000_000         # per-region read cap
     compress_reads: int = 0
     qual_bin_size: int = 1

@@ -204,14 +204,16 @@ def run_single_process(
 
 def _worker_entry(args):
     config_json, regions, path = args
+    config = PlatypusConfig.from_json(config_json)
     # Honour a platform override in spawned workers (the axon TPU plugin
-    # ignores JAX_PLATFORMS; tests set PLATYPUS_TPU_PLATFORM=cpu).
-    platform = os.environ.get("PLATYPUS_TPU_PLATFORM")
-    if platform:
+    # ignores JAX_PLATFORMS; tests set PLATYPUS_TPU_PLATFORM=cpu).  With no
+    # env override, config.worker_platform applies — default "cpu", because a
+    # single TPU device serialises badly under concurrent client processes.
+    platform = os.environ.get("PLATYPUS_TPU_PLATFORM") or config.worker_platform
+    if platform and platform != "default":
         import jax
 
         jax.config.update("jax_platforms", platform)
-    config = PlatypusConfig.from_json(config_json)
     return run_single_process(config, regions, path)
 
 

@@ -1,0 +1,116 @@
+"""Scaling-efficiency harness: reads/s and windows/s vs worker count.
+
+SURVEY §7.2 step 6's measurement tool.  Generates (or reuses) a synthetic
+multi-region dataset, then runs the caller at each requested --nCPU and
+reports throughput and parallel efficiency as one JSON line per point.
+The region-sharded design has zero inter-worker communication (the
+reference's fork model), so efficiency should track core count until BAM
+decode or the single TPU device saturates.
+
+    python tools/scaling_bench.py --mb 1 --ncpus 1,2,4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import numpy as np
+
+
+def build_dataset(workdir: str, length: int, coverage: int = 30, seed: int = 7):
+    from synth import SimHaplotype, make_reference, simulate_reads, write_synth_bam
+
+    os.makedirs(workdir, exist_ok=True)
+    bam = os.path.join(workdir, "reads.bam")
+    meta = os.path.join(workdir, "meta.json")
+    if os.path.exists(bam) and os.path.exists(meta):
+        return json.load(open(meta))
+    ref_path, ref_seq = make_reference(workdir, length=length + 4000, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    variants = []
+    pos = 2000
+    while pos < length - 500:
+        pos += int(rng.integers(600, 1400))
+        k = rng.random()
+        if k < 0.6:
+            variants.append((pos, 1, bytes([int(rng.choice(bases[bases != ref_seq[pos]]))])))
+        elif k < 0.8:
+            variants.append((pos, 0, bytes(rng.choice(bases, size=int(rng.integers(1, 8))))))
+        else:
+            variants.append((pos, int(rng.integers(1, 8)), b""))
+    hap = SimHaplotype(ref_seq, variants)
+    reads = simulate_reads([hap, SimHaplotype(ref_seq, [])], 1000, length + 1000,
+                           coverage=coverage, error_rate=0.003, seed=seed + 2)
+    write_synth_bam(workdir, reads, ref_len=length + 4000)
+    info = dict(bam=bam, ref=ref_path, length=length, n_reads=len(reads))
+    json.dump(info, open(meta, "w"))
+    return info
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=float, default=0.5, help="dataset size in Mb")
+    ap.add_argument("--ncpus", default="1,2,4")
+    ap.add_argument("--workdir", default="/tmp/platypus_tpu_scaling")
+    ap.add_argument("--assemble", type=int, default=0)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                    help="JAX platform held fixed across all points so the "
+                         "efficiency curve is apples-to-apples.  'cpu' is the "
+                         "right choice on a single shared TPU: one device "
+                         "cannot back multiple worker processes (measured 16x "
+                         "dispatch collapse), so host scaling is a CPU-backend "
+                         "property; the TPU point is reported separately.")
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        os.environ["PLATYPUS_TPU_PLATFORM"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from platypus_tpu.config import PlatypusConfig
+    from platypus_tpu.engine.runner import run_variant_caller, run_single_process
+
+    length = int(args.mb * 1_000_000)
+    # Key the cached dataset by size: reusing one workdir across --mb values
+    # would silently serve a stale dataset of the wrong length.
+    args.workdir = os.path.join(args.workdir, f"mb{args.mb:g}")
+    info = build_dataset(args.workdir, length)
+    region_arg = f"chr20:1000-{length + 1000}"
+
+    # Warm the compile caches once in-process.
+    cfg = PlatypusConfig(bam_files=[info["bam"]], ref_file=info["ref"],
+                         regions=[region_arg], assemble=args.assemble)
+    run_single_process(cfg, [("chr20", 1000, 101000)], os.path.join(args.workdir, "warm.vcf"))
+
+    base = None
+    for ncpu in [int(x) for x in args.ncpus.split(",")]:
+        out = os.path.join(args.workdir, f"out_n{ncpu}.vcf")
+        cfg = PlatypusConfig(bam_files=[info["bam"]], ref_file=info["ref"],
+                             regions=[region_arg], assemble=args.assemble,
+                             n_cpu=ncpu, output=out)
+        t0 = time.perf_counter()
+        run_variant_caller(cfg)
+        dt = time.perf_counter() - t0
+        rps = info["n_reads"] / dt
+        if base is None:
+            base = rps
+        print(json.dumps({
+            "metric": "caller_reads_per_second", "value": round(rps, 1),
+            "unit": f"reads/s (nCPU={ncpu}, {args.mb}Mb, 30x, {args.platform})",
+            "n_cpu": ncpu, "wall_s": round(dt, 2),
+            "efficiency": round(rps / (base * ncpu), 3),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
