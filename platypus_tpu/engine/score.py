@@ -51,6 +51,8 @@ def _kernel_fn():
 
         return band_align_padded_pallas
     return band_align_padded
+from .. import native
+from ..native import native_kmer_segments
 from ..ops.kmer import HASH_NUCS, candidate_segments, read_kmer_table
 from ..ops.likelihood import scores_to_logliks
 
@@ -210,12 +212,20 @@ def build_alignment_request(
     pair_hap: List[np.ndarray] = []
     pair_read: List[np.ndarray] = []
     pair_seg: List[np.ndarray] = []
-    kmer_table = read_kmer_table(sub_seq, sub_len)
+    # The C++ voter runs a ~30-read pile in ~10us vs ~0.4ms of fixed numpy
+    # overhead per (window, hap); output rows are byte-identical.
+    use_native = native_kmer_segments is not None and native.load() is not None
+    kmer_table = None if use_native else read_kmer_table(sub_seq, sub_len)
     for h_idx, hap in enumerate(haps):
-        pr, ps = candidate_segments(
-            hap.kmer_index, sub_seq, sub_len, sub_pos, hap.hap_start,
-            kmer_table=kmer_table,
-        )
+        if use_native:
+            pr, ps = native_kmer_segments(
+                hap.sequence, sub_seq, sub_len, sub_pos, hap.hap_start,
+            )
+        else:
+            pr, ps = candidate_segments(
+                hap.kmer_index, sub_seq, sub_len, sub_pos, hap.hap_start,
+                kmer_table=kmer_table,
+            )
         pair_hap.append(np.full(len(pr), h_idx, np.int64))
         pair_read.append(pr)
         pair_seg.append(ps)

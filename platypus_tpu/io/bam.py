@@ -445,6 +445,9 @@ def _find_rg_tag(rec: bytes, aux_off: int) -> Optional[bytes]:
 # ----------------------------------------------------------------------------
 
 _SEQ_ENCODE = {b: i for i, b in enumerate(b"=ACMGRSVTWYHKDBN")}
+_SEQ_ENCODE_LUT = np.full(256, 15, np.uint16)
+for _b, _i in _SEQ_ENCODE.items():
+    _SEQ_ENCODE_LUT[_b] = _i
 
 
 def write_bam(
@@ -477,13 +480,10 @@ def write_bam(
             cigar_words = [(ln << 4) | op for op, ln in rd["cigar"]]
             seq = rd["seq"]
             l_seq = len(seq)
-            packed = bytearray((l_seq + 1) // 2)
-            for i, base in enumerate(seq):
-                code = _SEQ_ENCODE.get(base, 15)
-                if i % 2 == 0:
-                    packed[i // 2] |= code << 4
-                else:
-                    packed[i // 2] |= code
+            codes = _SEQ_ENCODE_LUT[np.frombuffer(seq, np.uint8)]
+            if l_seq % 2:
+                codes = np.append(codes, 0)
+            packed = ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8).tobytes()
             qual = bytes(rd["qual"])
             aux = b"RGZrg1\x00"
             body = struct.pack(

@@ -68,6 +68,13 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.ptpu_kmer_segments.restype = ctypes.c_int32
+    lib.ptpu_kmer_segments.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+    ]
     _lib = lib
     return lib
 
@@ -89,6 +96,32 @@ def native_tandem_annotate(seq: bytes, annotate_all: bool):
 
 def _np_ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def native_kmer_segments(hap_seq: bytes, read_seq: np.ndarray,
+                         read_len: np.ndarray, read_start: np.ndarray,
+                         hap_start: int):
+    """Anchor (read, segment) pairs for one haplotype via the C++ voter;
+    None when the library is unavailable (callers fall back to the numpy
+    oracle in ops/kmer.py)."""
+    lib = load()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(read_seq, np.uint8)
+    R, L = seq.shape
+    rl = np.ascontiguousarray(read_len, np.int32)
+    rs = np.ascontiguousarray(read_start, np.int64)
+    cap = max(16, 8 * R)
+    while True:
+        out_read = np.zeros(cap, np.int32)
+        out_seg = np.zeros(cap, np.int32)
+        n = lib.ptpu_kmer_segments(
+            hap_seq, len(hap_seq), _np_ptr(seq), R, L, _np_ptr(rl), _np_ptr(rs),
+            int(hap_start), _np_ptr(out_read), _np_ptr(out_seg), cap,
+        )
+        if n <= cap:
+            return out_read[:n].astype(np.int64), out_seg[:n].astype(np.int64)
+        cap = n
 
 
 def native_fetch(bam_path: str, bai_path: str, ref_id: int, start: int, end: int,

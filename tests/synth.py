@@ -48,6 +48,22 @@ class SimHaplotype:
         seq += ref_seq[cur_ref:].tobytes()
         self.seq = bytes(seq)
         self.blocks = blocks
+        # Binary-search tables (blocks are built in ascending hap order).
+        self._hstarts = np.array([b[0] for b in blocks], dtype=np.int64)
+        ref_blocks = [b for b in blocks if b[2] is not None]
+        self._ref_rstarts = np.array([b[2] for b in ref_blocks], dtype=np.int64)
+        self._ref_hstarts = np.array([b[0] for b in ref_blocks], dtype=np.int64)
+        self._ref_lens = np.array([b[1] for b in ref_blocks], dtype=np.int64)
+
+    def hap_pos_of(self, ref_pos: int):
+        """Hap coordinate of a reference position, or None inside a deletion.
+        Binary search over ref-mapped blocks (they are ascending in rstart)."""
+        i = int(np.searchsorted(self._ref_rstarts, ref_pos, side="right")) - 1
+        if i < 0:
+            return None
+        if ref_pos < self._ref_rstarts[i] + self._ref_lens[i]:
+            return int(self._ref_hstarts[i] + (ref_pos - self._ref_rstarts[i]))
+        return None
 
     def ref_pos_of(self, hap_pos: int) -> int:
         """Reference position at/after a hap coordinate (for BAM pos)."""
@@ -68,7 +84,12 @@ class SimHaplotype:
         bam_pos = None
         hap_end = hap_start + length
         prev_ref_end = None
-        for hstart, blen, rstart in self.blocks:
+        # Only blocks overlapping [hap_start, hap_end) can contribute; find
+        # the first by binary search and stop once past the read.
+        first = max(0, int(np.searchsorted(self._hstarts, hap_start, side="right")) - 1)
+        for hstart, blen, rstart in self.blocks[first:]:
+            if hstart >= hap_end:
+                break
             lo = max(hstart, hap_start)
             hi = min(hstart + blen, hap_end)
             if hi <= lo:
@@ -104,21 +125,27 @@ def simulate_reads(
     seed=5,
     qual=35,
     error_rate=0.0,
+    fast_errors=False,
 ):
     """Single-end reads uniformly across the region, alternating between the
-    given SimHaplotypes."""
+    given SimHaplotypes.
+
+    fast_errors=True draws substitution errors from a vectorised chunked
+    stream instead of per-base scalar draws — a different (equally valid)
+    RNG consumption pattern, so datasets differ from the default path; used
+    by the scaling harness for multi-megabase generation, never by tests
+    that pin expectations to the default stream.
+    """
     rng = np.random.default_rng(seed)
     n_reads = int((region_end - region_start) * coverage / read_len)
+    err_rng = np.random.default_rng(seed + 104729) if fast_errors else None
+    acgt = np.frombuffer(b"ACGT", np.uint8)
     reads = []
     for i in range(n_reads):
         hap = haps[i % len(haps)]
         ref_start = int(rng.integers(region_start, max(region_start + 1, region_end - read_len)))
-        # Find hap coordinate for this ref start.
-        hap_start = None
-        for hstart, blen, rstart in hap.blocks:
-            if rstart is not None and rstart <= ref_start < rstart + blen:
-                hap_start = hstart + (ref_start - rstart)
-                break
+        # Find hap coordinate for this ref start (binary search).
+        hap_start = hap.hap_pos_of(ref_start)
         if hap_start is None or hap_start + read_len > len(hap.seq):
             continue
         seq = bytearray(hap.seq[hap_start : hap_start + read_len])
@@ -126,9 +153,16 @@ def simulate_reads(
         if bam_pos is None:
             continue
         if error_rate > 0:
-            for j in range(read_len):
-                if rng.random() < error_rate:
-                    seq[j] = int(rng.choice(np.frombuffer(b"ACGT", np.uint8)))
+            if fast_errors:
+                m = np.nonzero(err_rng.random(read_len) < error_rate)[0]
+                if len(m):
+                    arr = np.frombuffer(bytes(seq), np.uint8).copy()
+                    arr[m] = acgt[err_rng.integers(0, 4, size=len(m))]
+                    seq = bytearray(arr.tobytes())
+            else:
+                for j in range(read_len):
+                    if rng.random() < error_rate:
+                        seq[j] = int(rng.choice(np.frombuffer(b"ACGT", np.uint8)))
         reads.append(
             dict(
                 name=f"r{i}", ref_id=0, pos=bam_pos, mapq=60, flag=0,

@@ -60,3 +60,39 @@ def test_native_trim_matches_python():
         nat_mod._load_attempted = True
     assert np.array_equal(good_a, good_b)
     assert np.array_equal(a.qual, b.qual)
+
+
+def test_native_kmer_segments_matches_numpy():
+    from platypus_tpu.native import native_kmer_segments
+    from platypus_tpu.ops.kmer import HaplotypeKmerIndex, candidate_segments
+
+    if native_kmer_segments(b"ACGTACGTACGTACGTACGTACGTACGT",
+                            np.zeros((1, 10), np.uint8),
+                            np.array([10]), np.array([0]), 0) is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(42)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for _ in range(60):
+        hap_len = int(rng.integers(9, 900))
+        hap = rng.choice(bases, size=hap_len).tobytes()
+        R = int(rng.integers(1, 40))
+        L = int(rng.integers(5, 130))
+        seq = rng.choice(bases, size=(R, L)).astype(np.uint8)
+        rl = rng.integers(min(4, L), L + 1, size=R).astype(np.int64)
+        for r in range(R):
+            if hap_len > rl[r] + 1 and rng.random() < 0.7:
+                off = int(rng.integers(0, hap_len - rl[r]))
+                frag = np.frombuffer(hap, np.uint8)[off:off + rl[r]].copy()
+                if rl[r] > 0:
+                    frag[int(rng.integers(0, rl[r]))] = rng.choice(bases)
+                seq[r, :rl[r]] = frag
+        if rng.random() < 0.25:
+            seq[rng.random(size=seq.shape) < 0.05] = ord("N")
+        hs = int(rng.integers(-100, 100))
+        rs = rng.integers(hs - 40, hs + hap_len + 40, size=R).astype(np.int64)
+        pr0, ps0 = candidate_segments(HaplotypeKmerIndex(hap), seq, rl, rs, hs)
+        pr1, ps1 = native_kmer_segments(hap, seq, rl, rs, hs)
+        assert np.array_equal(pr0, pr1)
+        assert np.array_equal(ps0, ps1)

@@ -48,7 +48,8 @@ def build_dataset(workdir: str, length: int, coverage: int = 30, seed: int = 7):
             variants.append((pos, int(rng.integers(1, 8)), b""))
     hap = SimHaplotype(ref_seq, variants)
     reads = simulate_reads([hap, SimHaplotype(ref_seq, [])], 1000, length + 1000,
-                           coverage=coverage, error_rate=0.003, seed=seed + 2)
+                           coverage=coverage, error_rate=0.003, seed=seed + 2,
+                           fast_errors=True)
     write_synth_bam(workdir, reads, ref_len=length + 4000)
     info = dict(bam=bam, ref=ref_path, length=length, n_reads=len(reads))
     json.dump(info, open(meta, "w"))
