@@ -18,10 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..candidates.cigar_gen import CandidateGenerator
-from ..candidates.filters import (
-    compute_variant_read_support_frac,
-    filter_variants,
-)
+from ..candidates.filters import filter_variants
 from ..candidates.normalize import left_normalise_indel
 from ..candidates.variant import Variant
 from ..candidates.windows import Window, generate_windows
@@ -222,12 +219,18 @@ def generate_variants_in_region(
             if len(buf.good):
                 longest_read = max(longest_read, int((buf.good.end - buf.good.pos).max()))
             gen.add_candidates_from_reads(buf.good, range(len(buf.good)))
-            for v in gen.variant_heap.values():
-                frac = compute_variant_read_support_frac(v, buf)
-                if frac >= config.min_var_freq:
-                    all_sample_gen.add_variant(v)
-                elif v.n_added != v.n_removed:
-                    all_sample_gen.add_variant(v)
+            heap_vars = list(gen.variant_heap.values())
+            if heap_vars:
+                counts = buf.count_reads_covering_positions(
+                    np.fromiter((v.ref_pos for v in heap_vars), np.int64,
+                                count=len(heap_vars))
+                )
+                for v, c in zip(heap_vars, counts):
+                    frac = v.n_supporting_reads / c if c else 0.0
+                    if frac >= config.min_var_freq:
+                        all_sample_gen.add_variant(v)
+                    elif v.n_added != v.n_removed:
+                        all_sample_gen.add_variant(v)
         raw_bam_variants.extend(all_sample_gen.get_candidates())
 
         # rlen tracks the longest observed read (variantcaller.pyx:478-487).

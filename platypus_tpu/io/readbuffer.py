@@ -296,6 +296,27 @@ class SampleReadBuffer:
         s = self.window_slice(start, end)
         return s.stop - s.start
 
+    def count_reads_covering_positions(self, positions: np.ndarray) -> np.ndarray:
+        """count_reads_covering_region(p, p+1) for many positions at once —
+        two vectorised searchsorted calls instead of two per variant."""
+        rs = self.good
+        n = len(rs)
+        out = np.zeros(len(positions), np.int64)
+        if n == 0 or len(positions) == 0:
+            return out
+        positions = positions.astype(np.int64)
+        firsts = np.maximum(1, positions - self._longest_good)
+        los = np.searchsorted(rs.pos, firsts, side="left")
+        his = np.minimum(np.searchsorted(rs.pos, positions + 1, side="left"), n)
+        ends = rs.end
+        for i in range(len(positions)):
+            lo = int(los[i])
+            s = int(positions[i])
+            while lo < n and ends[lo] <= s:
+                lo += 1
+            out[i] = max(0, int(his[i]) - lo)
+        return out
+
     def count_alignment_gaps(self, start: int, end: int) -> int:
         """Indel+clip ops seen by the mapper in good+bad reads in the window
         (cwindow.pyx:597-623: counts ops with code 1..4)."""

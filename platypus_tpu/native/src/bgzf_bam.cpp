@@ -10,11 +10,13 @@
 // C ABI only — loaded from Python via ctypes (no pybind11 in the image).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <zlib.h>
@@ -42,65 +44,132 @@ struct BgzfFile {
         return fh != nullptr;
     }
 
-    // Load the block at compressed offset `coffset`; false at EOF/error.
-    bool load_block(int64_t coffset) {
-        if (fseeko(fh, coffset, SEEK_SET) != 0) return false;
-        uint8_t header[18];
-        size_t got = fread(header, 1, 18, fh);
-        if (got == 0) return false;
-        if (got < 18 || header[0] != 0x1f || header[1] != 0x8b) return false;
+    // Decoded-batch cache: BGZF blocks are independent deflate streams laid
+    // out back-to-back, so a region fetch can bulk-read a multi-block span
+    // and inflate the blocks on several threads (the reference pays this
+    // cost serially inside htslib).
+    std::vector<int64_t> batch_offsets;           // ascending coffsets
+    std::vector<int64_t> batch_clens;
+    std::vector<std::vector<uint8_t>> batch_blocks;
+
+    static constexpr int64_t kBulkBytes = 4 << 20;  // compressed span per batch
+    static constexpr int kInflateThreads = 6;
+
+    struct ParsedBlock {
+        int64_t coffset;
+        int64_t bsize;
+        size_t cdata_off;   // into the bulk buffer
+        int64_t cdata_len;
+        uint32_t isize;
+    };
+
+    // Parse one block header at `p` (with `avail` bytes); returns false if
+    // the block is malformed or extends past the buffer.
+    static bool parse_block(const uint8_t* p, size_t avail, int64_t coffset,
+                            ParsedBlock* out) {
+        if (avail < 18 || p[0] != 0x1f || p[1] != 0x8b) return false;
         uint16_t xlen;
-        memcpy(&xlen, header + 10, 2);
-        // Find the BC subfield for the block size.
-        std::vector<uint8_t> extra(xlen);
-        if (xlen > 6) {
-            // We already read 6 bytes of extra in header[12..18).
-            memcpy(extra.data(), header + 12, 6);
-            if (fread(extra.data() + 6, 1, xlen - 6, fh) != (size_t)(xlen - 6)) return false;
-        } else {
-            memcpy(extra.data(), header + 12, xlen);
-            if (xlen < 6) fseeko(fh, coffset + 12 + xlen, SEEK_SET);
-        }
+        memcpy(&xlen, p + 10, 2);
+        if (avail < (size_t)12 + xlen) return false;
         int bsize = -1;
-        for (size_t i = 0; i + 4 <= extra.size();) {
+        const uint8_t* extra = p + 12;
+        for (size_t i = 0; i + 4 <= xlen;) {
             uint8_t si1 = extra[i], si2 = extra[i + 1];
             uint16_t slen;
-            memcpy(&slen, extra.data() + i + 2, 2);
+            memcpy(&slen, extra + i + 2, 2);
             if (si1 == 66 && si2 == 67 && slen == 2) {
                 uint16_t bs;
-                memcpy(&bs, extra.data() + i + 4, 2);
+                memcpy(&bs, extra + i + 4, 2);
                 bsize = bs + 1;
                 break;
             }
             i += 4 + slen;
         }
-        if (bsize < 0) return false;
-        int64_t payload_len = bsize - 18 - (int64_t)xlen + 6 - 6;
-        // Total block = 12 + xlen + cdata + 8; cdata = bsize - 12 - xlen - 8.
-        int64_t cdata_len = bsize - 12 - xlen - 8;
-        (void)payload_len;
-        std::vector<uint8_t> cdata(cdata_len);
-        if (fseeko(fh, coffset + 12 + xlen, SEEK_SET) != 0) return false;
-        if (fread(cdata.data(), 1, cdata_len, fh) != (size_t)cdata_len) return false;
-        uint8_t tail[8];
-        if (fread(tail, 1, 8, fh) != 8) return false;
-        uint32_t isize;
-        memcpy(&isize, tail + 4, 4);
+        if (bsize < 0 || avail < (size_t)bsize) return false;
+        out->coffset = coffset;
+        out->bsize = bsize;
+        out->cdata_off = 12 + xlen;
+        out->cdata_len = bsize - 12 - xlen - 8;
+        memcpy(&out->isize, p + bsize - 4, 4);
+        return out->cdata_len >= 0;
+    }
 
-        block.resize(isize);
-        if (isize > 0) {
-            z_stream zs{};
-            inflateInit2(&zs, -15);
-            zs.next_in = cdata.data();
-            zs.avail_in = (uInt)cdata_len;
-            zs.next_out = block.data();
-            zs.avail_out = isize;
-            int rc = inflate(&zs, Z_FINISH);
-            inflateEnd(&zs);
-            if (rc != Z_STREAM_END) return false;
+    static bool inflate_one(const uint8_t* cdata, int64_t cdata_len,
+                            std::vector<uint8_t>& dst, uint32_t isize) {
+        dst.resize(isize);
+        if (isize == 0) return true;
+        z_stream zs{};
+        inflateInit2(&zs, -15);
+        zs.next_in = const_cast<uint8_t*>(cdata);
+        zs.avail_in = (uInt)cdata_len;
+        zs.next_out = dst.data();
+        zs.avail_out = isize;
+        int rc = inflate(&zs, Z_FINISH);
+        inflateEnd(&zs);
+        return rc == Z_STREAM_END;
+    }
+
+    // Bulk-read from `coffset` and inflate every whole block in the span.
+    bool load_batch(int64_t coffset, int64_t span) {
+        if (fseeko(fh, coffset, SEEK_SET) != 0) return false;
+        std::vector<uint8_t> bulk(span);
+        size_t got = fread(bulk.data(), 1, bulk.size(), fh);
+        if (got == 0) return false;
+        std::vector<ParsedBlock> parsed;
+        size_t off = 0;
+        while (off < got) {
+            ParsedBlock pb;
+            if (!parse_block(bulk.data() + off, got - off, coffset + off, &pb)) break;
+            pb.cdata_off += off;
+            parsed.push_back(pb);
+            off += pb.bsize;
         }
+        if (parsed.empty()) return false;
+        batch_offsets.assign(parsed.size(), 0);
+        batch_clens.assign(parsed.size(), 0);
+        batch_blocks.assign(parsed.size(), {});
+        std::atomic<size_t> next_idx{0};
+        std::atomic<bool> ok{true};
+        auto worker = [&]() {
+            for (;;) {
+                size_t i = next_idx.fetch_add(1);
+                if (i >= parsed.size()) return;
+                const ParsedBlock& pb = parsed[i];
+                batch_offsets[i] = pb.coffset;
+                batch_clens[i] = pb.bsize;
+                if (!inflate_one(bulk.data() + pb.cdata_off, pb.cdata_len,
+                                 batch_blocks[i], pb.isize))
+                    ok = false;
+            }
+        };
+        int n_threads = std::min<int>(kInflateThreads, (int)parsed.size());
+        if (n_threads <= 1) {
+            worker();
+        } else {
+            std::vector<std::thread> threads;
+            for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+            for (auto& t : threads) t.join();
+        }
+        return ok;
+    }
+
+    // Load the block at compressed offset `coffset`; false at EOF/error.
+    bool load_block(int64_t coffset) {
+        auto it = std::lower_bound(batch_offsets.begin(), batch_offsets.end(), coffset);
+        if (it == batch_offsets.end() || *it != coffset) {
+            // Random seeks (scattered mate fetches) read a small span;
+            // sequential streaming (region scans) reads multi-megabyte
+            // batches worth threading.
+            int64_t span = (coffset == block_coffset + block_clen)
+                               ? kBulkBytes : (128 << 10);
+            if (!load_batch(coffset, span)) return false;
+            it = std::lower_bound(batch_offsets.begin(), batch_offsets.end(), coffset);
+            if (it == batch_offsets.end() || *it != coffset) return false;
+        }
+        size_t i = it - batch_offsets.begin();
+        block = batch_blocks[i];
         block_coffset = coffset;
-        block_clen = bsize;
+        block_clen = batch_clens[i];
         within = 0;
         return true;
     }
