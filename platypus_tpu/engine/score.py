@@ -83,6 +83,21 @@ class WindowReads:
     def __len__(self) -> int:
         return int(self.rlen.shape[0])
 
+    _single_m: Optional[np.ndarray] = None
+
+    def single_m(self) -> np.ndarray:
+        """[R] bool: cigar is exactly one M/=/X op — the common case the
+        INFO re-walk vectorises (computed once per window, lazily)."""
+        if self._single_m is None:
+            out = np.zeros(len(self), bool)
+            for r, (rs, row) in enumerate(self.cigar_refs):
+                off = rs.cigar_off
+                lo = int(off[row])
+                if int(off[row + 1]) - lo == 1:
+                    out[r] = (int(rs.cigar_flat[lo]) & 0xF) in (0, 7, 8)
+            self._single_m = out
+        return self._single_m
+
 
 def gather_window_reads(
     buffers: Sequence[SampleReadBuffer], window_start: int, window_end: int

@@ -79,9 +79,14 @@ class ReadSet:
 
     def take(self, idx: np.ndarray) -> "ReadSet":
         idx = np.asarray(idx)
-        cigars = [self.cigar_flat[self.cigar_off[i] : self.cigar_off[i + 1]] for i in idx]
-        lens = np.array([len(c) for c in cigars], dtype=np.int64)
+        starts = self.cigar_off[idx]
+        lens = self.cigar_off[idx + 1] - starts
         off = np.concatenate([[0], np.cumsum(lens)])
+        total = int(off[-1])
+        # Vectorised CSR gather: flat source index for every kept word.
+        flat_idx = np.repeat(starts, lens) + (
+            np.arange(total) - np.repeat(off[:-1], lens)
+        )
         return ReadSet(
             seq=self.seq[idx],
             qual=self.qual[idx],
@@ -94,7 +99,7 @@ class ReadSet:
             mate_chrom_id=self.mate_chrom_id[idx],
             mate_pos=self.mate_pos[idx],
             insert_size=self.insert_size[idx],
-            cigar_flat=np.concatenate(cigars) if cigars else np.zeros(0, np.uint32),
+            cigar_flat=self.cigar_flat[flat_idx],
             cigar_off=off,
             qc_fail=self.qc_fail[idx],
             rg_id=[self.rg_id[i] for i in idx] if self.rg_id is not None else None,

@@ -216,6 +216,60 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
     n_good = sum(len(r) for r in good_rows_by_ind)
     n_bad = sum(len(r) for r in bad_rows_by_ind)
 
+    single_m = reads.single_m()
+    exact_indels = bool(config.count_only_exact_indel_matches)
+    col = np.arange(reads.qual.shape[1]) if reads.qual.size else np.zeros(0, np.int64)
+
+    def overlap_qualgood(rows: np.ndarray, var_min: int, var_max: int) -> np.ndarray:
+        """Rows overlapping [var_min, var_max] whose quals in the variant
+        span are all >= 5 (the scalar helpers' semantics, batched)."""
+        if len(rows) == 0:
+            return rows
+        pos = reads.pos[rows]
+        m = (pos <= var_max) & (reads.end[rows] > var_min)
+        rows = rows[m]
+        if len(rows) == 0:
+            return rows
+        pos = pos[m]
+        rlen = reads.rlen[rows].astype(np.int64)
+        lo = np.clip(var_min - pos, 0, rlen)
+        hi = np.clip(var_max - pos, 0, rlen)
+        span = (col[None, :] >= lo[:, None]) & (col[None, :] < hi[:, None])
+        ok = ((reads.qual[rows] >= 5) | ~span).all(axis=1)
+        return rows[ok]
+
+    def supported_mask(rows: np.ndarray, variant: Variant) -> np.ndarray:
+        """variant_supported_by_read over many rows: single-M cigars (the
+        common case) vectorise; anything with indels/clips re-walks."""
+        out = np.zeros(len(rows), bool)
+        sm = single_m[rows]
+        n_add = variant.n_added
+        if variant.n_added == variant.n_removed and sm.any():
+            # M-only walk: ref_off = read_off = 0.
+            srows = rows[sm]
+            pos = reads.pos[srows]
+            rlen = reads.rlen[srows].astype(np.int64)
+            start = variant.ref_pos - pos
+            cand = (start >= 0) & (start + n_add <= rlen) & (start < rlen)
+            if cand.any():
+                gather = np.clip(start[:, None] + np.arange(n_add)[None, :], 0,
+                                 reads.seq.shape[1] - 1)
+                eq = (reads.seq[srows[:, None], gather]
+                      == np.frombuffer(variant.added, np.uint8)[None, :]).all(axis=1)
+                res = cand & eq
+            else:
+                res = np.zeros(len(srows), bool)
+            out[sm] = res
+        # Indels never match an M-only cigar; re-walk the rest.
+        for j in np.nonzero(~sm)[0]:
+            r = int(rows[j])
+            rs, row = reads.cigar_refs[r]
+            out[j] = variant_supported_by_read(
+                rs.cigar_ops(row), reads.seq[r], int(reads.rlen[r]),
+                int(reads.pos[r]), variant, exact_indels,
+            )
+        return out
+
     for variant, vinfo in info.items():
         var_min = variant.bam_min_pos
         var_max = variant.bam_max_pos
@@ -236,68 +290,47 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
                 h2 = call.hap2_idx[gt_idx]
                 var_in_genotype = variant in hap_var_sets[h1] or variant in hap_var_sets[h2]
 
-            n_reads_this = 0
-            n_var_reads_this = 0
+            brows = overlap_qualgood(bad_rows_by_ind[i], var_min, var_max)
+            tc_bad += len(brows)
+            if len(brows):
+                rmsmq += float((reads.mapq[brows].astype(np.float64) ** 2).sum())
 
-            for r in bad_rows_by_ind[i]:
-                pos = int(reads.pos[r])
-                end = int(reads.end[r])
-                if not (pos <= var_max and end > var_min):
-                    continue
-                if not _read_qual_good(reads.qual[r], int(reads.rlen[r]), pos, var_min, var_max):
-                    continue
-                tc_bad += 1
-                rmsmq += float(reads.mapq[r]) ** 2
+            grows = overlap_qualgood(good_rows_by_ind[i], var_min, var_max)
+            n_reads_this = len(grows)
+            tc += n_reads_this
+            if n_reads_this:
+                rmsmq += float((reads.mapq[grows].astype(np.float64) ** 2).sum())
+            rev = reads.strand_reverse[grows].astype(bool)
+            n_rev = int(rev.sum())
+            tcr += n_rev
+            tcf += n_reads_this - n_rev
+            if var_in_genotype:
+                tc_ab += n_reads_this
+                tcr_sb += n_rev
+                tcf_sb += n_reads_this - n_rev
 
-            for r in good_rows_by_ind[i]:
-                pos = int(reads.pos[r])
-                end = int(reads.end[r])
-                rlen = int(reads.rlen[r])
-                if not (pos <= var_max and end > var_min):
-                    continue
-                if not _read_qual_good(reads.qual[r], rlen, pos, var_min, var_max):
-                    continue
-                n_reads_this += 1
-                tc += 1
-                rmsmq += float(reads.mapq[r]) ** 2
-                reverse = bool(reads.strand_reverse[r])
-                if var_in_genotype:
-                    tc_ab += 1
-                    if reverse:
-                        tcr_sb += 1
-                    else:
-                        tcf_sb += 1
-                if reverse:
-                    tcr += 1
-                else:
-                    tcf += 1
-
-                rs, row = reads.cigar_refs[r]
-                cigar = rs.cigar_ops(row)
-                if variant_supported_by_read(
-                    cigar, reads.seq[r], rlen, pos, variant,
-                    bool(config.count_only_exact_indel_matches),
-                ):
-                    tr += 1
-                    n_var_reads_this += 1
-                    if var_in_genotype:
-                        tr_ab += 1
-                        if reverse:
-                            nr_sb += 1
-                        else:
-                            nf_sb += 1
-                    if reverse:
-                        nr += 1
-                    else:
-                        nf += 1
-                    if var_in_genotype:
-                        w = config.bad_reads_window
-                        w_start = max(0, var_min - pos - (w - 1) // 2)
-                        w_end = min(rlen, var_max - pos + (w - 1) // 2)
-                        if w_end > w_start:
-                            min_quals.append(int(reads.qual[r][w_start:w_end].min()))
-                        else:
-                            min_quals.append(0)
+            supp = supported_mask(grows, variant)
+            srows = grows[supp]
+            srev = rev[supp]
+            n_var_reads_this = len(srows)
+            tr += n_var_reads_this
+            n_srev = int(srev.sum())
+            nr += n_srev
+            nf += n_var_reads_this - n_srev
+            if var_in_genotype:
+                tr_ab += n_var_reads_this
+                nr_sb += n_srev
+                nf_sb += n_var_reads_this - n_srev
+                if n_var_reads_this:
+                    w = config.bad_reads_window
+                    pos = reads.pos[srows]
+                    rlen = reads.rlen[srows].astype(np.int64)
+                    w_start = np.maximum(0, var_min - pos - (w - 1) // 2)
+                    w_end = np.minimum(rlen, var_max - pos + (w - 1) // 2)
+                    span = (col[None, :] >= w_start[:, None]) & (col[None, :] < w_end[:, None])
+                    mins = np.where(span, reads.qual[srows], 255).min(axis=1, initial=255)
+                    mins = np.where(w_end > w_start, mins, 0)
+                    min_quals.extend(int(x) for x in mins)
 
             n_reads_per_sample.append(n_reads_this)
             n_var_reads_per_sample.append(n_var_reads_this)
