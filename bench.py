@@ -8,6 +8,11 @@ The hot loop of the whole caller is the (read x haplotype) banded alignment
 measure pair-alignments/second for 100bp reads on the device, and — when the
 reference tree + gcc are available — the same workload through the compiled
 reference kernel single-core as the baseline ratio.
+
+The shared-tunnel TPU intermittently stalls for minutes at a time, so the
+device phase runs in a child process under a hard deadline; if the default
+backend cannot complete in time the benchmark falls back to the local CPU
+backend (same kernel, bit-identical scores) rather than hanging the driver.
 """
 
 import ctypes
@@ -24,7 +29,8 @@ REFERENCE_DIR = os.environ.get("REFERENCE_DIR", "/root/reference")
 
 B = 4096
 L2 = 100
-N_ITERS = 20
+# Hard ceiling for one device-phase attempt (compile included).
+DEVICE_DEADLINE_S = float(os.environ.get("PLATYPUS_BENCH_DEADLINE", "240"))
 
 
 def make_inputs(seed=0):
@@ -61,15 +67,21 @@ def bench_device(hap, go, read, qual, rl, n_trials=4):
     # Warmup/compile.
     out = band_align_padded(*padded)
     jax.block_until_ready(out)
+    # One timed iteration sizes the trial loops (~2 s per trial).
+    t0 = time.perf_counter()
+    out = band_align_padded(*padded)
+    jax.block_until_ready(out)
+    t1 = max(1e-4, time.perf_counter() - t0)
+    n_iters = max(1, min(20, int(2.0 / t1)))
     # The shared-chip tunnel is noisy; take the best of several trials.
     best = 0.0
     for _ in range(n_trials):
         t0 = time.perf_counter()
-        for _ in range(N_ITERS):
+        for _ in range(n_iters):
             out = band_align_padded(*padded)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
-        best = max(best, (B * N_ITERS) / dt)
+        best = max(best, (B * n_iters) / dt)
     return best, np.asarray(out)
 
 
@@ -116,25 +128,79 @@ def bench_reference_cpu(hap, go, read, qual, rl, budget_s=20.0):
         return n_done / dt, scores
 
 
-def main():
-    hap, go, read, qual, rl = make_inputs()
-    device_rate, device_scores = bench_device(hap, go, read, qual, rl)
-    ref_rate, ref_scores = bench_reference_cpu(hap, go, read, qual, rl)
+def _child_main():
+    """Device phase in an expendable process: prints rate + score sample."""
+    if os.environ.get("PLATYPUS_BENCH_PLATFORM") == "cpu":
+        import jax
 
+        jax.config.update("jax_platforms", "cpu")
+    hap, go, read, qual, rl = make_inputs()
+    rate, scores = bench_device(hap, go, read, qual, rl)
+    print(json.dumps({"rate": rate, "scores": scores[:256].tolist()}))
+
+
+def _run_device_child(platform: str, deadline: float):
+    env = dict(os.environ, PLATYPUS_BENCH_CHILD="1")
+    if platform == "cpu":
+        env["PLATYPUS_BENCH_PLATFORM"] = "cpu"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, timeout=deadline, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main():
+    if os.environ.get("PLATYPUS_BENCH_CHILD"):
+        _child_main()
+        return
+
+    backend = "device"
+    result = _run_device_child("default", DEVICE_DEADLINE_S)
+    if result is None:
+        # Tunnel stalled or device unavailable: same kernel on local CPU.
+        backend = "cpu-fallback"
+        result = _run_device_child("cpu", DEVICE_DEADLINE_S)
+    if result is None:
+        print(json.dumps({
+            "metric": "pair_alignments_per_second", "value": 0,
+            "unit": "alignments/s (benchmark could not run)", "vs_baseline": 0,
+        }))
+        return
+
+    device_rate = float(result["rate"])
+    device_scores = np.array(result["scores"], np.int64)
+
+    hap, go, read, qual, rl = make_inputs()
+    ref_rate, ref_scores = bench_reference_cpu(hap, go, read, qual, rl)
     vs_baseline = device_rate / ref_rate if ref_rate else 1.0
 
     # Sanity: device scores must match the reference kernel where computed.
     if ref_scores is not None:
-        n = min(B, 256)
+        n = min(len(device_scores), 256)
         mismatch = int((device_scores[:n] != ref_scores[:n]).sum())
         if mismatch:
             print(f"WARNING: {mismatch}/{n} score mismatches vs reference kernel",
                   file=sys.stderr)
 
+    unit = f"alignments/s (100bp reads, band 16, batch {B}"
+    unit += ", cpu fallback)" if backend == "cpu-fallback" else ")"
     print(json.dumps({
         "metric": "pair_alignments_per_second",
         "value": round(device_rate, 1),
-        "unit": f"alignments/s (100bp reads, band 16, batch {B})",
+        "unit": unit,
         "vs_baseline": round(vs_baseline, 3),
     }))
 
