@@ -23,6 +23,31 @@ def open_transparent(path: str, mode: str = "rt") -> IO:
     return open(path, mode)
 
 
+def open_url(url: str, command: str = "scp -q %s /dev/stdout") -> IO:
+    """Pipe a remote file through a user-specified fetch command, with
+    on-the-fly .gz/.bz2 decompression (reference filez.py:24-47 openurl).
+
+    `command` shortcuts "scp"/"wget" expand to the reference's templates;
+    underscores stand in for spaces to dodge shell quoting.
+    """
+    import subprocess
+
+    if command == "scp":
+        command = "scp -q %s /dev/stdout"
+    elif command == "wget":
+        command = "wget -q -O - %s"
+    command = command.replace("_", " ")
+    p1 = subprocess.Popen((command % url).split(), stdout=subprocess.PIPE)
+    lower = url.lower()
+    if lower.endswith(".gz"):
+        p2 = subprocess.Popen(["zcat"], stdin=p1.stdout, stdout=subprocess.PIPE)
+    elif lower.endswith(".bz2"):
+        p2 = subprocess.Popen(["bzcat"], stdin=p1.stdout, stdout=subprocess.PIPE)
+    else:
+        p2 = p1
+    return p2.stdout
+
+
 def is_indexable(path: str) -> bool:
     return path.lower().endswith((".bam", ".cram"))
 

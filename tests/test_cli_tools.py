@@ -114,3 +114,44 @@ def test_cli_builds_config_with_glob(tmp_path):
     ])
     assert cfg.bam_files == [str(tmp_path / "s1.bam"), str(tmp_path / "s2.bam")]
     assert cfg.regions == ["chr1:1-100", "chr2"]
+
+
+def test_open_url_local_pipe(tmp_path):
+    import gzip as _gzip
+
+    from platypus_tpu.utils.fileio import open_url
+
+    p = tmp_path / "remote.txt"
+    p.write_text("hello remote\n")
+    # Underscore-for-space command form, as the reference supports.
+    out = open_url(str(p), "cat_%s").read()
+    assert out == b"hello remote\n"
+
+    gz = tmp_path / "remote2.txt.gz"
+    with _gzip.open(gz, "wt") as fh:
+        fh.write("zipped line\n")
+    out = open_url(str(gz), "cat_%s").read()
+    assert out == b"zipped line\n"
+
+
+def test_native_decoder_truncated_bam(tmp_path):
+    """A BAM cut mid-block must fail cleanly (no crash/hang) in both the
+    native threaded decoder and the Python oracle."""
+    import numpy as np
+
+    from platypus_tpu.io.bam import BamFile
+    from synth import SimHaplotype, make_reference, simulate_reads, write_synth_bam
+
+    ref_path, ref_seq = make_reference(tmp_path, length=9000, seed=3)
+    reads = simulate_reads([SimHaplotype(ref_seq, [])], 200, 8000, coverage=10)
+    bam = write_synth_bam(tmp_path, reads, ref_len=9000)
+    data = open(bam, "rb").read()
+    trunc = tmp_path / "trunc.bam"
+    trunc.write_bytes(data[: max(100, len(data) // 2)])
+    try:
+        with BamFile(str(trunc)) as bf:
+            chrom, length = bf.references[0]
+            rs = bf.fetch(chrom, 0, length)
+            assert len(rs) >= 0  # partial data is acceptable; crashing is not
+    except (ValueError, OSError, RuntimeError):
+        pass  # clean failure is also acceptable
