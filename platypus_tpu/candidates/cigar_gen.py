@@ -43,6 +43,9 @@ class CandidateGenerator:
         self.gen_snps = gen_snps
         self.gen_indels = gen_indels
         self.variant_heap: Dict[Variant, Variant] = {}
+        # (pos, removed, added) -> canonical heap Variant: lets the batched
+        # mismatch scan bump support without constructing a Variant per hit.
+        self._batch_var_cache: Dict[tuple, Variant] = {}
 
     # ------------------------------------------------------------------
     def add_variant(self, var: Variant) -> None:
@@ -113,16 +116,28 @@ class CandidateGenerator:
             bpos = np.nonzero(breaks)[0]
             starts = np.concatenate([[0], bpos + 1])
             ends = np.concatenate([bpos, [len(rr) - 1]])
+            cache = self._batch_var_cache
             for s, e in zip(starts, ends):
                 r = int(rr[s])
                 i0 = int(cc[s])
                 i1 = int(cc[e])
                 rb = int(ref_base[r])
-                self.add_variant(
-                    Variant(self.ref_name, rb + i0 + self.ref_seq_start,
-                            self.ref_seq[rb + i0 : rb + i1 + 1],
-                            bytes(seq[r, i0 : i1 + 1]), 1, PLATYPUS_VAR)
-                )
+                pos = rb + i0 + self.ref_seq_start
+                removed = self.ref_seq[rb + i0 : rb + i1 + 1]
+                added = bytes(seq[r, i0 : i1 + 1])
+                canon = cache.get((pos, removed, added))
+                if canon is not None:
+                    # add_variant-merge of an identical 1-read candidate.
+                    canon.n_supporting_reads += 1
+                    if pos < canon.bam_min_pos:
+                        canon.bam_min_pos = pos
+                    if pos > canon.bam_max_pos:
+                        canon.bam_max_pos = pos
+                else:
+                    v = Variant(self.ref_name, pos, removed, added, 1,
+                                PLATYPUS_VAR)
+                    self.add_variant(v)
+                    cache[(pos, removed, added)] = self.variant_heap[v]
 
     def _scan_read(self, rs, i: int) -> None:
         read_start = int(rs.pos[i])

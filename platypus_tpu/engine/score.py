@@ -106,18 +106,21 @@ def gather_window_reads(
     reference's array order (good, bad, broken per individual)."""
     from ..io.bam import FLAG_REVERSE
 
-    parts = []
+    # Window slices are contiguous ranges of each pile's arrays, so the
+    # gather is block copies, not per-read assignments.
+    segs = []
     for s_idx, buf in enumerate(buffers):
         for pile, rs, sl in (
             ("good", buf.good, buf.window_slice(window_start, window_end)),
             ("bad", buf.bad, buf.bad_window_slice(window_start, window_end)),
             ("broken", buf.broken, buf.broken_window_slice(window_start, window_end)),
         ):
-            for i in range(sl.start, sl.stop):
-                parts.append((s_idx, pile, rs, i))
+            if sl.stop > sl.start:
+                segs.append((s_idx, pile, rs, sl))
 
-    R = len(parts)
-    L = max((int(p[2].rlen[p[3]]) for p in parts), default=0)
+    R = sum(sl.stop - sl.start for _, _, _, sl in segs)
+    L = max((int(rs.rlen[sl.start : sl.stop].max()) for _, _, rs, sl in segs),
+            default=0)
     seq = np.zeros((R, L), np.uint8)
     qual = np.zeros((R, L), np.uint8)
     rlen = np.zeros(R, np.int32)
@@ -130,20 +133,30 @@ def gather_window_reads(
     sample_idx = np.zeros(R, np.int32)
     good = np.zeros(R, bool)
     cigar_refs: List[Tuple[object, int]] = []
-    for r, (s_idx, pile, rs, i) in enumerate(parts):
-        n = int(rs.rlen[i])
-        seq[r, :n] = rs.seq[i, :n]
-        qual[r, :n] = rs.qual[i, :n]
-        rlen[r] = n
-        pos[r] = rs.pos[i]
-        end[r] = rs.end[i]
-        mapq[r] = rs.mapq[i]
-        rev[r] = bool(rs.flag[i] & FLAG_REVERSE)
-        qc[r] = bool(rs.qc_fail[i])
-        broken[r] = pile == "broken"
-        good[r] = pile == "good"
-        sample_idx[r] = s_idx
-        cigar_refs.append((rs, i))
+    col = np.arange(L, dtype=np.int32)
+    r = 0
+    for s_idx, pile, rs, sl in segs:
+        n = sl.stop - sl.start
+        k = min(L, rs.seq.shape[1])
+        block_rlen = rs.rlen[sl.start : sl.stop]
+        seq[r : r + n, :k] = rs.seq[sl.start : sl.stop, :k]
+        qual[r : r + n, :k] = rs.qual[sl.start : sl.stop, :k]
+        # Zero any payload beyond each read's length (the per-read copy
+        # loop never brought it over).
+        tail = col[None, :] >= block_rlen[:, None]
+        seq[r : r + n][tail] = 0
+        qual[r : r + n][tail] = 0
+        rlen[r : r + n] = block_rlen
+        pos[r : r + n] = rs.pos[sl.start : sl.stop]
+        end[r : r + n] = rs.end[sl.start : sl.stop]
+        mapq[r : r + n] = rs.mapq[sl.start : sl.stop]
+        rev[r : r + n] = (rs.flag[sl.start : sl.stop] & FLAG_REVERSE) != 0
+        qc[r : r + n] = rs.qc_fail[sl.start : sl.stop]
+        broken[r : r + n] = pile == "broken"
+        good[r : r + n] = pile == "good"
+        sample_idx[r : r + n] = s_idx
+        cigar_refs.extend((rs, i) for i in range(sl.start, sl.stop))
+        r += n
     return WindowReads(seq, qual, rlen, pos, end, mapq, rev, qc, broken,
                        sample_idx, good, cigar_refs)
 
