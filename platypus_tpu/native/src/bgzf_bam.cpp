@@ -301,14 +301,33 @@ struct BaiIndex {
 
 const char SEQ_LOOKUP[17] = "=ACMGRSVTWYHKDBN";
 
+// packed byte -> two decoded sequence characters (little-endian pair).
+struct Nib2Table {
+    uint16_t v[256];
+    Nib2Table() {
+        for (int b = 0; b < 256; b++)
+            v[b] = (uint16_t)((uint8_t)SEQ_LOOKUP[b >> 4])
+                 | ((uint16_t)((uint8_t)SEQ_LOOKUP[b & 0xF]) << 8);
+    }
+};
+const Nib2Table NIB2;
+
 constexpr uint32_t kConsumesRef = (1u << 0) | (1u << 2) | (1u << 3) | (1u << 7) | (1u << 8);
 
-struct ParsedRead {
-    std::vector<uint8_t> seq;
-    std::vector<uint8_t> qual;
-    std::vector<uint32_t> cigar;
-    int64_t pos, end, mate_pos;
-    int32_t rlen, mapq, flag, chrom_id, mate_chrom_id, insert_size;
+// Flat structure-of-arrays batch: one growing buffer per field instead of
+// three heap vectors per read (~1M small allocations per Mb otherwise).
+struct BatchStore {
+    std::vector<uint8_t> seq_flat, qual_flat;
+    std::vector<int64_t> rq_off;      // per-read offset into seq/qual (N+1)
+    std::vector<uint32_t> cigar_flat;
+    std::vector<int64_t> cigar_off;   // N+1
+    std::vector<int64_t> pos, end, mate_pos;
+    std::vector<int32_t> rlen, mapq, flag, chrom_id, mate_chrom_id, insert_size;
+    BatchStore() {
+        rq_off.push_back(0);
+        cigar_off.push_back(0);
+    }
+    size_t size() const { return rlen.size(); }
 };
 
 }  // namespace
@@ -317,7 +336,7 @@ extern "C" {
 
 // Opaque fetch result handle.
 struct PtpuBamBatch {
-    std::vector<ParsedRead>* reads;
+    BatchStore* store;
     int32_t max_len;
     int64_t n_cigar_total;
 };
@@ -340,9 +359,8 @@ PtpuBamBatch* ptpu_bam_fetch(const char* bam_path, const char* bai_path,
         chunks.push_back({(uint64_t)first_record_voffset, ~0ull});
     }
 
-    auto* reads = new std::vector<ParsedRead>();
+    auto* store = new BatchStore();
     int32_t max_len = 0;
-    int64_t n_cigar_total = 0;
     std::vector<uint8_t> rec;
 
     for (auto [u, v] : chunks) {
@@ -386,39 +404,46 @@ PtpuBamBatch* ptpu_bam_fetch(const char* bam_path, const char* bai_path,
             int64_t rec_end = (int64_t)pos + ref_span;
             if (rec_end <= start || pos >= end) continue;
 
-            ParsedRead pr;
-            pr.seq.resize(l_seq);
-            for (int i = 0; i < l_seq; i++) {
-                uint8_t nib = (i % 2 == 0) ? (packed[i / 2] >> 4) : (packed[i / 2] & 0xF);
-                pr.seq[i] = (uint8_t)SEQ_LOOKUP[nib];
+            size_t so = store->seq_flat.size();
+            store->seq_flat.resize(so + l_seq);
+            uint8_t* sp = store->seq_flat.data() + so;
+            {
+                int i = 0;
+                for (; i + 1 < l_seq; i += 2) {
+                    uint16_t two = NIB2.v[packed[i / 2]];
+                    sp[i] = (uint8_t)(two & 0xFF);
+                    sp[i + 1] = (uint8_t)(two >> 8);
+                }
+                if (i < l_seq) sp[i] = (uint8_t)(NIB2.v[packed[i / 2]] & 0xFF);
             }
-            pr.qual.assign(qual, qual + l_seq);
-            pr.cigar.assign(cigar, cigar + n_cigar);
+            store->qual_flat.insert(store->qual_flat.end(), qual, qual + l_seq);
+            store->rq_off.push_back((int64_t)store->seq_flat.size());
+            store->cigar_flat.insert(store->cigar_flat.end(), cigar, cigar + n_cigar);
+            store->cigar_off.push_back((int64_t)store->cigar_flat.size());
             int64_t adj_pos = pos;
             if (n_cigar > 0 && (cigar[0] & 0xF) == 4) adj_pos -= cigar[0] >> 4;
-            pr.pos = adj_pos;
-            pr.end = rec_end;
-            pr.rlen = l_seq;
-            pr.mapq = mapq;
-            pr.flag = flag;
-            pr.chrom_id = ref_id;
-            pr.mate_chrom_id = next_ref;
-            pr.mate_pos = next_pos;
-            pr.insert_size = tlen;
+            store->pos.push_back(adj_pos);
+            store->end.push_back(rec_end);
+            store->rlen.push_back(l_seq);
+            store->mapq.push_back(mapq);
+            store->flag.push_back(flag);
+            store->chrom_id.push_back(ref_id);
+            store->mate_chrom_id.push_back(next_ref);
+            store->mate_pos.push_back(next_pos);
+            store->insert_size.push_back(tlen);
             max_len = std::max(max_len, (int32_t)l_seq);
-            n_cigar_total += n_cigar;
-            reads->push_back(std::move(pr));
         }
         if (!have_index) break;  // full scan covers everything once
     }
 
-    auto* batch = new PtpuBamBatch{reads, max_len, n_cigar_total};
+    auto* batch = new PtpuBamBatch{store, max_len,
+                                   (int64_t)store->cigar_flat.size()};
     return batch;
 }
 
 void ptpu_batch_dims(PtpuBamBatch* b, int64_t* n_reads, int32_t* max_len,
                      int64_t* n_cigar_total) {
-    *n_reads = (int64_t)b->reads->size();
+    *n_reads = (int64_t)b->store->size();
     *max_len = b->max_len;
     *n_cigar_total = b->n_cigar_total;
 }
@@ -427,32 +452,30 @@ void ptpu_batch_fill(PtpuBamBatch* b, uint8_t* seq, uint8_t* qual, int32_t* rlen
                      int64_t* pos, int64_t* end, int32_t* mapq, int32_t* flag,
                      int32_t* chrom_id, int32_t* mate_chrom_id, int64_t* mate_pos,
                      int32_t* insert_size, uint32_t* cigar_flat, int64_t* cigar_off) {
-    const auto& reads = *b->reads;
-    int64_t n = (int64_t)reads.size();
+    const BatchStore& st = *b->store;
+    int64_t n = (int64_t)st.size();
     int32_t L = b->max_len;
-    int64_t coff = 0;
     for (int64_t i = 0; i < n; i++) {
-        const ParsedRead& pr = reads[i];
-        memcpy(seq + i * L, pr.seq.data(), pr.seq.size());
-        memcpy(qual + i * L, pr.qual.data(), pr.qual.size());
-        rlen[i] = pr.rlen;
-        pos[i] = pr.pos;
-        end[i] = pr.end;
-        mapq[i] = pr.mapq;
-        flag[i] = pr.flag;
-        chrom_id[i] = pr.chrom_id;
-        mate_chrom_id[i] = pr.mate_chrom_id;
-        mate_pos[i] = pr.mate_pos;
-        insert_size[i] = pr.insert_size;
-        cigar_off[i] = coff;
-        memcpy(cigar_flat + coff, pr.cigar.data(), 4 * pr.cigar.size());
-        coff += (int64_t)pr.cigar.size();
+        int64_t o = st.rq_off[i];
+        int64_t len = st.rq_off[i + 1] - o;
+        memcpy(seq + i * L, st.seq_flat.data() + o, len);
+        memcpy(qual + i * L, st.qual_flat.data() + o, len);
     }
-    cigar_off[n] = coff;
+    memcpy(rlen, st.rlen.data(), 4 * n);
+    memcpy(pos, st.pos.data(), 8 * n);
+    memcpy(end, st.end.data(), 8 * n);
+    memcpy(mapq, st.mapq.data(), 4 * n);
+    memcpy(flag, st.flag.data(), 4 * n);
+    memcpy(chrom_id, st.chrom_id.data(), 4 * n);
+    memcpy(mate_chrom_id, st.mate_chrom_id.data(), 4 * n);
+    memcpy(mate_pos, st.mate_pos.data(), 8 * n);
+    memcpy(insert_size, st.insert_size.data(), 4 * n);
+    memcpy(cigar_flat, st.cigar_flat.data(), 4 * st.cigar_flat.size());
+    memcpy(cigar_off, st.cigar_off.data(), 8 * (n + 1));
 }
 
 void ptpu_batch_free(PtpuBamBatch* b) {
-    delete b->reads;
+    delete b->store;
     delete b;
 }
 
