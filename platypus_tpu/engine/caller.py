@@ -18,12 +18,15 @@ haplotype filtering layer (variantFilter.pyx:377-650):
 from __future__ import annotations
 
 import heapq
+import logging
 import math
 from dataclasses import dataclass, field
 from itertools import combinations
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger("platypus_tpu")
 
 from ..candidates.normalize import is_haplotype_valid
 from ..candidates.filters import filter_variants_by_coverage
@@ -309,6 +312,31 @@ def finish_window(
             if post >= config.min_posterior:
                 posteriors[v] = post
                 vars_by_pos.setdefault(v.ref_pos, []).append(v)
+
+    # Debug-by-verbosity dumps, the reference's de-facto inspection tool
+    # (cpopulation.pyx:311-382 prints haplotypes + genotype likelihood
+    # tables at verbosity >= 3/4, per-read likelihoods at >= 5).
+    if config.verbosity >= 3:
+        logger.info("window %s:%d-%d: %d haps, %d genotypes, EM freqs %s",
+                    window.chromosome, window.start_pos, window.end_pos, H, G,
+                    np.array2string(frequencies, precision=4))
+        for h_idx, hap in enumerate(all_haps):
+            logger.info("  hap %d (freq %.4f): %s", h_idx,
+                        float(frequencies[h_idx]),
+                        [str(v) for v in hap.variants] or "<ref>")
+        if config.verbosity >= 4:
+            for i in range(I):
+                top = np.argsort(gl_by_ind[i])[::-1][:10]
+                logger.info(
+                    "  sample %d (%d reads): top genotypes %s", i,
+                    int(n_reads[i]),
+                    [(int(hap1_idx[g]), int(hap2_idx[g]), round(float(gl_by_ind[i][g]), 3))
+                     for g in top])
+        if config.verbosity >= 5:
+            for h_idx in range(H):
+                logger.info("  per-read ln-lik hap %d: %s", h_idx,
+                            np.array2string(loglik[h_idx], precision=2,
+                                            max_line_width=200))
 
     return WindowCall(
         window=window,

@@ -214,6 +214,10 @@ def _worker_entry(args):
         import jax
 
         jax.config.update("jax_platforms", platform)
+    # Spawned workers start with a fresh root logger; re-apply the
+    # verbosity mapping (the reference's fork model inherited it).
+    # continuing=True so a shared log file is appended, not truncated.
+    setup_logging(config, continuing=True)
     return run_single_process(config, regions, path)
 
 
