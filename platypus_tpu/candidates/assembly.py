@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import os
+
 import numpy as np
 
 from ..config import PlatypusConfig
@@ -280,19 +282,42 @@ def need_to_assemble(buffers, assem_start: int, assem_end: int,
 
 def assemble_region_variants(chrom: str, start: int, end: int, ref_file,
                              buffers, config: PlatypusConfig) -> List[Variant]:
-    """Tile loop over a region (variantcaller.pyx:496-519)."""
-    out: List[Variant] = []
+    """Tile loop over a region (variantcaller.pyx:496-519).
+
+    Tiles are independent de Bruijn graphs, so the graph work runs on a
+    small thread pool — the native assembler releases the GIL inside its
+    ctypes calls.  Reference-sequence fetches and the assembly gate stay
+    on the calling thread (the FASTA cache is not thread-safe), and
+    results are concatenated in tile order, so output is deterministic.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     shift = max(100, min(1000, config.assembly_region_size // 2))
+    tiles = []
     for assem_start in range(start, end, shift):
         assem_end = min(assem_start + config.assembly_region_size, end)
         ref_start = max(0, assem_start - config.assembly_region_size)
         ref_end = assem_end + config.assembly_region_size
-        ref_seq = ref_file.get_sequence(chrom, ref_start, ref_end)
         if not need_to_assemble(buffers, assem_start, assem_end, config):
             continue
-        out.extend(
-            assemble_reads_and_detect_variants(
-                chrom, assem_start, assem_end, ref_start, ref_seq, buffers, config
-            )
+        ref_seq = ref_file.get_sequence(chrom, ref_start, ref_end)
+        tiles.append((assem_start, assem_end, ref_start, ref_seq))
+    if not tiles:
+        return []
+
+    def run_tile(t):
+        assem_start, assem_end, ref_start, ref_seq = t
+        return assemble_reads_and_detect_variants(
+            chrom, assem_start, assem_end, ref_start, ref_seq, buffers, config
         )
+
+    out: List[Variant] = []
+    n_workers = min(4, len(tiles), os.cpu_count() or 1)
+    if n_workers <= 1:
+        for t in tiles:
+            out.extend(run_tile(t))
+    else:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for res in pool.map(run_tile, tiles):
+                out.extend(res)
     return out
