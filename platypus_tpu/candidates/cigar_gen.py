@@ -55,6 +55,24 @@ class CandidateGenerator:
         else:
             existing.add_variant(var)
 
+    def _add_platypus_candidate(self, pos: int, removed: bytes, added: bytes) -> None:
+        """add_variant of a 1-read PLATYPUS candidate without constructing a
+        Variant when an equal one was seen (the scans emit the same candidate
+        once per supporting read)."""
+        if pos < 0:
+            pos = 0  # Variant.__init__ clamps; the cache key must agree
+        canon = self._batch_var_cache.get((pos, removed, added))
+        if canon is not None:
+            canon.n_supporting_reads += 1
+            if pos < canon.bam_min_pos:
+                canon.bam_min_pos = pos
+            if pos > canon.bam_max_pos:
+                canon.bam_max_pos = pos
+        else:
+            v = Variant(self.ref_name, pos, removed, added, 1, PLATYPUS_VAR)
+            self.add_variant(v)
+            self._batch_var_cache[(pos, removed, added)] = self.variant_heap[v]
+
     def get_candidates(self) -> List[Variant]:
         return sorted(self.variant_heap.values())
 
@@ -116,7 +134,6 @@ class CandidateGenerator:
             bpos = np.nonzero(breaks)[0]
             starts = np.concatenate([[0], bpos + 1])
             ends = np.concatenate([bpos, [len(rr) - 1]])
-            cache = self._batch_var_cache
             for s, e in zip(starts, ends):
                 r = int(rr[s])
                 i0 = int(cc[s])
@@ -125,19 +142,7 @@ class CandidateGenerator:
                 pos = rb + i0 + self.ref_seq_start
                 removed = self.ref_seq[rb + i0 : rb + i1 + 1]
                 added = bytes(seq[r, i0 : i1 + 1])
-                canon = cache.get((pos, removed, added))
-                if canon is not None:
-                    # add_variant-merge of an identical 1-read candidate.
-                    canon.n_supporting_reads += 1
-                    if pos < canon.bam_min_pos:
-                        canon.bam_min_pos = pos
-                    if pos > canon.bam_max_pos:
-                        canon.bam_max_pos = pos
-                else:
-                    v = Variant(self.ref_name, pos, removed, added, 1,
-                                PLATYPUS_VAR)
-                    self.add_variant(v)
-                    cache[(pos, removed, added)] = self.variant_heap[v]
+                self._add_platypus_candidate(pos, removed, added)
 
     def _scan_read(self, rs, i: int) -> None:
         read_start = int(rs.pos[i])
@@ -175,10 +180,7 @@ class CandidateGenerator:
                     continue
                 inserted = bytes(seq[read_off : read_off + length])
                 if b"N" not in inserted and self.gen_indels:
-                    self.add_variant(
-                        Variant(self.ref_name, read_start + ref_off - 1, b"", inserted,
-                                1, PLATYPUS_VAR)
-                    )
+                    self._add_platypus_candidate(read_start + ref_off - 1, b"", inserted)
                 read_off += length
             elif op == CIGAR_D:
                 flank_ok = (
@@ -193,10 +195,7 @@ class CandidateGenerator:
                     self.ref_name, read_start + ref_off, read_start + ref_off + length
                 )
                 if b"N" not in deleted and self.gen_indels:
-                    self.add_variant(
-                        Variant(self.ref_name, read_start + ref_off - 1, deleted, b"",
-                                1, PLATYPUS_VAR)
-                    )
+                    self._add_platypus_candidate(read_start + ref_off - 1, deleted, b"")
                 ref_off += length
             elif op in (CIGAR_M, CIGAR_EQ, CIGAR_X):
                 if op == CIGAR_EQ or (length < self.min_flank and op == CIGAR_M):
@@ -263,7 +262,5 @@ class CandidateGenerator:
             i1 = int(positions[ge]) + lo
             ref_bytes = ref_seq[ref_base + i0 : ref_base + i1 + 1]
             read_bytes = bytes(seq[read_off + i0 : read_off + i1 + 1])
-            self.add_variant(
-                Variant(self.ref_name, ref_base + i0 + self.ref_seq_start,
-                        ref_bytes, read_bytes, 1, PLATYPUS_VAR)
-            )
+            self._add_platypus_candidate(ref_base + i0 + self.ref_seq_start,
+                                          ref_bytes, read_bytes)

@@ -98,6 +98,9 @@ def _np_ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.c_void_p)
 
 
+_KMER_BUFS: list = [None, None]
+
+
 def native_kmer_segments(hap_seq: bytes, read_seq: np.ndarray,
                          read_len: np.ndarray, read_start: np.ndarray,
                          hap_start: int):
@@ -111,15 +114,20 @@ def native_kmer_segments(hap_seq: bytes, read_seq: np.ndarray,
     R, L = seq.shape
     rl = np.ascontiguousarray(read_len, np.int32)
     rs = np.ascontiguousarray(read_start, np.int64)
+    # Reusable output buffers (called per (window, hap); allocation noise
+    # would dominate the ~10us of C work).
+    bufs = _KMER_BUFS
     cap = max(16, 8 * R)
     while True:
-        out_read = np.zeros(cap, np.int32)
-        out_seg = np.zeros(cap, np.int32)
+        if bufs[0] is None or len(bufs[0]) < cap:
+            bufs[0] = np.zeros(max(cap, 4096), np.int32)
+            bufs[1] = np.zeros(max(cap, 4096), np.int32)
+        out_read, out_seg = bufs[0], bufs[1]
         n = lib.ptpu_kmer_segments(
             hap_seq, len(hap_seq), _np_ptr(seq), R, L, _np_ptr(rl), _np_ptr(rs),
-            int(hap_start), _np_ptr(out_read), _np_ptr(out_seg), cap,
+            int(hap_start), _np_ptr(out_read), _np_ptr(out_seg), len(out_read),
         )
-        if n <= cap:
+        if n <= len(out_read):
             return out_read[:n].astype(np.int64), out_seg[:n].astype(np.int64)
         cap = n
 
