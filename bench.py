@@ -170,6 +170,11 @@ def main():
     backend = "device"
     result = _run_device_child("default", DEVICE_DEADLINE_S)
     if result is None:
+        # Tunnel stalls usually clear within a minute or two; one spaced
+        # retry before giving up on the device.
+        time.sleep(30)
+        result = _run_device_child("default", DEVICE_DEADLINE_S * 0.75)
+    if result is None:
         # Tunnel stalled or device unavailable: same kernel on local CPU.
         backend = "cpu-fallback"
         result = _run_device_child("cpu", DEVICE_DEADLINE_S)
