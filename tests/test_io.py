@@ -242,3 +242,38 @@ def test_window_slicing():
     assert buf.count_reads_covering_region(200, 201) == sum(
         1 for p, e in zip(rs.pos, rs.end) if p < 201 and e > 200
     )
+
+
+def test_batched_coverage_counts_match_scalar():
+    """count_reads_covering_positions == count_reads_covering_region(p, p+1)
+    for every position, including before/after all reads and deletion-ish
+    gaps (variable read spans)."""
+    rng = np.random.default_rng(13)
+    specs = []
+    for i in range(60):
+        ln = int(rng.integers(20, 80))
+        specs.append(dict(
+            name=f"r{i}", ref_id=0, pos=int(rng.integers(50, 900)), flag=0,
+            mapq=60, cigar=[(0, ln)], seq=b"A" * ln, qual=[30] * ln,
+        ))
+    rs = _mk_readset(specs)
+    buf = build_sample_buffer("s", rs, QCOptions())
+    positions = np.arange(0, 1100, 7, dtype=np.int64)
+    batched = buf.count_reads_covering_positions(positions)
+    for p, c in zip(positions, batched):
+        assert int(c) == buf.count_reads_covering_region(int(p), int(p) + 1), p
+
+
+def test_worker_platform_flag_plumbed():
+    import platypus_tpu.cli as cli
+
+    cfg = cli.build_config([
+        "--bamFiles=x.bam", "--refFile=r.fa", "--workerPlatform=cpu",
+        "--nCPU=3", "-o", "out.vcf",
+    ])
+    assert cfg.worker_platform == "cpu"
+    assert cfg.n_cpu == 3
+    # Round-trips through the resume/spawn serialisation.
+    from platypus_tpu.config import PlatypusConfig
+
+    assert PlatypusConfig.from_json(cfg.to_json()).worker_platform == "cpu"
