@@ -1,18 +1,27 @@
-"""Benchmark: banded pair-alignment throughput on the current device vs the
-reference's SSE2 CPU kernel.
+"""Benchmark: banded pair-alignment throughput on the TPU vs the reference's
+SSE2 CPU kernel (single core).
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(plus informational extra keys: per-kernel rates and the backend used).
 
 The hot loop of the whole caller is the (read x haplotype) banded alignment
-(reference align.c:77, called ~reads*haps*anchors times per window).  We
-measure pair-alignments/second for 100bp reads on the device, and — when the
-reference tree + gcc are available — the same workload through the compiled
-reference kernel single-core as the baseline ratio.
+(reference align.c:77, called ~reads*haps*anchors times per window).  Both
+device kernels are measured — the hand-scheduled Pallas kernel
+(ops/align_pallas.py, the engine's flagship path) and the XLA lax.scan kernel
+(ops/align_jax.py) — and the headline number is the faster of the two.
 
-The shared-tunnel TPU intermittently stalls for minutes at a time, so the
-device phase runs in a child process under a hard deadline; if the default
-backend cannot complete in time the benchmark falls back to the local CPU
-backend (same kernel, bit-identical scores) rather than hanging the driver.
+Tunnel-robust design (the shared-chip tunnel stalls for minutes at a time):
+
+* the repeat loop runs ON DEVICE inside one jitted fori_loop, so a trial is a
+  single dispatch + single fetch no matter how many kernel invocations it
+  times — per-call tunnel latency cannot pollute the rate;
+* each trial times two iteration counts (small and large) and uses the delta,
+  cancelling the fixed dispatch/fetch overhead;
+* the child process appends every completed trial to a results file
+  immediately; if a stall eats the deadline, the parent kills the child and
+  harvests whatever trials already landed instead of discarding the attempt;
+* only when no device trial lands at all does the benchmark fall back to the
+  local CPU backend (same kernels, bit-identical scores).
 """
 
 import ctypes
@@ -31,6 +40,9 @@ B = 4096
 L2 = 100
 # Hard ceiling for one device-phase attempt (compile included).
 DEVICE_DEADLINE_S = float(os.environ.get("PLATYPUS_BENCH_DEADLINE", "240"))
+N_SMALL, N_BIG = 2, 34
+MAX_TRIALS = 6
+ENOUGH_TRIALS = 3
 
 
 def make_inputs(seed=0):
@@ -52,7 +64,49 @@ def make_inputs(seed=0):
     return hap, go, read, qual, rl
 
 
-def bench_device(hap, go, read, qual, rl, n_trials=4):
+# --------------------------------------------------------------------------
+# Child: device measurement
+# --------------------------------------------------------------------------
+
+def _emit(path, obj):
+    with open(path, "a") as fh:
+        fh.write(json.dumps(obj) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+
+
+def _make_repeat(fn):
+    """Jitted n-times repeat of `fn` with a data-dependent chain so XLA can
+    neither hoist the kernel out of the loop nor dead-code it."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def repeat(hap, go, read, qual, rl, n):
+        def body(_, carry):
+            qual, acc = carry
+            out = fn(hap, go, read, qual, rl)
+            # out >> 30 is always 0 for phred scores, but XLA cannot prove
+            # it, so qual (hence the next iteration) depends on out.
+            qual = qual + (out[0] >> 30)
+            return qual, acc + jnp.sum(out)
+
+        _, acc = jax.lax.fori_loop(0, n, body, (qual, jnp.int32(0)))
+        return acc
+
+    return repeat
+
+
+def _child_main():
+    results_path = os.environ["PLATYPUS_BENCH_RESULTS"]
+    cpu_mode = os.environ.get("PLATYPUS_BENCH_PLATFORM") == "cpu"
+    if cpu_mode:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import jax
 
     from platypus_tpu.ops.align_jax import (
@@ -60,29 +114,104 @@ def bench_device(hap, go, read, qual, rl, n_trials=4):
         configure_compilation_cache,
         pad_alignment_inputs,
     )
+    from platypus_tpu.ops.align_pallas import band_align_padded_pallas
 
     configure_compilation_cache()
 
+    hap, go, read, qual, rl = make_inputs()
     padded = pad_alignment_inputs(hap, go, read, qual, rl)
-    # Warmup/compile.
-    out = band_align_padded(*padded)
-    jax.block_until_ready(out)
-    # One timed iteration sizes the trial loops (~2 s per trial).
-    t0 = time.perf_counter()
-    out = band_align_padded(*padded)
-    jax.block_until_ready(out)
-    t1 = max(1e-4, time.perf_counter() - t0)
-    n_iters = max(1, min(20, int(2.0 / t1)))
-    # The shared-chip tunnel is noisy; take the best of several trials.
-    best = 0.0
-    for _ in range(n_trials):
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = band_align_padded(*padded)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        best = max(best, (B * n_iters) / dt)
-    return best, np.asarray(out)
+    jax.block_until_ready(padded)
+    _emit(results_path, {"event": "padded"})
+
+    kernels = [("xla_scan", band_align_padded)]
+    if not cpu_mode:
+        # Pallas on CPU would run in interpret mode — meaningless to time.
+        kernels.insert(0, ("pallas", band_align_padded_pallas))
+
+    for name, fn in kernels:
+        try:
+            scores = np.asarray(fn(*padded))
+            _emit(results_path, {"event": "scores", "kernel": name,
+                                 "scores": scores[:256].tolist()})
+            repeat = _make_repeat(fn)
+            # Warm both iteration-count variants (separate executables).
+            jax.block_until_ready(repeat(*padded, n=N_SMALL))
+            jax.block_until_ready(repeat(*padded, n=N_BIG))
+            _emit(results_path, {"event": "warm", "kernel": name})
+            n_ok = 0
+            for _ in range(MAX_TRIALS):
+                t0 = time.perf_counter()
+                jax.block_until_ready(repeat(*padded, n=N_SMALL))
+                t_small = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                jax.block_until_ready(repeat(*padded, n=N_BIG))
+                t_big = time.perf_counter() - t0
+                dt = t_big - t_small
+                if dt <= 0:  # a tunnel stall polluted one of the points
+                    _emit(results_path, {"event": "discard", "kernel": name,
+                                         "t_small": t_small, "t_big": t_big})
+                    continue
+                rate = B * (N_BIG - N_SMALL) / dt
+                _emit(results_path, {"event": "trial", "kernel": name,
+                                     "rate": rate, "t_small": t_small,
+                                     "t_big": t_big})
+                n_ok += 1
+                if n_ok >= ENOUGH_TRIALS:
+                    break
+        except Exception as exc:  # noqa: BLE001 — report and move on
+            _emit(results_path, {"event": "error", "kernel": name,
+                                 "error": repr(exc)})
+    _emit(results_path, {"event": "done"})
+
+
+# --------------------------------------------------------------------------
+# Parent: orchestration + baseline
+# --------------------------------------------------------------------------
+
+def _read_results(path):
+    rows = []
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    try:
+                        rows.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+    except FileNotFoundError:
+        pass
+    return rows
+
+
+def _run_child(results_path, deadline, platform="default"):
+    env = dict(os.environ, PLATYPUS_BENCH_CHILD="1",
+               PLATYPUS_BENCH_RESULTS=results_path)
+    if platform == "cpu":
+        env["PLATYPUS_BENCH_PLATFORM"] = "cpu"
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, timeout=deadline, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        pass  # partial trials were persisted as they completed
+
+
+def _best_rates(rows):
+    best = {}
+    for r in rows:
+        if r.get("event") == "trial":
+            k = r["kernel"]
+            best[k] = max(best.get(k, 0.0), float(r["rate"]))
+    return best
+
+
+def _get_scores(rows, kernel):
+    for r in rows:
+        if r.get("event") == "scores" and r.get("kernel") == kernel:
+            return np.array(r["scores"], np.int64)
+    return None
 
 
 def bench_reference_cpu(hap, go, read, qual, rl, budget_s=20.0):
@@ -112,7 +241,6 @@ def bench_reference_cpu(hap, go, read, qual, rl, budget_s=20.0):
         gos_b = [bytes(go[i].astype(np.uint8).tobytes()) for i in range(B)]
         fp = ctypes.c_int(0)
         scores = np.zeros(B, np.int64)
-        # Warmup + measure enough pairs to fill the budget.
         n_done = 0
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < budget_s:
@@ -128,86 +256,69 @@ def bench_reference_cpu(hap, go, read, qual, rl, budget_s=20.0):
         return n_done / dt, scores
 
 
-def _child_main():
-    """Device phase in an expendable process: prints rate + score sample."""
-    if os.environ.get("PLATYPUS_BENCH_PLATFORM") == "cpu":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    hap, go, read, qual, rl = make_inputs()
-    rate, scores = bench_device(hap, go, read, qual, rl)
-    print(json.dumps({"rate": rate, "scores": scores[:256].tolist()}))
-
-
-def _run_device_child(platform: str, deadline: float):
-    env = dict(os.environ, PLATYPUS_BENCH_CHILD="1")
-    if platform == "cpu":
-        env["PLATYPUS_BENCH_PLATFORM"] = "cpu"
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, timeout=deadline, text=True,
-        )
-    except subprocess.TimeoutExpired:
-        return None
-    if proc.returncode != 0:
-        return None
-    for line in proc.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-    return None
-
-
 def main():
     if os.environ.get("PLATYPUS_BENCH_CHILD"):
         _child_main()
         return
 
-    backend = "device"
-    result = _run_device_child("default", DEVICE_DEADLINE_S)
-    if result is None:
-        # Tunnel stalls usually clear within a minute or two; one spaced
-        # retry before giving up on the device.
-        time.sleep(30)
-        result = _run_device_child("default", DEVICE_DEADLINE_S * 0.75)
-    if result is None:
-        # Tunnel stalled or device unavailable: same kernel on local CPU.
+    results_path = tempfile.mktemp(prefix="platypus_bench_", suffix=".jsonl")
+    backend = "tpu"
+    _run_child(results_path, DEVICE_DEADLINE_S)
+    rows = _read_results(results_path)
+    if not _best_rates(rows):
+        # Tunnel stalls usually clear within a minute; one spaced retry.
+        time.sleep(20)
+        _run_child(results_path, DEVICE_DEADLINE_S * 0.75)
+        rows = _read_results(results_path)
+    if not _best_rates(rows):
         backend = "cpu-fallback"
-        result = _run_device_child("cpu", DEVICE_DEADLINE_S)
-    if result is None:
+        _run_child(results_path, DEVICE_DEADLINE_S, platform="cpu")
+        rows = _read_results(results_path)
+
+    best = _best_rates(rows)
+    if not best:
         print(json.dumps({
             "metric": "pair_alignments_per_second", "value": 0,
             "unit": "alignments/s (benchmark could not run)", "vs_baseline": 0,
         }))
         return
 
-    device_rate = float(result["rate"])
-    device_scores = np.array(result["scores"], np.int64)
+    headline_kernel = max(best, key=best.get)
+    rate = best[headline_kernel]
 
     hap, go, read, qual, rl = make_inputs()
     ref_rate, ref_scores = bench_reference_cpu(hap, go, read, qual, rl)
-    vs_baseline = device_rate / ref_rate if ref_rate else 1.0
+    vs_baseline = rate / ref_rate if ref_rate else 1.0
 
     # Sanity: device scores must match the reference kernel where computed.
     if ref_scores is not None:
-        n = min(len(device_scores), 256)
-        mismatch = int((device_scores[:n] != ref_scores[:n]).sum())
-        if mismatch:
-            print(f"WARNING: {mismatch}/{n} score mismatches vs reference kernel",
-                  file=sys.stderr)
+        for kernel in best:
+            dscores = _get_scores(rows, kernel)
+            if dscores is None:
+                continue
+            n = min(len(dscores), 256)
+            mismatch = int((dscores[:n] != ref_scores[:n]).sum())
+            if mismatch:
+                print(f"WARNING: {kernel}: {mismatch}/{n} score mismatches "
+                      "vs reference kernel", file=sys.stderr)
 
-    unit = f"alignments/s (100bp reads, band 16, batch {B}"
-    unit += ", cpu fallback)" if backend == "cpu-fallback" else ")"
-    print(json.dumps({
+    unit = (f"alignments/s (100bp reads, band 16, batch {B}, "
+            f"{headline_kernel} kernel on {backend})")
+    out = {
         "metric": "pair_alignments_per_second",
-        "value": round(device_rate, 1),
+        "value": round(rate, 1),
         "unit": unit,
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }
+    for k, v in sorted(best.items()):
+        out[f"rate_{k}"] = round(v, 1)
+    if ref_rate:
+        out["baseline_ref_sse2_1core"] = round(ref_rate, 1)
+    print(json.dumps(out))
+    try:
+        os.unlink(results_path)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
