@@ -91,6 +91,7 @@ _FLAG_MAP = {
     "outputRefCalls": "output_ref_calls",
     "refCallBlockSize": "ref_call_block_size",
     "usePallas": "use_pallas",
+    "deviceInference": "device_inference",
 }
 
 _LIST_FLAGS = {"bamFiles", "regions", "source"}

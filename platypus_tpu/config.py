@@ -115,6 +115,9 @@ class PlatypusConfig:
 
     # ---- TPU-specific knobs (no reference equivalent) ----------------------
     use_pallas: int = 1                # use the Pallas DP kernel when on TPU
+    # Fused device GL/EM/posterior inference (parallel/batch.py): -1 = auto
+    # (on when the backend is TPU), 0 = host float64 path, 1 = force on.
+    device_inference: int = -1
     read_len_bucket: int = 160         # padded read length for DP batching
     batch_lanes: int = 128             # alignment batch lane width
     max_anchors: int = 4               # anchor candidates per (read, hap)

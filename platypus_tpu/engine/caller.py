@@ -257,9 +257,17 @@ def finish_window(
     loglik: np.ndarray,
     ref_file,
     config: PlatypusConfig,
+    inference=None,
 ) -> Optional[WindowCall]:
     """Post-alignment inference: GLs, EM, posteriors (Population.setup/call,
-    cpopulation.pyx:197-720)."""
+    cpopulation.pyx:197-720).
+
+    When `inference` (a parallel.batch.WindowInference from the fused device
+    program) is given, its GL/EM/GOF/ratio tensors are used directly and only
+    the priors, phred conversion and bookkeeping run on host; otherwise the
+    float64 host kernels compute everything."""
+    from ..parallel.batch import enumerate_window_variants
+
     window = prep.window
     buffers = prep.buffers
     all_haps = prep.all_haps
@@ -273,23 +281,33 @@ def finish_window(
         loglik = np.zeros((H, len(reads)), np.float64)
 
     n_reads = np.zeros(I, np.int64)
-    gl_by_ind = np.zeros((I, G))
-    gof = np.zeros((G, I))
     for i in range(I):
-        good_rows = np.nonzero((reads.sample_idx == i) & reads.is_good)[0]
-        all_rows = np.nonzero(reads.sample_idx == i)[0]
-        n_reads[i] = len(good_rows)
-        if len(good_rows) == 0:
-            gl_by_ind[i] = 0.0  # rescales to 1.0 below
-            continue
-        gl, gof_sum = lk.genotype_log_likelihoods(loglik[:, all_rows], hap1_idx, hap2_idx)
-        gl_by_ind[i] = gl
-        gof[:, i] = -10.0 * gof_sum / len(good_rows)
+        n_reads[i] = int(((reads.sample_idx == i) & reads.is_good).sum())
 
-    likelihoods = lk.rescale_likelihoods(gl_by_ind, n_reads)
-    frequencies, em_lik, _iters = lk.em_haplotype_frequencies(
-        likelihoods, hap1_idx, hap2_idx, H, n_reads, max_iters=100
-    )
+    if inference is not None:
+        likelihoods = inference.likelihoods
+        em_lik = inference.em
+        frequencies = inference.frequencies
+        gof = np.zeros((G, I))
+        nz = np.maximum(1, n_reads)
+        gof[:] = (-10.0 * inference.gof_sum / nz[:, None]).T
+        gof[:, n_reads == 0] = 0.0
+    else:
+        gl_by_ind = np.zeros((I, G))
+        gof = np.zeros((G, I))
+        for i in range(I):
+            if n_reads[i] == 0:
+                gl_by_ind[i] = 0.0  # rescales to 1.0 below
+                continue
+            all_rows = np.nonzero(reads.sample_idx == i)[0]
+            gl, gof_sum = lk.genotype_log_likelihoods(loglik[:, all_rows], hap1_idx, hap2_idx)
+            gl_by_ind[i] = gl
+            gof[:, i] = -10.0 * gof_sum / n_reads[i]
+
+        likelihoods = lk.rescale_likelihoods(gl_by_ind, n_reads)
+        frequencies, em_lik, _iters = lk.em_haplotype_frequencies(
+            likelihoods, hap1_idx, hap2_idx, H, n_reads, max_iters=100
+        )
     genotype_calls = lk.call_genotypes(
         likelihoods, em_lik, n_reads, use_em=bool(config.use_em_likelihoods)
     )
@@ -298,20 +316,18 @@ def finish_window(
     hap_var_sets = [set(h.variants) for h in all_haps]
     posteriors: Dict[Variant, float] = {}
     vars_by_pos: Dict[int, List[Variant]] = {}
-    done = set()
-    for hap in all_haps:
-        for v in hap.variants:
-            if v in done:
-                continue
-            done.add(v)
+    for v in enumerate_window_variants(all_haps):
+        prior = v.calculate_prior(ref_file)
+        if inference is not None and v in inference.ratios:
+            post = lk.posterior_phred_from_log_ratio(inference.ratios[v], prior)
+        else:
             has_var = np.array([v in s for s in hap_var_sets])
-            prior = v.calculate_prior(ref_file)
             post = lk.variant_posterior_phred(
                 likelihoods, frequencies, has_var, hap1_idx, hap2_idx, n_reads, prior
             )
-            if post >= config.min_posterior:
-                posteriors[v] = post
-                vars_by_pos.setdefault(v.ref_pos, []).append(v)
+        if post >= config.min_posterior:
+            posteriors[v] = post
+            vars_by_pos.setdefault(v.ref_pos, []).append(v)
 
     # Debug-by-verbosity dumps, the reference's de-facto inspection tool
     # (cpopulation.pyx:311-382 prints haplotypes + genotype likelihood

@@ -384,6 +384,16 @@ def prepare_region_call(
                           pending=pending, region_t0=region_t0)
 
 
+def _device_inference_enabled(config: PlatypusConfig) -> bool:
+    if config.device_inference == 0:
+        return False
+    if config.device_inference == 1:
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
     """Await the region's device results and run per-window inference +
     output (in window order)."""
@@ -396,6 +406,20 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
         logliks = state.pending.finalize()
     loglik_by_idx = {w_idx: ll for (w_idx, _p), ll in zip(state.live, logliks)}
 
+    # Fused device GL/EM/posterior pass over the region's windows (hot loop
+    # #2 on device; host float64 path is the fallback/oracle).
+    inference_by_idx = {}
+    if _device_inference_enabled(config):
+        from ..parallel.batch import run_device_inference
+
+        try:
+            with metrics.timer("device_inference"):
+                inference_by_idx = run_device_inference(
+                    state.live, loglik_by_idx, len(buffers))
+        except Exception:  # noqa: BLE001 — fall back to the host path
+            logger.exception("device inference failed; using host path")
+            inference_by_idx = {}
+
     # Phase 3 (host): per-window inference + output, in window order.
     n_written = 0
     for w_idx, window in enumerate(windows):
@@ -406,7 +430,9 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
             result = None
             if window.variants:
                 if prep is not None:
-                    result = finish_window(prep, loglik_by_idx[w_idx], ref_file, config)
+                    result = finish_window(prep, loglik_by_idx[w_idx], ref_file,
+                                           config,
+                                           inference=inference_by_idx.get(w_idx))
                 if result is not None and result.variant_posteriors:
                     n_written += output_call_to_vcf(result, buffers, ref_file, config, writer)
                     if config.output_ref_calls and len(result.vars_by_pos) > 1:

@@ -165,7 +165,13 @@ def variant_posterior_phred(
         sum_log_var += math.log(pv) if pv > 0 else log_min_float
         sum_log_novar += math.log(pn) if pn > 0 else log_min_float
 
-    ratio = max(1e-300, math.exp(sum_log_novar - sum_log_var))
+    return posterior_phred_from_log_ratio(sum_log_novar - sum_log_var, prior)
+
+
+def posterior_phred_from_log_ratio(log_ratio: float, prior: float) -> float:
+    """phred posterior from ln(P(no var)/P(var)) and the variant prior
+    (cpopulation.pyx:586-594); shared by the host and device paths."""
+    ratio = max(1e-300, math.exp(min(700.0, log_ratio)))
     return round(
         -10.0 * (math.log10(ratio * (1.0 - prior)) - math.log10(prior + ratio * (1.0 - prior)))
     )

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 LOG_HALF = -0.69314718055994529
 MLTOT = -0.23025850929940459
+LOG10E = 0.43429448190325182
 
 
 def scores_to_logliks_jax(scores, mapq, cap: float = -300.0):
@@ -64,26 +65,68 @@ def rescale_likelihoods_jax(gl, geno_mask, has_reads):
 def em_frequencies_jax(likelihoods, hap1_idx, hap2_idx, n_haps_max: int,
                        hap_mask, has_reads, n_iters: int = 100):
     """EM over haplotype frequencies for one window (masked, fixed iters)."""
-    G = likelihoods.shape[1]
+    freq, _resp = em_frequencies_resp_jax(
+        likelihoods, hap1_idx, hap2_idx, n_haps_max, hap_mask, has_reads,
+        n_iters)
+    return freq
+
+
+def em_frequencies_resp_jax(likelihoods, hap1_idx, hap2_idx, n_haps_max: int,
+                            hap_mask, has_reads, n_iters: int = 100,
+                            tol=None):
+    """EM over haplotype frequencies for one window (masked).
+
+    Returns (frequencies [Hmax], responsibilities [I, G]) — the latter are
+    the reference's EMLikelihoods (cpopulation.pyx:415-427), used by
+    --useEMLikelihoods genotype calls and the nInd>25 GL marginalisation.
+
+    `tol` reproduces the reference's convergence stop (max frequency change
+    <= min(1e-3, 1/(4 nInd)), cpopulation.pyx:678-716): a converged window
+    freezes, so the vmapped while_loop (which runs until every lane is done)
+    leaves its frequencies at the same fixed point the host path reports.
+    None = fixed n_iters (legacy behaviour for the synthetic mesh demo).
+    """
     n_haps = jnp.maximum(1, hap_mask.sum())
     n_with_data = jnp.maximum(1, has_reads.sum())
     het = 1.0 + (hap1_idx != hap2_idx)
     lik = jnp.where(has_reads[:, None], likelihoods, 0.0)
 
     freq0 = jnp.where(hap_mask, 1.0 / n_haps, 0.0)
+    w0 = jnp.zeros_like(lik)
 
-    def body(_, freq):
+    def update(freq):
         w = lik * (freq[hap1_idx] * freq[hap2_idx] * het)[None, :]
         s = w.sum(axis=1, keepdims=True)
         w = jnp.where(s > 0, w / jnp.where(s > 0, s, 1.0), 0.0)
         resp = w.sum(axis=0)
         new = (
-            jnp.zeros(n_haps_max).at[hap1_idx].add(resp).at[hap2_idx].add(resp)
+            jnp.zeros(n_haps_max, lik.dtype).at[hap1_idx].add(resp).at[hap2_idx].add(resp)
         ) / (2.0 * n_with_data)
-        return jnp.where(hap_mask, new, 0.0)
+        return jnp.where(hap_mask, new, 0.0), w
 
-    freq = jax.lax.fori_loop(0, n_iters, body, freq0)
-    return freq
+    if tol is None:
+        def body(_, carry):
+            freq, _w = carry
+            return update(freq)
+
+        freq, w = jax.lax.fori_loop(0, n_iters, body, (freq0, w0))
+    else:
+        def cond(carry):
+            it, _freq, _w, done = carry
+            return (it < n_iters) & ~done
+
+        def body(carry):
+            it, freq, w, done = carry
+            new, new_w = update(freq)
+            max_change = jnp.abs(new - freq).max()
+            new_done = done | (max_change <= tol)
+            freq = jnp.where(done, freq, new)
+            w = jnp.where(done, w, new_w)
+            return it + 1, freq, w, new_done
+
+        _, freq, w, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), freq0, w0, jnp.bool_(False)))
+    return freq, jnp.where(has_reads[:, None], w, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters",))
@@ -98,6 +141,104 @@ def window_em_batch(gl, hap1_idx, hap2_idx, geno_mask, hap_mask, has_reads,
         return lik, freq
 
     return jax.vmap(per_window)(gl, hap1_idx, hap2_idx, geno_mask, hap_mask, has_reads)
+
+
+def genotype_gl_gof_jax(loglik, hap1_idx, hap2_idx, sample_onehot):
+    """Per-genotype data log-likelihood + goodness-of-fit sums, all samples.
+
+    loglik [H, R]; sample_onehot [I, R] float (1.0 where the read row belongs
+    to sample i — including bad/broken rows, matching the reference's
+    per-individual array sweep, cgenotype.pyx:151-185; 0 for padding).
+    Returns (gl [I, G], gof_sum [I, G]); the caller divides gof by the
+    good-read count and scales by -10.  The [G, R] x [R, I] contractions are
+    the MXU-friendly core of hot loop #2 (cpopulation.pyx:283-301)."""
+    l1 = loglik[hap1_idx]       # [G, R]
+    l2 = loglik[hap2_idx]
+    same = (hap1_idx == hap2_idx)[:, None]
+    diff = jnp.abs(l1 - l2)
+    mx = jnp.maximum(l1, l2)
+    exact = mx + jnp.log1p(jnp.exp(-diff)) + LOG_HALF
+    per_read = jnp.where(
+        same, l1,
+        jnp.where(diff >= 3.0, LOG_HALF + mx, jnp.where(diff <= 1e-3, l1, exact)),
+    )
+    gl = per_read @ sample_onehot.T            # [G, I]
+    gof = (LOG10E * mx) @ sample_onehot.T
+    return gl.T, gof.T
+
+
+@functools.partial(jax.jit, static_argnames=("em_iters",))
+def infer_window_batch(loglik, sample_onehot, hap_mask, h1, h2, var_hap_mask,
+                       has_reads, em_iters: int = 100):
+    """Fused per-window inference for a bucketed window batch: genotype GLs
+    -> relative likelihoods -> EM -> variant posterior ratios, all on device
+    (f32) in one program.
+
+    Shapes: loglik [W, Hmax, Rmax] (padded reads must carry loglik 0 and
+    onehot 0); sample_onehot [W, I, Rmax]; hap_mask [W, Hmax];
+    h1/h2 [G] genotype hap pairs for Hmax (lexicographic i<=j — window-local
+    genotypes are the (h1<H_w & h2<H_w) columns, in order);
+    var_hap_mask [W, Vmax, Hmax] (False-padded variant rows give ratio 0);
+    has_reads [W, I].
+
+    Returns (lik [W, I, G], em_resp [W, I, G], freq [W, Hmax],
+    gof_sum [W, I, G], ratios [W, Vmax]) where ratios is
+    sum_i (ln P(data_i|no var) - ln P(data_i|var)).
+    """
+    Hmax = hap_mask.shape[1]
+    n_ind = sample_onehot.shape[1]
+    tol = min(1e-3, 1.0 / (n_ind * 4))  # reference eps, cpopulation.pyx:705
+
+    def per_window(ll, oh, hm, vm, hr):
+        gm = hm[h1] & hm[h2]
+        gl, gof = genotype_gl_gof_jax(ll, h1, h2, oh)
+        lik = rescale_likelihoods_jax(gl, gm, hr)
+        freq, em = em_frequencies_resp_jax(lik, h1, h2, Hmax, hm, hr, em_iters,
+                                           tol=tol)
+        # Posterior ratios in log space: the host path's relative
+        # likelihoods span far below f32 range (floored at 1e-300 in f64,
+        # cpopulation.pyx:304-309); logsumexp with the same floor keeps f32
+        # parity even for saturated windows.
+        neg = jnp.where(gm[None, :], gl, -jnp.inf)
+        mx = jnp.max(neg, axis=1, keepdims=True)
+        gl_rel = jnp.maximum(gl - jnp.where(jnp.isfinite(mx), mx, 0.0), -690.77552)
+        gl_rel = jnp.where(gm[None, :], gl_rel, -jnp.inf)
+        gl_rel = jnp.where(hr[:, None], gl_rel, jnp.where(gm[None, :], 0.0, -jnp.inf))
+        ratios = jax.vmap(
+            lambda hv: variant_posterior_logratio_jax(gl_rel, freq, hv, h1, h2, hr)
+        )(vm)
+        return lik, em, freq, gof, ratios
+
+    return jax.vmap(per_window)(loglik, sample_onehot, hap_mask, var_hap_mask,
+                                has_reads)
+
+
+def variant_posterior_logratio_jax(gl_rel, frequencies, hap_has_variant,
+                                   hap1_idx, hap2_idx, has_reads):
+    """Log-space twin of variant_posterior_ratio_jax: gl_rel [I, G] are
+    per-individual relative genotype LOG likelihoods (ln of the host path's
+    floored relative likelihoods; -inf for masked genotypes).  Returns
+    sum_i (ln P(data_i|no var) - ln P(data_i|var))."""
+    fp = jnp.where(hap_has_variant, 0.0, frequencies)
+    s = fp.sum()
+    fp = jnp.where(s > 0, fp / jnp.where(s > 0, s, 1.0), fp)
+    factor = 1.0 + (hap1_idx != hap2_idx)
+    w_var = factor * frequencies[hap1_idx] * frequencies[hap2_idx]
+    w_novar = factor * fp[hap1_idx] * fp[hap2_idx]
+    log_min = -708.0
+
+    def log_dot(w):
+        lw = jnp.where(w > 0, jnp.log(jnp.where(w > 0, w, 1.0)), -jnp.inf)
+        t = lw[None, :] + gl_rel                      # [I, G]
+        m = jnp.max(t, axis=1, keepdims=True)
+        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        out = m_safe[:, 0] + jnp.log(
+            jnp.sum(jnp.exp(t - m_safe), axis=1))
+        return jnp.where(jnp.isfinite(m[:, 0]), out, log_min)
+
+    lv = log_dot(w_var)
+    ln = log_dot(w_novar)
+    return jnp.where(has_reads, ln - lv, 0.0).sum()
 
 
 def variant_posterior_ratio_jax(likelihoods, frequencies, hap_has_variant,

@@ -1,0 +1,133 @@
+"""Bridge from prepared windows to fixed-shape device inference batches.
+
+The per-window inference math (genotype GLs, EM, posterior ratios — the
+reference's hot loop #2, cpopulation.pyx:283-457) is a pile of small dense
+ops; running it window-by-window on device would drown in dispatch latency.
+Instead the region's windows are bucketed by (haplotype count, read count,
+variant count) into a few fixed shapes, padded with masks, and each bucket
+runs ONE fused jitted program (ops/likelihood_jax.infer_window_batch).
+
+The float64 host path (ops/likelihood.py) remains the numeric oracle and
+the fallback; f32 deviations are bounded (documented in docs/PARITY.md) and
+the engine only enables this path on the TPU backend by default
+(config.device_inference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..candidates.variant import Variant
+
+
+def geom_bucket(n: int, base: int = 2) -> int:
+    """Smallest base*{1,1.5}*2^k >= n (bounds compiled shapes, <=33% pad)."""
+    b = base
+    while b < n:
+        if b + b // 2 >= n:
+            return b + b // 2
+        b *= 2
+    return b
+
+
+def enumerate_window_variants(all_haps) -> List[Variant]:
+    """Unique variants of a window's haplotypes in deterministic first-seen
+    order — the exact enumeration finish_window's posterior loop uses, so
+    device ratio rows map back by position."""
+    out: List[Variant] = []
+    seen = set()
+    for hap in all_haps:
+        for v in hap.variants:
+            if v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out
+
+
+@dataclass
+class WindowInference:
+    """Device inference results for one window, gathered back to host."""
+
+    likelihoods: np.ndarray    # [I, G_w] relative genotype likelihoods
+    em: np.ndarray             # [I, G_w] EM responsibilities
+    frequencies: np.ndarray    # [H_w]
+    gof_sum: np.ndarray        # [I, G_w] sum_r log10lik max (pre -10/nReads)
+    ratios: Dict[Variant, float]  # ln P(no var) - ln P(var)
+
+
+def run_device_inference(
+    live: Sequence[Tuple[int, object]],   # (window index, PreparedWindow)
+    loglik_by_idx: Dict[int, np.ndarray],
+    n_individuals: int,
+    em_iters: int = 100,
+) -> Dict[int, WindowInference]:
+    """Run the fused GL/EM/posterior program over every live window,
+    bucketed; returns per-window gathered results keyed by window index."""
+    import jax.numpy as jnp
+
+    from ..ops.likelihood import genotype_index_pairs
+    from ..ops.likelihood_jax import infer_window_batch
+
+    groups: Dict[Tuple[int, int, int], list] = {}
+    for w_idx, prep in live:
+        ll = loglik_by_idx[w_idx]
+        H = len(prep.all_haps)
+        R = len(prep.reads)
+        if H == 0:
+            continue
+        if ll.size == 0:
+            ll = np.zeros((H, R), np.float64)
+        variants = enumerate_window_variants(prep.all_haps)
+        key = (geom_bucket(H), geom_bucket(max(1, R), 64),
+               geom_bucket(max(1, len(variants))))
+        groups.setdefault(key, []).append((w_idx, prep, ll, variants))
+
+    out: Dict[int, WindowInference] = {}
+    I = n_individuals
+    for (Hb, Rb, Vb), items in groups.items():
+        Wb = geom_bucket(len(items))
+        loglik = np.zeros((Wb, Hb, Rb), np.float32)
+        onehot = np.zeros((Wb, I, Rb), np.float32)
+        hap_mask = np.zeros((Wb, Hb), bool)
+        var_mask = np.zeros((Wb, Vb, Hb), bool)
+        has_reads = np.zeros((Wb, I), bool)
+        for k, (w_idx, prep, ll, variants) in enumerate(items):
+            H, R = ll.shape
+            loglik[k, :H, :R] = ll
+            if R:
+                onehot[k, prep.reads.sample_idx, np.arange(R)] = 1.0
+            hap_mask[k, :H] = True
+            hap_sets = [frozenset(h.variants) for h in prep.all_haps]
+            for vi, v in enumerate(variants):
+                for h in range(H):
+                    var_mask[k, vi, h] = v in hap_sets[h]
+            n_good = np.bincount(prep.reads.sample_idx[prep.reads.is_good],
+                                 minlength=I) if R else np.zeros(I, np.int64)
+            has_reads[k] = n_good > 0
+
+        h1, h2 = genotype_index_pairs(Hb)
+        lik_d, em_d, freq_d, gof_d, ratio_d = infer_window_batch(
+            jnp.asarray(loglik), jnp.asarray(onehot), jnp.asarray(hap_mask),
+            jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
+            jnp.asarray(var_mask), jnp.asarray(has_reads), em_iters=em_iters,
+        )
+        lik_h = np.asarray(lik_d, np.float64)
+        em_h = np.asarray(em_d, np.float64)
+        freq_h = np.asarray(freq_d, np.float64)
+        gof_h = np.asarray(gof_d, np.float64)
+        ratio_h = np.asarray(ratio_d, np.float64)
+
+        for k, (w_idx, prep, ll, variants) in enumerate(items):
+            H, R = ll.shape
+            cols = np.nonzero((h1 < H) & (h2 < H))[0]
+            out[w_idx] = WindowInference(
+                likelihoods=lik_h[k][:, cols],
+                em=em_h[k][:, cols],
+                frequencies=freq_h[k][:H],
+                gof_sum=gof_h[k][:, cols],
+                ratios={v: float(ratio_h[k, vi]) for vi, v in enumerate(variants)},
+            )
+    return out

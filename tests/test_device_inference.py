@@ -1,0 +1,155 @@
+"""Parity tests for the fused device GL/EM/posterior path
+(ops/likelihood_jax.infer_window_batch + parallel/batch.py) against the
+float64 host oracle (ops/likelihood.py) — VERDICT r1 item 2."""
+
+import math
+
+import numpy as np
+import pytest
+
+from platypus_tpu.ops import likelihood as lk
+
+
+def _random_window(rng, H, R, I):
+    """Synthetic per-window loglik + read metadata."""
+    loglik = -np.abs(rng.normal(3.0, 4.0, size=(H, R)))
+    loglik = np.maximum(loglik, -300.0)
+    sample_idx = rng.integers(0, I, size=R).astype(np.int32)
+    is_good = rng.random(R) < 0.9
+    return loglik, sample_idx, is_good
+
+
+def _host_reference(loglik, sample_idx, is_good, I, var_masks):
+    H = loglik.shape[0]
+    h1, h2 = lk.genotype_index_pairs(H)
+    G = len(h1)
+    n_reads = np.array([(is_good & (sample_idx == i)).sum() for i in range(I)])
+    gl_by_ind = np.zeros((I, G))
+    gof = np.zeros((I, G))
+    for i in range(I):
+        rows = np.nonzero(sample_idx == i)[0]
+        if n_reads[i] == 0:
+            continue
+        gl, gof_sum = lk.genotype_log_likelihoods(loglik[:, rows], h1, h2)
+        gl_by_ind[i] = gl
+        gof[i] = gof_sum
+    lik = lk.rescale_likelihoods(gl_by_ind, n_reads)
+    freq, em, _ = lk.em_haplotype_frequencies(lik, h1, h2, H, n_reads, max_iters=100)
+    ratios = []
+    for has_var in var_masks:
+        fp = np.where(has_var, 0.0, freq)
+        s = fp.sum()
+        if s > 0:
+            fp = fp / s
+        factor = 1.0 + (h1 != h2)
+        w_var = factor * freq[h1] * freq[h2]
+        w_novar = factor * fp[h1] * fp[h2]
+        tot = 0.0
+        for i in range(I):
+            if n_reads[i] == 0:
+                continue
+            pv = float(np.dot(w_var, lik[i]))
+            pn = float(np.dot(w_novar, lik[i]))
+            tot += (math.log(pn) if pn > 0 else -708.0) - (
+                math.log(pv) if pv > 0 else -708.0)
+        ratios.append(tot)
+    return lik, em, freq, gof, n_reads, np.array(ratios)
+
+
+@pytest.mark.parametrize("H,R,I", [(2, 30, 1), (3, 55, 2), (5, 17, 3)])
+def test_infer_window_batch_matches_host(H, R, I):
+    import jax.numpy as jnp
+
+    from platypus_tpu.ops.likelihood_jax import infer_window_batch
+
+    rng = np.random.default_rng(42 + H)
+    loglik, sample_idx, is_good = _random_window(rng, H, R, I)
+    V = 2
+    var_masks = [rng.random(H) < 0.5 for _ in range(V)]
+    for m in var_masks:
+        m[0] = False  # ref hap never carries the variant
+
+    host_lik, host_em, host_freq, host_gof, n_reads, host_ratio = _host_reference(
+        loglik, sample_idx, is_good, I, var_masks)
+
+    # Pad into a bucketed batch (Hb > H, Rb > R, Vb > V, Wb = 2).
+    Hb, Rb, Vb, Wb = H + 2, R + 10, V + 1, 2
+    ll = np.zeros((Wb, Hb, Rb), np.float32)
+    oh = np.zeros((Wb, I, Rb), np.float32)
+    hm = np.zeros((Wb, Hb), bool)
+    vm = np.zeros((Wb, Vb, Hb), bool)
+    hr = np.zeros((Wb, I), bool)
+    ll[0, :H, :R] = loglik
+    oh[0, sample_idx, np.arange(R)] = 1.0
+    hm[0, :H] = True
+    for vi, m in enumerate(var_masks):
+        vm[0, vi, :H] = m
+    hr[0] = n_reads > 0
+
+    h1b, h2b = lk.genotype_index_pairs(Hb)
+    lik_d, em_d, freq_d, gof_d, ratio_d = infer_window_batch(
+        jnp.asarray(ll), jnp.asarray(oh), jnp.asarray(hm),
+        jnp.asarray(h1b, jnp.int32), jnp.asarray(h2b, jnp.int32),
+        jnp.asarray(vm), jnp.asarray(hr), em_iters=100)
+
+    cols = np.nonzero((h1b < H) & (h2b < H))[0]
+    np.testing.assert_allclose(np.asarray(lik_d)[0][:, cols], host_lik,
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(freq_d)[0][:H], host_freq,
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(em_d)[0][:, cols], host_em,
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gof_d)[0][:, cols], host_gof,
+                               rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ratio_d)[0][:V], host_ratio,
+                               rtol=5e-3, atol=0.25)
+    # Padded window row stays finite and silent.
+    assert np.isfinite(np.asarray(freq_d)[1]).all()
+    assert np.asarray(ratio_d)[1].tolist() == [0.0] * Vb
+
+
+def test_device_inference_e2e_matches_host_path(tmp_path):
+    """Full CLI run with --deviceInference=1 (f32 fused path, CPU backend)
+    vs =0 (host float64): same sites, genotypes and QUALs within 1 phred."""
+    from synth import SimHaplotype, make_reference, simulate_reads, write_synth_bam
+
+    workdir = str(tmp_path)
+    ref_path, ref_seq = make_reference(workdir, length=24000, seed=11)
+    variants = [(3000, 1, b"A" if ref_seq[3000] != ord("A") else b"C"),
+                (6100, 3, b""),
+                (9050, 0, b"TTA"),
+                (12500, 1, b"G" if ref_seq[12500] != ord("G") else b"T")]
+    hap = SimHaplotype(ref_seq, variants)
+    reads = simulate_reads([hap, SimHaplotype(ref_seq, [])], 1000, 15000,
+                           coverage=30, error_rate=0.002, seed=5,
+                           fast_errors=True)
+    write_synth_bam(workdir, reads, ref_len=24000)
+
+    from platypus_tpu.cli import main as cli_main
+
+    outs = {}
+    for dev in (0, 1):
+        out = f"{workdir}/out_dev{dev}.vcf"
+        rc = cli_main([
+            "callVariants",
+            f"--bamFiles={workdir}/reads.bam",
+            f"--refFile={ref_path}",
+            "--regions=chr20:1000-15000",
+            f"--deviceInference={dev}",
+            "-o", out,
+        ])
+        assert rc == 0
+        recs = []
+        for line in open(out):
+            if line.startswith("#"):
+                continue
+            f = line.split("\t")
+            recs.append((f[0], int(f[1]), f[3], f[4], float(f[5]),
+                         f[9].split(":")[0]))
+        outs[dev] = recs
+
+    assert len(outs[0]) == len(outs[1]) > 0
+    for a, b in zip(outs[0], outs[1]):
+        assert a[:4] == b[:4]          # site + alleles identical
+        assert a[5] == b[5]            # genotype identical
+        assert abs(a[4] - b[4]) <= 1.0 + 0.001 * max(a[4], b[4])
