@@ -107,18 +107,22 @@ def _beam_search_haplotypes(
                                        config.coverage_sampling_level, len(buffers))
 
     sub = _subset_reads(reads, sample_rows)
+    sample_masks = [sub.sample_idx == i for i in range(len(buffers))]
+    sample_masks = [m for m in sample_masks if m.any()]
 
-    def genotype_best_score(hap: Haplotype) -> float:
-        """max over samples of sum_r ln(0.5 e^s_ref + 0.5 e^s_hap) over the
-        subsampled rows (computeBestScoreForGenotype)."""
-        ll = score_reads_vs_haplotypes([ref_hap, hap], sub, use_map_qual_cap=False)
-        per_read = np.log(0.5 * (np.exp(ll[0]) + np.exp(ll[1])))
-        best = -1e20
-        for i in range(len(buffers)):
-            m = sub.sample_idx == i
-            if m.any():
-                best = max(best, float(per_read[m].sum()))
-        return best
+    def genotype_best_scores(haps: List[Haplotype]) -> np.ndarray:
+        """Per candidate hap: max over samples of
+        sum_r ln(0.5 e^s_ref + 0.5 e^s_hap) over the subsampled rows
+        (computeBestScoreForGenotype, variantFilter.pyx:237-283) — every
+        candidate of a growth round scored in ONE batched device call."""
+        ll = score_reads_vs_haplotypes([ref_hap] + haps, sub, use_map_qual_cap=False)
+        with np.errstate(over="ignore"):
+            per_read = np.log(0.5 * (np.exp(ll[:1]) + np.exp(ll[1:])))  # [C, R]
+        if not sample_masks:
+            return np.full(len(haps), -1e20)
+        return np.max(
+            np.stack([per_read[:, m].sum(axis=1) for m in sample_masks]), axis=0
+        )
 
     vars_by_cov = sorted(variants, key=lambda v: v.n_supporting_reads, reverse=True)
     heap: List[Tuple[float, Tuple[Variant, ...]]] = []
@@ -131,11 +135,14 @@ def _beam_search_haplotypes(
             combo = tuple(sorted(var_tuple + vars2, key=lambda v: v.sort_key()))
             if is_haplotype_valid(combo):
                 candidates.append(combo)
-        for combo in candidates:
-            hap = Haplotype(window.chromosome, window.start_pos, window.end_pos,
-                            combo, ref_file, rt.rlen)
-            score = genotype_best_score(hap)
-            key = (score, tuple(v.sort_key() for v in combo), combo)
+        cand_haps = [
+            Haplotype(window.chromosome, window.start_pos, window.end_pos,
+                      combo, ref_file, rt.rlen)
+            for combo in candidates
+        ]
+        scores = genotype_best_scores(cand_haps)
+        for combo, score in zip(candidates, scores):
+            key = (float(score), tuple(v.sort_key() for v in combo), combo)
             if len(heap) < original_max:
                 heapq.heappush(heap, key)
             else:
