@@ -36,11 +36,11 @@ import numpy as np
 
 REFERENCE_DIR = os.environ.get("REFERENCE_DIR", "/root/reference")
 
-B = 4096
+B = 65536
 L2 = 100
 # Hard ceiling for one device-phase attempt (compile included).
 DEVICE_DEADLINE_S = float(os.environ.get("PLATYPUS_BENCH_DEADLINE", "240"))
-N_SMALL, N_BIG = 2, 34
+N_SMALL, N_BIG = 2, 66
 MAX_TRIALS = 6
 ENOUGH_TRIALS = 3
 
