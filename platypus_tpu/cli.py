@@ -92,6 +92,8 @@ _FLAG_MAP = {
     "refCallBlockSize": "ref_call_block_size",
     "usePallas": "use_pallas",
     "deviceInference": "device_inference",
+    "meshDevices": "mesh_devices",
+    "distributed": "distributed",
 }
 
 _LIST_FLAGS = {"bamFiles", "regions", "source"}

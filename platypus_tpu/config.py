@@ -118,6 +118,14 @@ class PlatypusConfig:
     # Fused device GL/EM/posterior inference (parallel/batch.py): -1 = auto
     # (on when the backend is TPU), 0 = host float64 path, 1 = force on.
     device_inference: int = -1
+    # Device-mesh calling path (parallel/mesh.mesh_call_region): alignment +
+    # inference for a region's windows run as ONE sharded program over an
+    # n-device mesh.  0 = off (single-device async dispatch), -1 = all local
+    # devices, N = first N devices.
+    mesh_devices: int = 0
+    # Multi-host mode (parallel/distributed.py): each host of a jax
+    # .distributed slice calls its share of the regions, host 0 merges.
+    distributed: int = 0
     read_len_bucket: int = 160         # padded read length for DP batching
     batch_lanes: int = 128             # alignment batch lane width
     max_anchors: int = 4               # anchor candidates per (read, hap)

@@ -376,8 +376,13 @@ def prepare_region_call(
     metrics.count("windows", len(windows))
     metrics.count("alignment_pairs",
                   sum(p.request.n_pairs() for _, p in live if p.request is not None))
-    with metrics.timer("device_dispatch"):
-        pending = dispatch_alignment_requests([p.request for _, p in live])
+    if config.mesh_devices:
+        # Mesh path: alignment runs inside the sharded region step in
+        # finish_region_call, not as single-device async dispatch here.
+        pending = None
+    else:
+        with metrics.timer("device_dispatch"):
+            pending = dispatch_alignment_requests([p.request for _, p in live])
 
     return PreparedRegion(chrom=chrom, start=start, end=end, buffers=buffers,
                           windows=windows, prepared=prepared, live=live,
@@ -402,14 +407,37 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
     chrom, start, end = state.chrom, state.start, state.end
     buffers, windows, prepared = state.buffers, state.windows, state.prepared
     ref_file.set_cache_sequence(chrom, start - 2000, end + 2000)
-    with metrics.timer("device_alignment"):
-        logliks = state.pending.finalize()
-    loglik_by_idx = {w_idx: ll for (w_idx, _p), ll in zip(state.live, logliks)}
+
+    inference_by_idx = {}
+    if state.pending is None:
+        # Mesh path: one sharded program does alignment + inference for the
+        # whole region's windows (parallel/mesh.mesh_call_region).
+        from ..parallel.mesh import get_engine_mesh, mesh_call_region
+        from .score import run_alignment_requests
+
+        try:
+            mesh = get_engine_mesh(config.mesh_devices)
+            with metrics.timer("device_alignment"):
+                loglik_by_idx, inference_by_idx, leftover = mesh_call_region(
+                    state.live, len(buffers), mesh)
+        except Exception:  # noqa: BLE001 — fall back to single-device path
+            logger.exception("mesh calling step failed; using dispatch path")
+            loglik_by_idx, inference_by_idx = {}, {}
+            leftover = state.live
+        if leftover:
+            with metrics.timer("device_alignment"):
+                lls = run_alignment_requests([p.request for _, p in leftover])
+            loglik_by_idx.update(
+                {w_idx: ll for (w_idx, _p), ll in zip(leftover, lls)})
+    else:
+        with metrics.timer("device_alignment"):
+            logliks = state.pending.finalize()
+        loglik_by_idx = {w_idx: ll
+                         for (w_idx, _p), ll in zip(state.live, logliks)}
 
     # Fused device GL/EM/posterior pass over the region's windows (hot loop
     # #2 on device; host float64 path is the fallback/oracle).
-    inference_by_idx = {}
-    if _device_inference_enabled(config):
+    if not inference_by_idx and _device_inference_enabled(config):
         from ..parallel.batch import run_device_inference
 
         try:

@@ -307,6 +307,14 @@ def setup_logging(config: PlatypusConfig, continuing: bool = False) -> None:
 def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] = None,
                        continuing: bool = False) -> None:
     setup_logging(config, continuing)
+    if config.distributed:
+        # Multi-host slice: this process calls its region share, host 0
+        # merges (parallel/distributed.py; reference runner.py:470-504 by
+        # host instead of by fork).
+        from ..parallel.distributed import run_distributed
+
+        run_distributed(config)
+        return
     if regions is None:
         regions = get_regions(config)
     regions = sorted(regions, key=lambda r: (_chrom_sort_key(r[0]), r[1], r[2]))

@@ -143,6 +143,77 @@ def window_em_batch(gl, hap1_idx, hap2_idx, geno_mask, hap_mask, has_reads,
     return jax.vmap(per_window)(gl, hap1_idx, hap2_idx, geno_mask, hap_mask, has_reads)
 
 
+def _lse(x, axis, keepdims=False):
+    """Masked logsumexp: all--inf reductions give -inf (not nan)."""
+    m = jnp.max(x, axis=axis, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    out = m_safe + jnp.log(jnp.sum(jnp.exp(x - m_safe), axis=axis,
+                                   keepdims=True))
+    out = jnp.where(jnp.isfinite(m), out, -jnp.inf)
+    return out if keepdims else jnp.squeeze(out, axis)
+
+
+LOG2 = 0.6931471805599453
+
+
+def em_frequencies_log_jax(log_lik, hap1_idx, hap2_idx, n_haps_max: int,
+                           hap_mask, has_reads, n_iters: int = 100,
+                           tol: float = 1e-3):
+    """Log-domain EM over haplotype frequencies (one window, masked).
+
+    The reference EM (cpopulation.pyx:678-716) runs in linear double
+    precision, where weak haplotypes converge to genuinely tiny frequencies
+    (1e-48..1e-300) that matter for the no-variant renormalisation in the
+    posterior ratio.  f32 linear space underflows those to zero, so on
+    device the whole loop runs in log space — f32 log-domain covers the
+    f64 linear-domain range with ~1e-4 absolute log error (<0.001 phred).
+
+    log_lik [I, G]: relative genotype log-likelihoods (ln of the host
+    path's floored values; -inf for masked genotypes).
+    Returns (log_freq [Hmax], responsibilities [I, G] linear).
+    """
+    log_het = jnp.where(hap1_idx != hap2_idx, LOG2, 0.0)
+    ll = jnp.where(has_reads[:, None], log_lik, -jnp.inf)
+    n_haps = jnp.maximum(1, hap_mask.sum())
+    n_with_data = jnp.maximum(1, has_reads.sum())
+    log_freq0 = jnp.where(hap_mask, -jnp.log(n_haps.astype(log_lik.dtype)),
+                          -jnp.inf)
+    # log A[g, h]: ln(multiplicity of hap h in genotype g) — the M-step's
+    # scatter-add as a masked logsumexp contraction.
+    counts = (jax.nn.one_hot(hap1_idx, n_haps_max, dtype=log_lik.dtype)
+              + jax.nn.one_hot(hap2_idx, n_haps_max, dtype=log_lik.dtype))
+    logA = jnp.where(counts > 0, jnp.log(jnp.maximum(counts, 1e-30)), -jnp.inf)
+    log_denom = jnp.log(2.0 * n_with_data.astype(log_lik.dtype))
+    w0 = jnp.full_like(ll, -jnp.inf)
+
+    def update(log_freq):
+        log_w = ll + (log_freq[hap1_idx] + log_freq[hap2_idx] + log_het)[None, :]
+        log_s = _lse(log_w, 1, keepdims=True)
+        log_wn = jnp.where(jnp.isfinite(log_s), log_w - log_s, -jnp.inf)
+        log_resp = _lse(log_wn, 0)                               # [G]
+        log_new = _lse(log_resp[:, None] + logA, 0) - log_denom  # [Hmax]
+        return jnp.where(hap_mask, log_new, -jnp.inf), log_wn
+
+    def cond(carry):
+        it, _lf, _w, done = carry
+        return (it < n_iters) & ~done
+
+    def body(carry):
+        it, log_freq, w, done = carry
+        new, new_w = update(log_freq)
+        # Convergence is the reference's LINEAR max-change test.
+        max_change = jnp.abs(jnp.exp(new) - jnp.exp(log_freq)).max()
+        new_done = done | (max_change <= tol)
+        log_freq = jnp.where(done, log_freq, new)
+        w = jnp.where(done, w, new_w)
+        return it + 1, log_freq, w, new_done
+
+    _, log_freq, log_wn, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), log_freq0, w0, jnp.bool_(False)))
+    resp = jnp.where(has_reads[:, None], jnp.exp(log_wn), 0.0)
+    return log_freq, resp
+
+
 def genotype_gl_gof_jax(loglik, hap1_idx, hap2_idx, sample_onehot):
     """Per-genotype data log-likelihood + goodness-of-fit sums, all samples.
 
@@ -167,6 +238,44 @@ def genotype_gl_gof_jax(loglik, hap1_idx, hap2_idx, sample_onehot):
     return gl.T, gof.T
 
 
+def infer_window_batch_core(loglik, sample_onehot, hap_mask, h1, h2,
+                            var_hap_mask, has_reads, em_iters: int = 100):
+    """Traced body of infer_window_batch (no jit wrapper) so the sharded
+    region step (parallel/mesh.py) can inline it after the alignment pass."""
+    Hmax = hap_mask.shape[1]
+    n_ind = sample_onehot.shape[1]
+    tol = min(1e-3, 1.0 / (n_ind * 4))  # reference eps, cpopulation.pyx:705
+
+    def per_window(ll, oh, hm, vm, hr):
+        gm = hm[h1] & hm[h2]
+        gl, gof = genotype_gl_gof_jax(ll, h1, h2, oh)
+        lik = rescale_likelihoods_jax(gl, gm, hr)
+        # Everything downstream runs in log space: the host path's relative
+        # likelihoods and EM frequencies span far below f32 LINEAR range
+        # (1e-300 floor, cpopulation.pyx:304-309; weak-hap frequencies
+        # ~1e-48..1e-300 after EM); f32 log-domain holds the full range.
+        neg = jnp.where(gm[None, :], gl, -jnp.inf)
+        mx = jnp.max(neg, axis=1, keepdims=True)
+        gl_rel = jnp.maximum(gl - jnp.where(jnp.isfinite(mx), mx, 0.0), -690.77552)
+        gl_rel = jnp.where(gm[None, :], gl_rel, -jnp.inf)
+        gl_rel = jnp.where(hr[:, None], gl_rel, jnp.where(gm[None, :], 0.0, -jnp.inf))
+        log_freq, em = em_frequencies_log_jax(gl_rel, h1, h2, Hmax, hm, hr,
+                                              em_iters, tol=tol)
+        freq = jnp.exp(log_freq)
+        ratios = jax.vmap(
+            lambda hv: variant_posterior_logratio_jax(gl_rel, log_freq, hv,
+                                                      h1, h2, hr)
+        )(vm)
+        # gl_rel doubles as the output likelihood table: exp()ed in float64
+        # on host it reaches the reference's 1e-300 floor, which f32 linear
+        # space cannot (GL entries between -38 and -300 log10 would
+        # saturate otherwise).
+        return lik, em, freq, gof, ratios, gl_rel
+
+    return jax.vmap(per_window)(loglik, sample_onehot, hap_mask, var_hap_mask,
+                                has_reads)
+
+
 @functools.partial(jax.jit, static_argnames=("em_iters",))
 def infer_window_batch(loglik, sample_onehot, hap_mask, h1, h2, var_hap_mask,
                        has_reads, em_iters: int = 100):
@@ -182,62 +291,43 @@ def infer_window_batch(loglik, sample_onehot, hap_mask, h1, h2, var_hap_mask,
     has_reads [W, I].
 
     Returns (lik [W, I, G], em_resp [W, I, G], freq [W, Hmax],
-    gof_sum [W, I, G], ratios [W, Vmax]) where ratios is
-    sum_i (ln P(data_i|no var) - ln P(data_i|var)).
+    gof_sum [W, I, G], ratios [W, Vmax], gl_rel [W, I, G]) where ratios is
+    sum_i (ln P(data_i|no var) - ln P(data_i|var)) and gl_rel are the
+    relative genotype LOG likelihoods (floored at ln 1e-300; -inf for
+    masked genotypes) — exp() them in float64 for full-range linear values.
     """
-    Hmax = hap_mask.shape[1]
-    n_ind = sample_onehot.shape[1]
-    tol = min(1e-3, 1.0 / (n_ind * 4))  # reference eps, cpopulation.pyx:705
-
-    def per_window(ll, oh, hm, vm, hr):
-        gm = hm[h1] & hm[h2]
-        gl, gof = genotype_gl_gof_jax(ll, h1, h2, oh)
-        lik = rescale_likelihoods_jax(gl, gm, hr)
-        freq, em = em_frequencies_resp_jax(lik, h1, h2, Hmax, hm, hr, em_iters,
-                                           tol=tol)
-        # Posterior ratios in log space: the host path's relative
-        # likelihoods span far below f32 range (floored at 1e-300 in f64,
-        # cpopulation.pyx:304-309); logsumexp with the same floor keeps f32
-        # parity even for saturated windows.
-        neg = jnp.where(gm[None, :], gl, -jnp.inf)
-        mx = jnp.max(neg, axis=1, keepdims=True)
-        gl_rel = jnp.maximum(gl - jnp.where(jnp.isfinite(mx), mx, 0.0), -690.77552)
-        gl_rel = jnp.where(gm[None, :], gl_rel, -jnp.inf)
-        gl_rel = jnp.where(hr[:, None], gl_rel, jnp.where(gm[None, :], 0.0, -jnp.inf))
-        ratios = jax.vmap(
-            lambda hv: variant_posterior_logratio_jax(gl_rel, freq, hv, h1, h2, hr)
-        )(vm)
-        return lik, em, freq, gof, ratios
-
-    return jax.vmap(per_window)(loglik, sample_onehot, hap_mask, var_hap_mask,
-                                has_reads)
+    return infer_window_batch_core(loglik, sample_onehot, hap_mask, h1, h2,
+                                   var_hap_mask, has_reads, em_iters)
 
 
-def variant_posterior_logratio_jax(gl_rel, frequencies, hap_has_variant,
+def variant_posterior_logratio_jax(gl_rel, log_freq, hap_has_variant,
                                    hap1_idx, hap2_idx, has_reads):
     """Log-space twin of variant_posterior_ratio_jax: gl_rel [I, G] are
     per-individual relative genotype LOG likelihoods (ln of the host path's
-    floored relative likelihoods; -inf for masked genotypes).  Returns
+    floored relative likelihoods; -inf for masked genotypes) and log_freq
+    [Hmax] the log EM frequencies (-inf for masked haps).  Returns
     sum_i (ln P(data_i|no var) - ln P(data_i|var))."""
-    fp = jnp.where(hap_has_variant, 0.0, frequencies)
-    s = fp.sum()
-    fp = jnp.where(s > 0, fp / jnp.where(s > 0, s, 1.0), fp)
-    factor = 1.0 + (hap1_idx != hap2_idx)
-    w_var = factor * frequencies[hap1_idx] * frequencies[hap2_idx]
-    w_novar = factor * fp[hap1_idx] * fp[hap2_idx]
+    log_fp = jnp.where(hap_has_variant, -jnp.inf, log_freq)
+    log_s = _lse(log_fp, 0)
+    log_fp = jnp.where(jnp.isfinite(log_s), log_fp - log_s, log_fp)
+    log_het = jnp.where(hap1_idx != hap2_idx, LOG2, 0.0)
+    lw_var = log_het + log_freq[hap1_idx] + log_freq[hap2_idx]
+    lw_novar = log_het + log_fp[hap1_idx] + log_fp[hap2_idx]
     log_min = -708.0
 
-    def log_dot(w):
-        lw = jnp.where(w > 0, jnp.log(jnp.where(w > 0, w, 1.0)), -jnp.inf)
+    def log_dot(lw):
         t = lw[None, :] + gl_rel                      # [I, G]
         m = jnp.max(t, axis=1, keepdims=True)
         m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
         out = m_safe[:, 0] + jnp.log(
             jnp.sum(jnp.exp(t - m_safe), axis=1))
-        return jnp.where(jnp.isfinite(m[:, 0]), out, log_min)
+        # The host computes each side in LINEAR f64 (floored at e^log_min);
+        # reproduce that floor so saturated sides agree exactly.
+        return jnp.maximum(jnp.where(jnp.isfinite(m[:, 0]), out, log_min),
+                           log_min)
 
-    lv = log_dot(w_var)
-    ln = log_dot(w_novar)
+    lv = log_dot(lw_var)
+    ln = log_dot(lw_novar)
     return jnp.where(has_reads, ln - lv, 0.0).sum()
 
 

@@ -109,12 +109,14 @@ def run_device_inference(
             has_reads[k] = n_good > 0
 
         h1, h2 = genotype_index_pairs(Hb)
-        lik_d, em_d, freq_d, gof_d, ratio_d = infer_window_batch(
+        _lik_d, em_d, freq_d, gof_d, ratio_d, glrel_d = infer_window_batch(
             jnp.asarray(loglik), jnp.asarray(onehot), jnp.asarray(hap_mask),
             jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
             jnp.asarray(var_mask), jnp.asarray(has_reads), em_iters=em_iters,
         )
-        lik_h = np.asarray(lik_d, np.float64)
+        # Linear relative likelihoods via float64 exp of the log table — the
+        # f32 linear values saturate below ~1e-38, the host floor is 1e-300.
+        lik_h = np.exp(np.asarray(glrel_d, np.float64))
         em_h = np.asarray(em_d, np.float64)
         freq_h = np.asarray(freq_d, np.float64)
         gof_h = np.asarray(gof_d, np.float64)

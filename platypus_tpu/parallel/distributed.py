@@ -90,3 +90,35 @@ def run_distributed(config: PlatypusConfig,
         merge_vcf_files([f"{config.output}_host{i}" for i in range(pcount)],
                         config.output)
     barrier()
+
+
+def _main(argv=None) -> int:
+    """`python -m platypus_tpu.parallel.distributed` — one host of a
+    multi-host run.  Takes the callVariants flag set plus the jax
+    .distributed bootstrap flags (env-var fallbacks: JAX_COORDINATOR_ADDRESS
+    / JAX_NUM_PROCESSES / JAX_PROCESS_ID)."""
+    import argparse
+    import logging as _logging
+    import sys
+
+    from ..cli import build_config
+
+    _logging.basicConfig(level=_logging.INFO,
+                         format="%(asctime)s %(levelname)s %(message)s")
+    argv = list(sys.argv[1:] if argv is None else argv)
+    boot = argparse.ArgumentParser(add_help=False)
+    boot.add_argument("--coordinatorAddress", default=None)
+    boot.add_argument("--numProcesses", type=int, default=None)
+    boot.add_argument("--processId", type=int, default=None)
+    known, rest = boot.parse_known_args(argv)
+    if rest and rest[0] == "callVariants":
+        rest = rest[1:]
+    config = build_config(rest)
+    run_distributed(config, coordinator_address=known.coordinatorAddress,
+                    num_processes=known.numProcesses,
+                    process_id=known.processId)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

@@ -28,11 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.align_jax import band_align_padded
+from ..ops.align_jax import band_align_padded, _gather_pad_device
 from ..ops.likelihood_jax import (
     genotype_log_likelihoods_jax,
     rescale_likelihoods_jax,
     em_frequencies_jax,
+    infer_window_batch_core,
     scores_to_logliks_jax,
     variant_posterior_ratio_jax,
 )
@@ -123,6 +124,224 @@ def build_calling_step(mesh: Mesh, gapextend: int = 3, nucprior: int = 2,
     )
     out_shardings = (s("win", None), s("win"), s("win", None, "lane"))
     return jax.jit(step, in_shardings=in_shardings, out_shardings=out_shardings)
+
+
+# --------------------------------------------------------------------------
+# Production path: real windows through the mesh
+# --------------------------------------------------------------------------
+
+_INT32_BIG = np.int32(np.iinfo(np.int32).max)
+
+
+@functools.lru_cache(maxsize=None)
+def _region_call_step(mesh: Mesh, gapextend: int, nucprior: int, em_iters: int):
+    """One jitted sharded program for a region's window batch: on-device
+    pair gather -> banded alignment (pairs sharded over ALL devices) ->
+    scatter-min into the [W, Hmax, Rmax] score tensor -> log-likelihoods ->
+    fused GL/EM/posterior inference (windows sharded over 'win').
+
+    GSPMD partitions everything from the input shardings; the pair->window
+    combine is a scatter-min collective over the flattened device axis."""
+
+    def step(hap_mat, go_mat, seq_mat, qual_mat,
+             pair_hap, pair_read, pair_seg, pair_len,
+             pair_w, pair_h, pair_r, pair_valid,
+             aligned, short, mapq, onehot, hap_mask, h1, h2, var_mask,
+             has_reads):
+        W, Rmax = aligned.shape
+        Hmax = hap_mask.shape[1]
+        padded = _gather_pad_device(hap_mat, go_mat, seq_mat, qual_mat,
+                                    pair_hap, pair_read, pair_seg, pair_len)
+        scores = band_align_padded(*padded, gapextend=gapextend,
+                                   nucprior=nucprior)          # [PB] int32
+        scores = jnp.where(pair_valid, scores, _INT32_BIG)
+        S = jnp.full((W, Hmax, Rmax), _INT32_BIG, jnp.int32)
+        S = S.at[pair_w, pair_h, pair_r].min(scores, mode="drop")
+        # Short-overlap reads score 0 (probability 1) exactly like the host
+        # scatter (engine/score.py PendingAlignments.finalize).
+        S = jnp.where(short[:, None, :], 0, S)
+        ll = scores_to_logliks_jax(S.astype(jnp.float32),
+                                   mapq[:, None, :].astype(jnp.float32))
+        ll = jnp.where(aligned[:, None, :], ll, 0.0)
+        ll = jnp.where(hap_mask[:, :, None], ll, 0.0)
+        _lik, em, freq, gof, ratios, gl_rel = infer_window_batch_core(
+            ll, onehot, hap_mask, h1, h2, var_mask, has_reads, em_iters)
+        return ll, gl_rel, em, freq, gof, ratios
+
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    pair_s = s(("win", "lane"))   # flat data-parallel axis over all devices
+    in_shardings = (
+        s(), s(), s(), s(),                    # dedup matrices (replicated)
+        pair_s, pair_s, pair_s, pair_s,        # gather indices
+        pair_s, pair_s, pair_s, pair_s,        # scatter destinations
+        s("win", None), s("win", None),        # aligned, short
+        s("win", None),                        # mapq
+        s("win", None, None),                  # onehot
+        s("win", None),                        # hap_mask
+        s(), s(),                              # h1, h2
+        s("win", None, None),                  # var_mask
+        s("win", None),                        # has_reads
+    )
+    out_shardings = (
+        s("win", None, None), s("win", None, None), s("win", None, None),
+        s("win", None), s("win", None, None), s("win", None),
+    )
+    return jax.jit(step, in_shardings=in_shardings,
+                   out_shardings=out_shardings)
+
+
+_ENGINE_MESH = None
+
+
+def get_engine_mesh(n_devices: int = -1) -> Mesh:
+    """Process-wide mesh for the production calling path (-1 = all local
+    devices)."""
+    global _ENGINE_MESH
+    want = None if n_devices in (-1, 0) else n_devices
+    if _ENGINE_MESH is None or (
+        want is not None and _ENGINE_MESH.devices.size != want
+    ):
+        _ENGINE_MESH = make_mesh(want)
+    return _ENGINE_MESH
+
+
+def mesh_call_region(live, n_individuals: int, mesh: Mesh,
+                     gapextend: int = 3, nucprior: int = 2,
+                     em_iters: int = 100):
+    """Run REAL prepared windows (engine/caller.prepare_window output with
+    their AlignmentRequests) through the sharded region step.
+
+    Returns (loglik_by_idx, inference_by_idx, leftover) where leftover are
+    (w_idx, prep) pairs the mesh path does not cover (no alignable pairs,
+    flank-score or HLA map-qual-cap windows) — the caller routes those
+    through the standard host dispatch."""
+    from ..ops.kmer import HASH_NUCS
+    from ..ops.likelihood import genotype_index_pairs
+    from .batch import WindowInference, enumerate_window_variants, geom_bucket
+
+    loglik_by_idx: dict = {}
+    inference_by_idx: dict = {}
+    leftover: list = []
+    groups: dict = {}
+    for w_idx, prep in live:
+        req = prep.request
+        if (req is None or req.n_pairs() == 0 or req.calculate_flank_score
+                or req.use_map_qual_cap):
+            leftover.append((w_idx, prep))
+            continue
+        groups.setdefault(req.sub_seq.shape[1], []).append((w_idx, prep))
+
+    I = n_individuals
+    n_win = mesh.shape["win"]
+    n_dev = int(mesh.devices.size)
+    round_up = lambda n, m: -(-n // m) * m
+    for L2, items in groups.items():
+        seg_len = L2 + 15
+        Wb = round_up(geom_bucket(len(items)), n_win)
+        Hmax = geom_bucket(max(len(p.all_haps) for _, p in items))
+        Rmax = geom_bucket(max(len(p.reads) for _, p in items), 64)
+        variants_by_item = [enumerate_window_variants(p.all_haps)
+                            for _, p in items]
+        Vb = geom_bucket(max(1, max(len(v) for v in variants_by_item)))
+        HB = geom_bucket(sum(p.request.hap_matrix.shape[0] for _, p in items), 32)
+        AB = geom_bucket(sum(p.request.sub_seq.shape[0] for _, p in items), 256)
+        L1B = geom_bucket(max(p.request.hap_matrix.shape[1] for _, p in items), 256)
+        PB = round_up(geom_bucket(sum(p.request.n_pairs() for _, p in items),
+                                  1024), n_dev)
+
+        hap_mat = np.full((HB, L1B), ord("N"), np.uint8)
+        go_mat = np.zeros((HB, L1B), np.uint8)
+        seq_mat = np.zeros((AB, L2), np.uint8)
+        qual_mat = np.zeros((AB, L2), np.uint8)
+        pair_hap = np.zeros(PB, np.int32)
+        pair_read = np.zeros(PB, np.int32)
+        pair_seg = np.zeros(PB, np.int32)
+        pair_len = np.full(PB, min(8, L2), np.int32)
+        pair_w = np.zeros(PB, np.int32)
+        pair_h = np.zeros(PB, np.int32)
+        pair_r = np.zeros(PB, np.int32)
+        pair_valid = np.zeros(PB, bool)
+        aligned = np.zeros((Wb, Rmax), bool)
+        short = np.zeros((Wb, Rmax), bool)
+        mapq = np.zeros((Wb, Rmax), np.int32)
+        onehot = np.zeros((Wb, I, Rmax), np.float32)
+        hap_mask = np.zeros((Wb, Hmax), bool)
+        var_mask = np.zeros((Wb, Vb, Hmax), bool)
+        has_reads = np.zeros((Wb, I), bool)
+
+        h_off = a_off = p_off = 0
+        for k, (w_idx, prep) in enumerate(items):
+            req = prep.request
+            H = len(prep.all_haps)
+            R = len(prep.reads)
+            nh, na = req.hap_matrix.shape[0], req.sub_seq.shape[0]
+            np_pairs = req.n_pairs()
+            hap_mat[h_off : h_off + nh, : req.hap_matrix.shape[1]] = req.hap_matrix
+            go_mat[h_off : h_off + nh, : req.go_matrix.shape[1]] = req.go_matrix
+            seq_mat[a_off : a_off + na] = req.sub_seq
+            qual_mat[a_off : a_off + na] = req.sub_qual
+            sl = slice(p_off, p_off + np_pairs)
+            pair_hap[sl] = req.pair_hap + h_off
+            pair_read[sl] = req.pair_read + a_off
+            pair_seg[sl] = req.pair_seg
+            pair_len[sl] = req.sub_len[req.pair_read]
+            pair_w[sl] = k
+            pair_h[sl] = req.pair_hap
+            pair_r[sl] = req.align_rows[req.pair_read]
+            pair_valid[sl] = True
+            aligned[k, req.align_rows] = True
+            short[k, req.align_rows[req.sub_len < HASH_NUCS]] = True
+            mapq[k, :R] = prep.reads.mapq
+            if R:
+                onehot[k, prep.reads.sample_idx, np.arange(R)] = 1.0
+            hap_mask[k, :H] = True
+            hap_sets = [frozenset(h.variants) for h in prep.all_haps]
+            for vi, v in enumerate(variants_by_item[k]):
+                for h in range(H):
+                    var_mask[k, vi, h] = v in hap_sets[h]
+            n_good = (np.bincount(prep.reads.sample_idx[prep.reads.is_good],
+                                  minlength=I) if R else np.zeros(I, np.int64))
+            has_reads[k] = n_good > 0
+            h_off += nh
+            a_off += na
+            p_off += np_pairs
+
+        h1, h2 = genotype_index_pairs(Hmax)
+        step = _region_call_step(mesh, gapextend, nucprior, em_iters)
+        with mesh:
+            ll_d, glrel_d, em_d, freq_d, gof_d, ratio_d = step(
+                jnp.asarray(hap_mat), jnp.asarray(go_mat),
+                jnp.asarray(seq_mat), jnp.asarray(qual_mat),
+                jnp.asarray(pair_hap), jnp.asarray(pair_read),
+                jnp.asarray(pair_seg), jnp.asarray(pair_len),
+                jnp.asarray(pair_w), jnp.asarray(pair_h),
+                jnp.asarray(pair_r), jnp.asarray(pair_valid),
+                jnp.asarray(aligned), jnp.asarray(short), jnp.asarray(mapq),
+                jnp.asarray(onehot), jnp.asarray(hap_mask),
+                jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
+                jnp.asarray(var_mask), jnp.asarray(has_reads),
+            )
+        ll_h = np.asarray(ll_d, np.float64)
+        lik_h = np.exp(np.asarray(glrel_d, np.float64))
+        em_h = np.asarray(em_d, np.float64)
+        freq_h = np.asarray(freq_d, np.float64)
+        gof_h = np.asarray(gof_d, np.float64)
+        ratio_h = np.asarray(ratio_d, np.float64)
+
+        for k, (w_idx, prep) in enumerate(items):
+            H = len(prep.all_haps)
+            R = len(prep.reads)
+            cols = np.nonzero((h1 < H) & (h2 < H))[0]
+            loglik_by_idx[w_idx] = ll_h[k, :H, :R]
+            inference_by_idx[w_idx] = WindowInference(
+                likelihoods=lik_h[k][:, cols],
+                em=em_h[k][:, cols],
+                frequencies=freq_h[k][:H],
+                gof_sum=gof_h[k][:, cols],
+                ratios={v: float(ratio_h[k, vi])
+                        for vi, v in enumerate(variants_by_item[k])},
+            )
+    return loglik_by_idx, inference_by_idx, leftover
 
 
 def make_example_batch(W=8, Hmax=4, Rmax=16, L2=24, seed=0):

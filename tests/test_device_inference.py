@@ -87,7 +87,7 @@ def test_infer_window_batch_matches_host(H, R, I):
     hr[0] = n_reads > 0
 
     h1b, h2b = lk.genotype_index_pairs(Hb)
-    lik_d, em_d, freq_d, gof_d, ratio_d = infer_window_batch(
+    lik_d, em_d, freq_d, gof_d, ratio_d, glrel_d = infer_window_batch(
         jnp.asarray(ll), jnp.asarray(oh), jnp.asarray(hm),
         jnp.asarray(h1b, jnp.int32), jnp.asarray(h2b, jnp.int32),
         jnp.asarray(vm), jnp.asarray(hr), em_iters=100)
@@ -95,6 +95,11 @@ def test_infer_window_batch_matches_host(H, R, I):
     cols = np.nonzero((h1b < H) & (h2b < H))[0]
     np.testing.assert_allclose(np.asarray(lik_d)[0][:, cols], host_lik,
                                rtol=2e-4, atol=1e-6)
+    # The log-space output table reaches the host's 1e-300 floor after a
+    # float64 exp (f32 linear space would saturate at ~1e-38).
+    np.testing.assert_allclose(
+        np.exp(np.asarray(glrel_d, np.float64))[0][:, cols], host_lik,
+        rtol=1e-3, atol=1e-290)
     np.testing.assert_allclose(np.asarray(freq_d)[0][:H], host_freq,
                                rtol=2e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(em_d)[0][:, cols], host_em,

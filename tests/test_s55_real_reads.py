@@ -101,7 +101,75 @@ def s55_local(tmp_path_factory):
     out = str(tmp / "s55_calls.vcf")
     config = PlatypusConfig(bam_files=[bam_path], ref_file=ref_path, output=out)
     n = run_single_process(config, [("HLA_local", 400, 5600)], out)
-    return dict(vcf=out, n_written=n, n_reads=len(reads))
+    return dict(vcf=out, n_written=n, n_reads=len(reads), bam=bam_path,
+                ref=ref_path, tmp=tmp)
+
+
+def test_s55_mesh_path_matches_host(s55_local):
+    """REAL reads through the 8-device Mesh('win','lane') calling step
+    (--meshDevices): the sharded alignment + fused inference program must
+    reproduce the standard path's calls exactly (VERDICT r1 item 3)."""
+    out = str(s55_local["tmp"] / "s55_mesh.vcf")
+    config = PlatypusConfig(bam_files=[s55_local["bam"]],
+                            ref_file=s55_local["ref"], output=out,
+                            mesh_devices=8)
+    n = run_single_process(config, [("HLA_local", 400, 5600)], out)
+    assert n == s55_local["n_written"]
+
+    def data_lines(path):
+        with open(path) as fh:
+            return [l for l in fh if not l.startswith("#")]
+
+    assert data_lines(out) == data_lines(s55_local["vcf"])
+
+
+def test_s55_mesh_posterior_parity(s55_local):
+    """Window-level check on the real reads: per-variant posterior ratios
+    from mesh_call_region match the float64 host path."""
+    import jax
+
+    from platypus_tpu.config import derive_runtime
+    from platypus_tpu.engine.caller import finish_window
+    from platypus_tpu.engine.region import prepare_region_call
+    from platypus_tpu.engine.runner import open_bams
+    from platypus_tpu.io.fasta import FastaFile
+    from platypus_tpu.parallel.mesh import make_mesh, mesh_call_region
+
+    assert len(jax.devices()) == 8
+    config = PlatypusConfig(bam_files=[s55_local["bam"]],
+                            ref_file=s55_local["ref"], output="-")
+    bam_files, samples_by_bam, samples = open_bams(config)
+    ref = FastaFile(config.ref_file)
+    rt = derive_runtime(config, n_individuals=len(samples))
+    rt.rlen = config.rlen
+    state = prepare_region_call("HLA_local", 400, 5600, bam_files,
+                                samples_by_bam, ref, config, rt)
+    host_ll = {w: ll for (w, _p), ll in
+               zip(state.live, state.pending.finalize())}
+
+    ll_by, inf_by, leftover = mesh_call_region(state.live, len(samples),
+                                               make_mesh(8))
+    assert ll_by, "no window went through the mesh"
+    n_checked = 0
+    for w_idx, prep in state.live:
+        if w_idx not in inf_by:
+            continue
+        np.testing.assert_allclose(ll_by[w_idx], host_ll[w_idx],
+                                   rtol=2e-4, atol=2e-4)
+        host = finish_window(prep, host_ll[w_idx], ref, config)
+        dev = finish_window(prep, ll_by[w_idx], ref, config,
+                            inference=inf_by[w_idx])
+        if host is None:
+            assert dev is None
+            continue
+        assert host.genotype_calls == dev.genotype_calls
+        assert set(host.variant_posteriors) == set(dev.variant_posteriors)
+        for v, p in host.variant_posteriors.items():
+            assert abs(dev.variant_posteriors[v] - p) <= 1.0, (str(v), p)
+            n_checked += 1
+    for bam in bam_files:
+        bam.close()
+    assert n_checked > 0
 
 
 def test_s55_calling_runs_and_calls_variants(s55_local):
