@@ -102,3 +102,51 @@ def n_combinations_with_replacement(n_objects: int, n_chosen: int) -> int:
 # ln(10)/10 with the sign folded in: phred -> natural log conversion factor.
 MLTOT = -0.23025850929940459
 LOG10E = 0.43429448190325182
+
+
+def mann_whitney_rank_sum_z(group1, group2):
+    """Mann-Whitney U rank-sum z-score (normal approximation, tie-corrected,
+    continuity-corrected) between two samples of values.
+
+    Used for the ReadPosRankSum INFO field: group1 = variant positions
+    within alt-supporting reads, group2 = within ref reads.  The reference
+    declares the field in its header (vcfutils.pyx:98) but never computes
+    it; this completes the declared surface.  Positive z means the alt
+    positions rank higher (further from read ends) than ref positions.
+
+    Returns None when either group is empty (emitted as '.').
+    """
+    n1, n2 = len(group1), len(group2)
+    if n1 == 0 or n2 == 0:
+        return None
+    values = list(group1) + list(group2)
+    n = n1 + n2
+    order = sorted(range(n), key=lambda i: values[i])
+    ranks = [0.0] * n
+    tie_term = 0.0
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        avg_rank = 0.5 * (i + j) + 1.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg_rank
+        t = j - i + 1
+        tie_term += t * t * t - t
+        i = j + 1
+    r1 = sum(ranks[:n1])
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    var = n1 * n2 / 12.0 * ((n + 1) - tie_term / (n * (n - 1))) if n > 1 else 0.0
+    if var <= 0.0:
+        return 0.0
+    diff = u1 - mu
+    # Continuity correction toward zero.
+    if diff > 0.5:
+        diff -= 0.5
+    elif diff < -0.5:
+        diff += 0.5
+    else:
+        return 0.0
+    return diff / math.sqrt(var)

@@ -28,7 +28,7 @@ from ..candidates.variant import ASSEMBLER_VAR, FILE_VAR, PLATYPUS_VAR, Variant
 from ..config import PlatypusConfig
 from ..engine.caller import WindowCall
 from ..io.bam import CIGAR_D, CIGAR_EQ, CIGAR_I, CIGAR_M, CIGAR_N, CIGAR_S, CIGAR_X
-from ..utils.maths import beta_binomial_cdf
+from ..utils.maths import beta_binomial_cdf, mann_whitney_rank_sum_z
 from .writer import FILTER_NAMES, VCFWriter
 
 LOG10E = 0.43429448190325182
@@ -281,6 +281,8 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
         min_quals: List[int] = []
         n_reads_per_sample: List[int] = []
         n_var_reads_per_sample: List[int] = []
+        alt_read_pos: List[int] = []
+        ref_read_pos: List[int] = []
 
         for i in range(n_ind):
             gt_idx = call.genotype_calls[i]
@@ -310,6 +312,15 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
                 tcf_sb += n_reads_this - n_rev
 
             supp = supported_mask(grows, variant)
+            if n_reads_this:
+                # Variant position within each read, folded to distance from
+                # the nearer read end (pooled over samples for the
+                # ReadPosRankSum Mann-Whitney test).
+                rlens = reads.rlen[grows].astype(np.int64)
+                off = np.clip(var_min - reads.pos[grows], 0, rlens - 1)
+                dist = np.minimum(off, rlens - 1 - off)
+                alt_read_pos.extend(int(d) for d in dist[supp])
+                ref_read_pos.extend(int(d) for d in dist[~supp])
             srows = grows[supp]
             srev = rev[supp]
             n_var_reads_this = len(srows)
@@ -335,6 +346,8 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
             n_reads_per_sample.append(n_reads_this)
             n_var_reads_per_sample.append(n_var_reads_this)
 
+        z = mann_whitney_rank_sum_z(alt_read_pos, ref_read_pos)
+        vinfo["ReadPosRankSum"] = ["." if z is None else round(z, 2)]
         vinfo["ABPV"] = [round(allele_bias_pvalue(tc_ab, tr_ab), 2)]
         vinfo["SbPval"] = [round(strand_bias_pvalue(tcf_sb, tcr_sb, nf_sb, nr_sb), 2)]
         vinfo["TR"] = [tr]
@@ -629,6 +642,7 @@ def output_call_to_vcf(
         nf: List = []
         nr: List = []
         tr: List = []
+        rprs: List = []
         for v in variants:
             line_filter.extend(f for f in vcf_filter[v] if f in FILTER_NAMES)
             fr.extend(info[v]["FR"])
@@ -636,6 +650,7 @@ def output_call_to_vcf(
             nr.extend(info[v]["NR"])
             nf.extend(info[v]["NF"])
             tr.extend(info[v]["TR"])
+            rprs.extend(info[v]["ReadPosRankSum"])
         line_info["WS"] = [call.window.start_pos]
         line_info["WE"] = [call.window.end_pos]
         line_info["FR"] = fr
@@ -643,6 +658,7 @@ def output_call_to_vcf(
         line_info["NF"] = nf
         line_info["NR"] = nr
         line_info["TR"] = tr
+        line_info["ReadPosRankSum"] = rprs
         line_filter = sorted(set(line_filter))
         qual = max(int(float(p)) for p in line_info["PP"])
 

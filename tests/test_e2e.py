@@ -136,3 +136,40 @@ def test_info_fields_sane(synth_run):
         assert int(info["TC"]) >= int(info["TR"])
         tc = int(info["TC"])
         assert 0 < tc < 200
+
+
+def test_read_pos_rank_sum_emitted(synth_run):
+    """ReadPosRankSum is declared in the reference header (vcfutils.pyx:98)
+    but never computed there; we emit a real Mann-Whitney z per allele."""
+    n_numeric = 0
+    for r in synth_run["records"]:
+        assert "ReadPosRankSum" in r["info"], r
+        for v in r["info"]["ReadPosRankSum"].split(","):
+            if v != ".":
+                float(v)
+                n_numeric += 1
+    # Het calls have both ref and alt reads -> a numeric z somewhere.
+    assert n_numeric > 0
+
+
+def test_mann_whitney_rank_sum_z_matches_scipy():
+    scipy_stats = pytest.importorskip("scipy.stats")
+    rng = np.random.default_rng(42)
+    from platypus_tpu.utils.maths import mann_whitney_rank_sum_z
+
+    assert mann_whitney_rank_sum_z([], [1, 2]) is None
+    assert mann_whitney_rank_sum_z([1, 1], [1, 1]) == 0.0
+    for trial in range(20):
+        n1 = int(rng.integers(1, 30))
+        n2 = int(rng.integers(1, 30))
+        a = rng.integers(0, 50, n1).tolist()
+        b = rng.integers(0, 50, n2).tolist()
+        z = mann_whitney_rank_sum_z(a, b)
+        u = scipy_stats.mannwhitneyu(a, b, alternative="two-sided",
+                                     method="asymptotic",
+                                     use_continuity=True)
+        if u.pvalue >= 1.0:
+            assert abs(z) < 1e-9
+            continue
+        p_from_z = 2.0 * scipy_stats.norm.sf(abs(z))
+        assert abs(p_from_z - u.pvalue) < 1e-9, (trial, z, u)
