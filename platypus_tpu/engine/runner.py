@@ -22,7 +22,7 @@ import sys
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..config import PlatypusConfig, RuntimeState, derive_runtime
-from ..io.bam import BamFile
+from ..io.bam import BamFile, open_alignment_file
 from ..io.fasta import FastaFile
 from ..utils.fileio import expand_bam_file_names, open_transparent
 from ..vcfout.writer import VCFWriter
@@ -35,7 +35,7 @@ Region = Tuple[str, int, int]
 
 def get_regions(config: PlatypusConfig) -> List[Region]:
     ref = FastaFile(config.ref_file, parse_ncbi=bool(config.parse_ncbi))
-    bam = BamFile(config.bam_files[0])
+    bam = open_alignment_file(config.bam_files[0], ref_file=config.ref_file)
 
     regions: List[Region] = []
     if config.regions is not None and os.path.exists(config.regions[0]):
@@ -109,7 +109,8 @@ def get_regions(config: PlatypusConfig) -> List[Region]:
 
 def open_bams(config: PlatypusConfig):
     config.bam_files = expand_bam_file_names(list(config.bam_files))
-    bam_files = [BamFile(path) for path in config.bam_files]
+    bam_files = [open_alignment_file(path, ref_file=config.ref_file)
+                 for path in config.bam_files]
     samples_by_bam: Dict[BamFile, List[str]] = {}
     samples: List[str] = []
     for bam in bam_files:

@@ -202,14 +202,25 @@ class BaiIndex:
 # BAM reader
 # ----------------------------------------------------------------------------
 
+def open_alignment_file(filename: str, ref_file=None,
+                        index_filename: Optional[str] = None):
+    """BamFile or CramFile by extension (the reference opens either
+    transparently through htslib, htslibWrapper.pyx:143-173).  CRAM decode
+    needs `ref_file` (path or FastaFile) for sequence reconstruction."""
+    if filename.lower().endswith(".cram"):
+        from .cram import CramFile
+
+        return CramFile(filename, ref_file=ref_file, index_filename=index_filename)
+    return BamFile(filename, index_filename=index_filename)
+
+
 class BamFile:
     def __init__(self, filename: str, index_filename: Optional[str] = None):
         self.filename = filename
         if filename.lower().endswith(".cram"):
-            # The reference reads CRAM through htslib; this decoder speaks
-            # BAM/BGZF only.  Convert first (samtools view -b in.cram).
-            raise NotImplementedError(
-                f"{filename}: CRAM input is not supported; convert to BAM"
+            raise ValueError(
+                f"{filename}: BamFile speaks BAM only; use open_alignment_file"
+                " / io.cram.CramFile for CRAM"
             )
         self._bgzf = BGZFReader(filename)
         magic = self._bgzf.read(4)

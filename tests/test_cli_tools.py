@@ -58,12 +58,13 @@ def test_open_transparent_gzip(tmp_path):
         assert fh.read() == "chr1:1-100\n"
 
 
-def test_cram_rejected_with_clear_error(tmp_path):
+def test_cram_goes_to_cram_reader(tmp_path):
+    """BamFile itself stays BAM-only; .cram routes to io.cram.CramFile."""
     from platypus_tpu.io.bam import BamFile
 
     p = tmp_path / "in.cram"
     p.write_bytes(b"CRAM")
-    with pytest.raises(NotImplementedError, match="CRAM"):
+    with pytest.raises(ValueError, match="CRAM"):
         BamFile(str(p))
 
 
