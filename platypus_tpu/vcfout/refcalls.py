@@ -21,11 +21,12 @@ from .writer import VCFWriter
 
 
 def _min_coverage(buffers, window: Window) -> int:
+    positions = np.arange(window.start_pos, window.end_pos, dtype=np.int64)
     min_cov = -1
     for buf in buffers:
-        for pos in range(window.start_pos, window.end_pos):
-            cov = buf.count_reads_covering_region(pos, pos + 1)
-            min_cov = cov if min_cov == -1 else min(min_cov, cov)
+        counts = buf.count_reads_covering_positions(positions)
+        cov = int(counts.min()) if len(counts) else 0
+        min_cov = cov if min_cov == -1 else min(min_cov, cov)
     return max(0, min_cov)
 
 
