@@ -203,6 +203,27 @@ def run_single_process(
     return n_written
 
 
+def _cap_worker_threads(n_workers: int) -> None:
+    """Split the host's cores between concurrent workers.
+
+    Without this each XLA:CPU client (and NumPy's BLAS) spins up a
+    cores-wide thread pool, so nCPU workers oversubscribe the machine
+    nCPU-fold and parallel efficiency collapses (measured 0.375 at
+    nCPU=4 on a 4-core host).  XLA_FLAGS is only read at backend
+    creation, so setting it here — before the first device use in this
+    spawned process — is early enough even though jax is already
+    imported.  PLATYPUS_TPU_WORKER_THREADS overrides the split.
+    """
+    per = os.environ.get("PLATYPUS_TPU_WORKER_THREADS")
+    n = int(per) if per else max(1, (os.cpu_count() or 1) // max(1, n_workers))
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, str(n))
+    extra = f"--xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads={n}"
+    existing = os.environ.get("XLA_FLAGS", "")
+    if "intra_op_parallelism_threads" not in existing:
+        os.environ["XLA_FLAGS"] = f"{existing} {extra}".strip()
+
+
 def _worker_entry(args):
     config_json, regions, path = args
     config = PlatypusConfig.from_json(config_json)
@@ -215,6 +236,8 @@ def _worker_entry(args):
         import jax
 
         jax.config.update("jax_platforms", platform)
+    if platform == "cpu":
+        _cap_worker_threads(config.n_cpu)
     # Spawned workers start with a fresh root logger; re-apply the
     # verbosity mapping (the reference's fork model inherited it).
     # continuing=True so a shared log file is appended, not truncated.
