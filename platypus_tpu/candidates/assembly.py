@@ -312,7 +312,8 @@ def assemble_region_variants(chrom: str, start: int, end: int, ref_file,
         )
 
     out: List[Variant] = []
-    n_workers = min(4, len(tiles), os.cpu_count() or 1)
+    budget = int(os.environ.get("PLATYPUS_TPU_WORKER_THREADS", "0")) or (os.cpu_count() or 1)
+    n_workers = min(4, len(tiles), budget)
     if n_workers <= 1:
         for t in tiles:
             out.extend(run_tile(t))

@@ -216,6 +216,10 @@ def _cap_worker_threads(n_workers: int) -> None:
     """
     per = os.environ.get("PLATYPUS_TPU_WORKER_THREADS")
     n = int(per) if per else max(1, (os.cpu_count() or 1) // max(1, n_workers))
+    # Publish the budget so in-process pools (assembly tiles, native BGZF
+    # inflate) size themselves to the worker's share too.
+    os.environ["PLATYPUS_TPU_WORKER_THREADS"] = str(n)
+    os.environ.setdefault("PLATYPUS_TPU_INFLATE_THREADS", str(n))
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, str(n))
     extra = f"--xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads={n}"

@@ -53,7 +53,20 @@ struct BgzfFile {
     std::vector<std::vector<uint8_t>> batch_blocks;
 
     static constexpr int64_t kBulkBytes = 4 << 20;  // compressed span per batch
-    static constexpr int kInflateThreads = 6;
+    // Default inflate parallelism; PLATYPUS_TPU_INFLATE_THREADS overrides
+    // (the runner sets it per worker so nCPU workers don't oversubscribe
+    // the host with nCPU*6 inflate threads).
+    static int inflate_threads() {
+        static int n = [] {
+            const char* env = std::getenv("PLATYPUS_TPU_INFLATE_THREADS");
+            if (env && *env) {
+                int v = std::atoi(env);
+                if (v >= 1) return v;
+            }
+            return 6;
+        }();
+        return n;
+    }
 
     struct ParsedBlock {
         int64_t coffset;
@@ -142,7 +155,7 @@ struct BgzfFile {
                     ok = false;
             }
         };
-        int n_threads = std::min<int>(kInflateThreads, (int)parsed.size());
+        int n_threads = std::min<int>(inflate_threads(), (int)parsed.size());
         if (n_threads <= 1) {
             worker();
         } else {
