@@ -337,6 +337,26 @@ def prepare_region_call(
     if rt.rlen != rlen0:
         ref_file.set_cache_sequence(chrom, start - 10 * rt.rlen, end + 10 * rt.rlen)
 
+    if config.compress_reads:
+        # Memory mode of --compressReads: after the (vectorised, whole-pile)
+        # candidate scan, swap each buffer's seq/qual columns for per-read
+        # RLE blobs; windows lazily decompress just their row slice
+        # (htslibWrapper.pyx:603-644, cwindow.pyx:655-689).  Lossless here —
+        # the lossy qualBinSize binning already ran at load time.
+        comp_start = max(0, start - 10 * rt.rlen)
+        comp_end = min(contig_len, end + 10 * rt.rlen)
+        ref_bytes = ref_file.get_sequence(chrom, comp_start, comp_end)
+        n_dense = n_comp = 0
+        for buf in buffers:
+            for rs in (buf.good, buf.bad):
+                if len(rs) and rs.seq is not None and rs.seq.size:
+                    n_dense += rs.seq.nbytes + rs.qual.nbytes
+                    rs.compress_in_memory(ref_bytes, comp_start)
+                    n_comp += max(0, rs.compressed_nbytes())
+        if n_dense and config.verbosity >= 3:
+            logger.info("compressReads: %s:%s-%s seq/qual %.1f MB -> %.2f MB",
+                        chrom, start, end, n_dense / 1e6, n_comp / 1e6)
+
     from .caller import prepare_window
     from .score import dispatch_alignment_requests
 

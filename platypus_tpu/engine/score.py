@@ -137,10 +137,12 @@ def gather_window_reads(
     r = 0
     for s_idx, pile, rs, sl in segs:
         n = sl.stop - sl.start
-        k = min(L, rs.seq.shape[1])
+        k = min(L, rs.width)
         block_rlen = rs.rlen[sl.start : sl.stop]
-        seq[r : r + n, :k] = rs.seq[sl.start : sl.stop, :k]
-        qual[r : r + n, :k] = rs.qual[sl.start : sl.stop, :k]
+        # seq_qual_rows lazily decompresses under --compressReads.
+        block_seq, block_qual = rs.seq_qual_rows(sl)
+        seq[r : r + n, :k] = block_seq[:, :k]
+        qual[r : r + n, :k] = block_qual[:, :k]
         # Zero any payload beyond each read's length (the per-read copy
         # loop never brought it over).
         tail = col[None, :] >= block_rlen[:, None]

@@ -72,6 +72,65 @@ class ReadSet:
     def __len__(self) -> int:
         return int(self.rlen.shape[0])
 
+    # -- in-memory compressed mode (--compressReads) ---------------------
+    # The reference keeps reads compressed between windows and lazily
+    # uncompresses the slice a window needs (htslibWrapper.pyx:603-644,
+    # cwindow.pyx:655-689).  Here the seq/qual columns are replaced by
+    # per-read RLE blobs against the reference; positional columns stay
+    # dense so windowing/coverage logic is untouched.
+
+    @property
+    def is_compressed(self) -> bool:
+        return getattr(self, "_comp", None) is not None
+
+    @property
+    def width(self) -> int:
+        """Padded row length of the seq/qual columns (valid either mode)."""
+        if self.is_compressed:
+            return self._comp_width
+        return int(self.seq.shape[1])
+
+    def compress_in_memory(self, ref_seq: bytes, ref_start: int) -> None:
+        """Swap the dense seq/qual columns for compressed blobs."""
+        from .compression import compress_read_set
+
+        if self.is_compressed or len(self) == 0 or self.seq.size == 0:
+            return
+        # Quality binning (the lossy part) has already been applied by QC,
+        # so blobs round-trip exactly.
+        self._comp = compress_read_set(self, ref_seq, ref_start)
+        self._comp_ref = np.frombuffer(ref_seq, np.uint8)
+        self._comp_width = int(self.seq.shape[1])
+        self.seq = None
+        self.qual = None
+
+    def seq_qual_rows(self, rows) -> Tuple[np.ndarray, np.ndarray]:
+        """Dense [n, width] seq/qual for a row slice/index array, lazily
+        decompressing in compressed mode."""
+        if not self.is_compressed:
+            return self.seq[rows], self.qual[rows]
+        from .compression import uncompress_qual, uncompress_seq
+
+        if isinstance(rows, slice):
+            rows = np.arange(rows.start or 0, rows.stop)
+        rows = np.asarray(rows, np.int64)
+        comp = self._comp
+        L = self._comp_width
+        seq = np.zeros((len(rows), L), np.uint8)
+        qual = np.zeros((len(rows), L), np.uint8)
+        for out_i, i in enumerate(rows):
+            i = int(i)
+            rl = int(comp.rlen[i])
+            off = int(comp.pos[i]) - comp.ref_start
+            window = (self._comp_ref[max(0, off): off + rl]
+                      if off >= 0 else np.zeros(0, np.uint8))
+            seq[out_i, :rl] = uncompress_seq(comp.seq_blobs[i], window, rl)
+            qual[out_i, :rl] = uncompress_qual(comp.qual_blobs[i], rl)
+        return seq, qual
+
+    def compressed_nbytes(self) -> int:
+        return self._comp.nbytes() if self.is_compressed else -1
+
     def cigar_ops(self, i: int) -> np.ndarray:
         """CIGAR for read i as an [k, 2] array of (op, length)."""
         words = self.cigar_flat[self.cigar_off[i] : self.cigar_off[i + 1]]

@@ -113,3 +113,57 @@ def test_vcf_reader_own_output(tmp_path):
     assert rec.filters == ["alleleBias"]
     assert rec.sample_gt("S1") == ("0", "1")
     assert rec.sample_floats("S1", "GL") == [-10.0, 0.0, -8.2]
+
+
+def test_compress_reads_memory_mode_identical_output(tmp_path):
+    """--compressReads memory mode (keep seq/qual compressed between windows,
+    lazy per-window decompression) must be lossless at qualBinSize=1: the
+    VCF is byte-identical to the uncompressed run, and the buffers really
+    were held compressed."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synth import SimHaplotype, make_reference, simulate_reads, write_synth_bam
+
+    from platypus_tpu.config import PlatypusConfig
+    from platypus_tpu.engine.runner import run_single_process
+
+    ref_path, ref_seq = make_reference(tmp_path, length=6000, seed=17)
+    alt = SimHaplotype(ref_seq, [
+        (1500, 1, b"A" if ref_seq[1500] != ord("A") else b"G"),
+        (3000, 2, b""),
+    ])
+    reads = simulate_reads([alt, SimHaplotype(ref_seq, [])], 1000, 5000,
+                           coverage=25, seed=23)
+    bam = write_synth_bam(tmp_path, reads, ref_len=6000)
+
+    outs = {}
+    for mode in (0, 1):
+        out = str(tmp_path / f"out_c{mode}.vcf")
+        cfg = PlatypusConfig(bam_files=[bam], ref_file=ref_path, output=out,
+                             regions=["chr20:1001-5000"], compress_reads=mode)
+        run_single_process(cfg, [("chr20", 1000, 5000)], out)
+        outs[mode] = [l for l in open(out) if not l.startswith("#")]
+    assert outs[0] == outs[1]
+    assert len(outs[0]) >= 2
+
+
+def test_seq_qual_rows_lazy_decompression():
+    from platypus_tpu.io.bam import BamFile
+
+    with BamFile("/root/reference/test/S55_test_realigned.bam") as bf:
+        chrom, length = bf.references[0]
+        rs = bf.fetch(chrom, 0, length)
+    rs = rs.take(np.arange(50))
+    dense_seq = rs.seq.copy()
+    dense_qual = rs.qual.copy()
+    ref_seq = bytes(np.full(200_000, ord("N"), np.uint8))
+    rs.compress_in_memory(ref_seq, 0)
+    assert rs.is_compressed and rs.seq is None
+    assert 0 < rs.compressed_nbytes() < dense_seq.nbytes + dense_qual.nbytes
+    seq, qual = rs.seq_qual_rows(np.array([3, 7, 20]))
+    np.testing.assert_array_equal(seq, dense_seq[[3, 7, 20]])
+    np.testing.assert_array_equal(qual, dense_qual[[3, 7, 20]])
+    seq2, qual2 = rs.seq_qual_rows(slice(0, 50))
+    np.testing.assert_array_equal(seq2, dense_seq)
+    np.testing.assert_array_equal(qual2, dense_qual)
