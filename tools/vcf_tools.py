@@ -13,6 +13,15 @@ filters and metrics into one CLI (same semantics, python 3):
                   (scripts/filterClusters.py, removeClusters.py, markClusters.py)
   split-mnps      split MNP/complex records into SNPs  (scripts/splitMNPsAndComplex.py)
   quals           print QUAL column                    (scripts/printQuals.py)
+  filter-tandem   drop long multi-base tandem contexts (scripts/removeTandems.py)
+  keep-tr         keep single-alt calls with TR >= N   (scripts/filterTR.py)
+  tstv-by-bin     Ts/Tv binned by an INFO key          (scripts/binTsTvByHP.py, binTsTvByPal.py)
+  filter-varcov   keep NV/NR fraction >= 0.30          (scripts/filterVarCoverage.py)
+  filter-snp-direction  SNPs matching flanking context (scripts/filterSnpDirection.py)
+  filter-readthrough    homopolymer-junction SNPs      (scripts/filterReadThrough.py)
+  annotate-palindrome   PAL= palindromic-match length  (scripts/annotatePalindromes.py + palindrome.pyx)
+  membership      SNP membership summary vs a site VCF (scripts/computePhaseOneMembership.py)
+  vcf-checks      structural sanity checks             (scripts/vcfChecks.py)
 
 All subcommands read VCF text on stdin and write to stdout:
     platypus-tpu-vcf-tools filter-hp '>4' < in.vcf > out.vcf
@@ -21,8 +30,12 @@ All subcommands read VCF text on stdin and write to stdout:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Iterator, List, Tuple
+
+# Allow running as a plain script from anywhere in the tree.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TRANSITIONS = {("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")}
 
@@ -201,6 +214,261 @@ def cmd_quals(args, stream, out):
             print(cols[5], file=out)
 
 
+def cmd_filter_tandem(args, stream, out):
+    """Drop calls in long multi-base tandem contexts: removed when
+    TR*len(TU) > 10 and len(TU) > 1 (scripts/removeTandems.py)."""
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        info = _info_dict(cols[7])
+        try:
+            tr = int(info.get("TR", "0").split(",")[0])
+            tu = info.get("TU", "")
+        except ValueError:
+            continue
+        if tr * len(tu) > 10 and len(tu) > 1:
+            continue
+        print(raw, file=out)
+
+
+def cmd_keep_tr(args, stream, out):
+    """Keep single-alt calls with TR >= threshold (scripts/filterTR.py)."""
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        if "," in cols[4]:
+            continue
+        info = _info_dict(cols[7])
+        if "TR" in info and int(info["TR"].split(",")[0]) >= args.threshold:
+            print(raw, file=out)
+
+
+def cmd_tstv_by_bin(args, stream, out):
+    """Ts/Tv binned by an integer INFO key (HP by default) —
+    scripts/binTsTvByHP.py / binTsTvByPal.py."""
+    from collections import defaultdict
+
+    n_ts = defaultdict(int)
+    n_tv = defaultdict(int)
+    for cols, _ in _records(stream):
+        if cols is None:
+            continue
+        ref, alt = cols[3], cols[4]
+        if len(ref) != 1 or len(alt) != 1 or alt == ".":
+            continue
+        info = _info_dict(cols[7])
+        try:
+            val = int(info.get(args.key, "0").split(",")[0])
+        except ValueError:
+            val = 0
+        b = val // args.bin_size
+        if tuple(sorted([ref, alt])) in {("A", "G"), ("C", "T")}:
+            n_ts[b] += 1
+        else:
+            n_tv[b] += 1
+    print(f"{args.key} bin\tnSnp\tTsTv", file=out)
+    for b in sorted(set(n_ts) | set(n_tv)):
+        n_snp = n_ts[b] + n_tv[b]
+        tstv = n_ts[b] / n_tv[b] if n_tv[b] > 0 else -1.0
+        print(f"{b * args.bin_size}-{(b + 1) * args.bin_size}\t{n_snp}\t{tstv:1.2f}",
+              file=out)
+
+
+def cmd_filter_varcov(args, stream, out):
+    """Keep calls whose NV/NR fraction (last two sample subfields) is
+    >= 0.30; malformed lines pass through (scripts/filterVarCoverage.py)."""
+    for cols, raw in _records(stream):
+        if cols is None:
+            continue
+        try:
+            sample = cols[9].split(":")
+            n_var = int(sample[-1].split(",")[0])
+            n_tot = int(sample[-2].split(",")[0])
+            if n_tot > 0 and n_var / n_tot >= args.min_frac:
+                print(raw, file=out)
+        except (IndexError, ValueError, ZeroDivisionError):
+            print(raw, file=out)
+
+
+def cmd_filter_snp_direction(args, stream, out):
+    """Keep SNPs where the base adjacent to the site (in the SC context,
+    which has the ref at index 10) equals the ALT on the given side
+    (scripts/filterSnpDirection.py: 'lr' checks SC[11], 'rl' SC[9])."""
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        ref, alt = cols[3], cols[4]
+        if len(ref) != 1 or len(alt) != 1:
+            continue
+        context = _info_dict(cols[7]).get("SC")
+        if not context or len(context) < 12 or context[10] != ref:
+            continue
+        if args.flag == "lr" and context[11] == alt:
+            print(raw, file=out)
+        elif args.flag == "rl" and context[9] == alt:
+            print(raw, file=out)
+
+
+def cmd_filter_readthrough(args, stream, out):
+    """Keep SNPs at junctions of two different homopolymers where the REF
+    matches the SHORTER side's base — the polymerase read-through signature
+    (scripts/filterReadThrough.py, including its equal-length tie rules)."""
+    from platypus_tpu.io.fasta import FastaFile
+
+    fa = FastaFile(args.ref)
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        chrom, pos = cols[0], int(cols[1]) - 1
+        ref, alt = cols[3], cols[4]
+        if len(ref) != 1 or len(alt) != 1:
+            continue
+        left = fa.get_sequence(chrom, pos - 20, pos).decode()
+        right = fa.get_sequence(chrom, pos + 1, pos + 21).decode()
+        if not left or not right or left[-1] == right[0]:
+            continue
+        left_count = 0
+        for i in range(1, 20):
+            if left[-i] == left[-1]:
+                left_count += 1
+            else:
+                break
+        right_count = 0
+        for i in range(20):
+            if right[i] == right[0]:
+                right_count += 1
+            else:
+                break
+        if ref == left[-1]:
+            left_count += 1
+        elif ref == right[0]:
+            right_count += 1
+        else:
+            continue
+        if ((left_count < right_count and ref == left[-1])
+                or (left_count > right_count and ref == right[0])):
+            if left_count >= args.threshold and right_count >= args.threshold:
+                print(raw, file=out)
+
+
+def _lcs(s: str, t: str, a: int = 0, b: float = 1e10):
+    """Longest common substring including >=1 char of s[a:b]
+    (scripts/palindrome.pyx lcs, incl. its centre-preferring tie break)."""
+    l0 = [0] * len(t)
+    l1 = [0] * len(t)
+    z = 0
+    starts = startt = -1
+    for i, sc in enumerate(s.upper()):
+        for j, tc in enumerate(t.upper()):
+            if sc == tc:
+                if i == 0 or j == 0:
+                    l0[j] = 1 if i < b else 0
+                else:
+                    l0[j] = l1[j - 1] + 1 if (i < b or l1[j - 1] > 0) else 0
+                if l0[j] >= z and i >= a:
+                    if l0[j] > z or abs(startt + (z - len(t)) // 2) > abs(j - z + 1 + (z - len(t) // 2)):
+                        z = l0[j]
+                        starts = i - z + 1
+                        startt = j - z + 1
+            else:
+                l0[j] = 0
+        l0, l1 = l1, l0
+    return z, starts, startt
+
+
+def _revcmp(unit: str) -> str:
+    return "".join(reversed([{"A": "T", "T": "A", "C": "G", "G": "C"}.get(c, "N")
+                             for c in unit.upper()]))
+
+
+def cmd_annotate_palindrome(args, stream, out):
+    """Append PAL=<longest palindromic match length around the allele> to
+    INFO (scripts/annotatePalindromes.py; negative --window annotates the
+    reference context only).  The reference script also chopped the last
+    INFO character when appending — a bug not reproduced here."""
+    from platypus_tpu.io.fasta import FastaFile
+
+    fa = FastaFile(args.ref)
+    w = abs(args.window)
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        chrom, pos = cols[0], int(cols[1]) - 1
+        ref, alt = cols[3], cols[4].split(",")[0]
+        if args.window < 0:
+            alt = ref
+        seq = fa.get_sequence(chrom, pos - w, pos + w + max(len(ref), len(alt))).decode().upper()
+        seq2 = seq[:w] + alt + seq[w + len(ref):]
+        if len(alt) > len(ref):
+            lng, _s1, _s2 = _lcs(seq2, _revcmp(seq), w + 1, w + len(alt))
+        else:
+            lng, _s1, _s2 = _lcs(seq, _revcmp(seq2), w + 1, w + len(ref))
+        cols[7] = cols[7] + f";PAL={lng}"
+        print("\t".join(cols), file=out)
+
+
+def cmd_membership(args, stream, out):
+    """SNP membership summary vs a sites VCF (plain or bgzip) —
+    scripts/computePhaseOneMembership.py's counting core."""
+    from platypus_tpu.utils.fileio import open_transparent
+
+    sites = set()
+    with open_transparent(args.sites) as fh:
+        for line in fh:
+            if isinstance(line, bytes):
+                line = line.decode()
+            if line.startswith("#"):
+                continue
+            c = line.rstrip("\n").split("\t")
+            sites.add(f"{c[0]}:{c[1]}:{c[3]}:{c[4]}")
+    counts = dict(nSNPs=0, nIn=0, nNotIn=0, nPASS=0, nPASSIn=0, nPASSNotIn=0,
+                  nFAIL=0, nFAILIn=0, nFAILNotIn=0)
+    for cols, _ in _records(stream):
+        if cols is None:
+            continue
+        if len(cols[3]) != 1 or len(cols[4]) != 1:
+            continue
+        key = f"{cols[0]}:{cols[1]}:{cols[3]}:{cols[4]}"
+        member = key in sites
+        counts["nSNPs"] += 1
+        counts["nIn" if member else "nNotIn"] += 1
+        if cols[6] == "PASS":
+            counts["nPASS"] += 1
+            counts["nPASSIn" if member else "nPASSNotIn"] += 1
+        else:
+            counts["nFAIL"] += 1
+            counts["nFAILIn" if member else "nFAILNotIn"] += 1
+    for k, v in counts.items():
+        print(f"{k}\t{v}", file=out)
+
+
+def cmd_vcf_checks(args, stream, out):
+    """Structural sanity checks (scripts/vcfChecks.py): untrimmed ref/alt
+    padding, non-monotonic positions; prints one line per problem."""
+    last = {}
+    n_bad = 0
+    for cols, raw in _records(stream):
+        if cols is None:
+            continue
+        chrom, pos = cols[0], int(cols[1])
+        ref, alts = cols[3], cols[4].split(",")
+        for alt in alts:
+            if alt and ref and alt[0] == ref[0] and len(alt) != 1 and len(ref) != 1:
+                print(f"untrimmed-padding\t{chrom}:{pos}\t{ref}>{alt}", file=out)
+                n_bad += 1
+                break
+        if chrom in last and pos < last[chrom]:
+            print(f"unsorted\t{chrom}:{pos} after {last[chrom]}", file=out)
+            n_bad += 1
+        last[chrom] = pos
+    print(f"problems\t{n_bad}", file=out)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="vcf_tools")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -224,6 +492,32 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_clusters)
     sub.add_parser("split-mnps").set_defaults(fn=cmd_split_mnps)
     sub.add_parser("quals").set_defaults(fn=cmd_quals)
+    sub.add_parser("filter-tandem").set_defaults(fn=cmd_filter_tandem)
+    p = sub.add_parser("keep-tr")
+    p.add_argument("threshold", type=int)
+    p.set_defaults(fn=cmd_keep_tr)
+    p = sub.add_parser("tstv-by-bin")
+    p.add_argument("--key", default="HP")
+    p.add_argument("--bin-size", type=int, default=1)
+    p.set_defaults(fn=cmd_tstv_by_bin)
+    p = sub.add_parser("filter-varcov")
+    p.add_argument("--min-frac", type=float, default=0.3)
+    p.set_defaults(fn=cmd_filter_varcov)
+    p = sub.add_parser("filter-snp-direction")
+    p.add_argument("flag", choices=["lr", "rl"])
+    p.set_defaults(fn=cmd_filter_snp_direction)
+    p = sub.add_parser("filter-readthrough")
+    p.add_argument("ref")
+    p.add_argument("threshold", type=int)
+    p.set_defaults(fn=cmd_filter_readthrough)
+    p = sub.add_parser("annotate-palindrome")
+    p.add_argument("ref")
+    p.add_argument("--window", type=int, default=20)
+    p.set_defaults(fn=cmd_annotate_palindrome)
+    p = sub.add_parser("membership")
+    p.add_argument("sites")
+    p.set_defaults(fn=cmd_membership)
+    sub.add_parser("vcf-checks").set_defaults(fn=cmd_vcf_checks)
     args = parser.parse_args(argv)
     args.fn(args, sys.stdin, sys.stdout)
     return 0
