@@ -257,6 +257,12 @@ def bench_reference_cpu(hap, go, read, qual, rl, budget_s=20.0):
 
 
 def main():
+    # Export the malloc tuning before any child starts: on lazily-paged VMs
+    # fresh-mmap'd NumPy buffers pay first-touch faults on every allocation
+    # (see platypus_tpu/utils/hostmem.py).
+    from platypus_tpu.utils.hostmem import tune_malloc
+
+    tune_malloc()
     if os.environ.get("PLATYPUS_BENCH_CHILD"):
         _child_main()
         return

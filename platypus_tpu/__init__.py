@@ -7,3 +7,10 @@ pair alignment, genotype likelihoods and EM haplotype-frequency inference.
 """
 
 __version__ = "0.1.0"
+
+# Keep large NumPy buffers on the reusable brk heap instead of fresh mmaps —
+# decisive on lazily-paged VMs, harmless elsewhere (see utils/hostmem.py).
+from .utils.hostmem import tune_malloc as _tune_malloc
+
+_tune_malloc()
+del _tune_malloc
