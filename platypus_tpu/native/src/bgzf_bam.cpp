@@ -15,8 +15,10 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #include <zlib.h>
@@ -29,10 +31,10 @@ namespace {
 
 struct BgzfFile {
     FILE* fh = nullptr;
-    // Cached decompressed block.
+    // Current read position: the mapped block and the offset within it.
     int64_t block_coffset = -1;
     int64_t block_clen = 0;
-    std::vector<uint8_t> block;
+    const std::vector<uint8_t>* blockp = nullptr;  // into `cache`
     size_t within = 0;
 
     ~BgzfFile() {
@@ -44,13 +46,30 @@ struct BgzfFile {
         return fh != nullptr;
     }
 
-    // Decoded-batch cache: BGZF blocks are independent deflate streams laid
-    // out back-to-back, so a region fetch can bulk-read a multi-block span
-    // and inflate the blocks on several threads (the reference pays this
-    // cost serially inside htslib).
-    std::vector<int64_t> batch_offsets;           // ascending coffsets
-    std::vector<int64_t> batch_clens;
-    std::vector<std::vector<uint8_t>> batch_blocks;
+    // Persistent inflated-block cache: BGZF blocks are independent deflate
+    // streams laid out back-to-back, so a region fetch bulk-reads a
+    // multi-block span and inflates the blocks on several threads (the
+    // reference pays this cost serially inside htslib).  The cache lives
+    // for the life of the reader, so adjacent region fetches (the driver
+    // walks buffer-sized shards sequentially) never re-inflate a block;
+    // FIFO-evicted above a byte cap so whole-genome scans stay bounded.
+    struct CachedBlock {
+        int64_t clen;
+        std::vector<uint8_t> data;
+    };
+    std::unordered_map<int64_t, CachedBlock> cache;   // by coffset
+    std::deque<int64_t> cache_order;                  // insertion order
+    size_t cache_bytes = 0;
+
+    static size_t cache_cap() {
+        static size_t cap = [] {
+            const char* env = std::getenv("PLATYPUS_TPU_BGZF_CACHE_MB");
+            long mb = (env && *env) ? std::atol(env) : 64;
+            if (mb < 8) mb = 8;
+            return (size_t)mb << 20;
+        }();
+        return cap;
+    }
 
     static constexpr int64_t kBulkBytes = 4 << 20;  // compressed span per batch
     // Default inflate parallelism; PLATYPUS_TPU_INFLATE_THREADS overrides
@@ -138,24 +157,25 @@ struct BgzfFile {
             off += pb.bsize;
         }
         if (parsed.empty()) return false;
-        batch_offsets.assign(parsed.size(), 0);
-        batch_clens.assign(parsed.size(), 0);
-        batch_blocks.assign(parsed.size(), {});
+        // Inflate only blocks not already cached.
+        std::vector<size_t> todo;
+        todo.reserve(parsed.size());
+        for (size_t i = 0; i < parsed.size(); ++i)
+            if (!cache.count(parsed[i].coffset)) todo.push_back(i);
+        std::vector<std::vector<uint8_t>> inflated(todo.size());
         std::atomic<size_t> next_idx{0};
         std::atomic<bool> ok{true};
         auto worker = [&]() {
             for (;;) {
-                size_t i = next_idx.fetch_add(1);
-                if (i >= parsed.size()) return;
-                const ParsedBlock& pb = parsed[i];
-                batch_offsets[i] = pb.coffset;
-                batch_clens[i] = pb.bsize;
+                size_t j = next_idx.fetch_add(1);
+                if (j >= todo.size()) return;
+                const ParsedBlock& pb = parsed[todo[j]];
                 if (!inflate_one(bulk.data() + pb.cdata_off, pb.cdata_len,
-                                 batch_blocks[i], pb.isize))
+                                 inflated[j], pb.isize))
                     ok = false;
             }
         };
-        int n_threads = std::min<int>(inflate_threads(), (int)parsed.size());
+        int n_threads = std::min<int>(inflate_threads(), (int)todo.size());
         if (n_threads <= 1) {
             worker();
         } else {
@@ -163,26 +183,49 @@ struct BgzfFile {
             for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
             for (auto& t : threads) t.join();
         }
-        return ok;
+        if (!ok) return false;
+        for (size_t j = 0; j < todo.size(); ++j) {
+            const ParsedBlock& pb = parsed[todo[j]];
+            cache_bytes += inflated[j].size();
+            cache.emplace(pb.coffset,
+                          CachedBlock{pb.bsize, std::move(inflated[j])});
+            cache_order.push_back(pb.coffset);
+        }
+        // FIFO-evict above cap; never the block the cursor sits in
+        // (unordered_map values are pointer-stable, so only erase can
+        // invalidate `blockp`).
+        while (cache_bytes > cache_cap() && cache_order.size() > 1) {
+            int64_t victim = cache_order.front();
+            cache_order.pop_front();
+            if (victim == block_coffset) {
+                cache_order.push_back(victim);
+                continue;
+            }
+            auto vit = cache.find(victim);
+            if (vit != cache.end()) {
+                cache_bytes -= vit->second.data.size();
+                cache.erase(vit);
+            }
+        }
+        return true;
     }
 
     // Load the block at compressed offset `coffset`; false at EOF/error.
     bool load_block(int64_t coffset) {
-        auto it = std::lower_bound(batch_offsets.begin(), batch_offsets.end(), coffset);
-        if (it == batch_offsets.end() || *it != coffset) {
+        auto it = cache.find(coffset);
+        if (it == cache.end()) {
             // Random seeks (scattered mate fetches) read a small span;
             // sequential streaming (region scans) reads multi-megabyte
             // batches worth threading.
             int64_t span = (coffset == block_coffset + block_clen)
                                ? kBulkBytes : (128 << 10);
             if (!load_batch(coffset, span)) return false;
-            it = std::lower_bound(batch_offsets.begin(), batch_offsets.end(), coffset);
-            if (it == batch_offsets.end() || *it != coffset) return false;
+            it = cache.find(coffset);
+            if (it == cache.end()) return false;
         }
-        size_t i = it - batch_offsets.begin();
-        block = batch_blocks[i];
+        blockp = &it->second.data;
         block_coffset = coffset;
-        block_clen = batch_clens[i];
+        block_clen = it->second.clen;
         within = 0;
         return true;
     }
@@ -205,13 +248,13 @@ struct BgzfFile {
     size_t read(uint8_t* out, size_t n) {
         size_t done = 0;
         while (done < n) {
-            if (within >= block.size()) {
-                int64_t next = block_coffset + block_clen;
+            if (!blockp || within >= blockp->size()) {
+                int64_t next = (block_coffset < 0) ? 0 : block_coffset + block_clen;
                 if (!load_block(next)) break;
                 continue;  // skips zero-length (EOF marker) blocks naturally
             }
-            size_t take = std::min(n - done, block.size() - within);
-            memcpy(out + done, block.data() + within, take);
+            size_t take = std::min(n - done, blockp->size() - within);
+            memcpy(out + done, blockp->data() + within, take);
             within += take;
             done += take;
         }
