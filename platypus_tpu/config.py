@@ -31,12 +31,15 @@ class PlatypusConfig:
     # ---- Sharding / process model ---------------------------------------
     buffer_size: int = 100_000         # region shard size in bp
     n_cpu: int = 1                     # host-side worker processes
-    # JAX platform for spawned workers when n_cpu>1.  Default "cpu": a single
-    # TPU device cannot be shared efficiently by multiple processes (measured
-    # 16x per-dispatch collapse under two concurrent clients); one process
-    # owns the device, extra workers run the bit-identical CPU kernels.
-    # Device-scale parallelism goes through parallel/ (mesh + jax.distributed).
-    worker_platform: str = "cpu"
+    # JAX platform for calling workers.  "auto" resolves per process model:
+    # the n_cpu<=1 main process keeps the default backend (the TPU when one
+    # is attached), while spawned n_cpu>1 workers pin the CPU backend — a
+    # single TPU device cannot be shared efficiently by multiple processes
+    # (measured 16x per-dispatch collapse under two concurrent clients); one
+    # process owns the device, extra workers run the bit-identical CPU
+    # kernels.  An explicit value ("cpu"/"tpu"/"default") applies everywhere.
+    # Device-scale parallelism goes through parallel/ (mesh+jax.distributed).
+    worker_platform: str = "auto"
     max_reads: int = 5_000_000         # per-region read cap
     compress_reads: int = 0
     qual_bin_size: int = 1

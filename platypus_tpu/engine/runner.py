@@ -233,9 +233,12 @@ def _worker_entry(args):
     config = PlatypusConfig.from_json(config_json)
     # Honour a platform override in spawned workers (the axon TPU plugin
     # ignores JAX_PLATFORMS; tests set PLATYPUS_TPU_PLATFORM=cpu).  With no
-    # env override, config.worker_platform applies — default "cpu", because a
-    # single TPU device serialises badly under concurrent client processes.
+    # env override, config.worker_platform applies — "auto" resolves to
+    # "cpu" here, because a single TPU device serialises badly under
+    # concurrent client processes.
     platform = os.environ.get("PLATYPUS_TPU_PLATFORM") or config.worker_platform
+    if platform == "auto":
+        platform = "cpu"
     if platform and platform != "default":
         import jax
 
@@ -348,6 +351,19 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
     regions = sorted(regions, key=lambda r: (_chrom_sort_key(r[0]), r[1], r[2]))
 
     if config.n_cpu <= 1:
+        # Honour the same platform override spawned workers get: the axon
+        # TPU plugin ignores JAX_PLATFORMS, so tests/users set
+        # PLATYPUS_TPU_PLATFORM (or --workerPlatform) to pin a backend.
+        # "auto" resolves to the default backend here (the TPU when one is
+        # attached) — the single process owns the device.
+        platform = os.environ.get("PLATYPUS_TPU_PLATFORM") or config.worker_platform
+        if platform and platform not in ("default", "auto"):
+            import jax
+
+            try:
+                jax.config.update("jax_platforms", platform)
+            except RuntimeError:
+                pass  # backend already initialised in-process; keep it
         run_single_process(config, regions, config.output, append=continuing)
         return
 
