@@ -265,9 +265,13 @@ class PreparedRegion:
     """Host-side state of a region whose device alignments are in flight."""
 
     __slots__ = ("chrom", "start", "end", "buffers", "windows", "prepared",
-                 "live", "pending", "region_t0")
+                 "live", "pending", "region_t0", "loglik_by_idx",
+                 "pending_inference", "inference_by_idx")
 
     def __init__(self, **kw):
+        self.loglik_by_idx = None        # set by begin_region_inference
+        self.pending_inference = None
+        self.inference_by_idx = None
         for k, v in kw.items():
             setattr(self, k, v)
 
@@ -419,15 +423,17 @@ def _device_inference_enabled(config: PlatypusConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
-    """Await the region's device results and run per-window inference +
-    output (in window order)."""
-    from .caller import finish_window
+def begin_region_inference(state, config: PlatypusConfig) -> None:
+    """Await the region's alignment scores and launch the fused device
+    GL/EM/posterior programs without waiting for them.
 
-    chrom, start, end = state.chrom, state.start, state.end
-    buffers, windows, prepared = state.buffers, state.windows, state.prepared
-    ref_file.set_cache_sequence(chrom, start - 2000, end + 2000)
-
+    Middle stage of the three-deep region pipeline (prepare -> begin ->
+    finish): once this returns, the region's inference is in flight on the
+    device while the next region does its host work.  Idempotent;
+    finish_region_call calls it if the runner has not."""
+    if state.loglik_by_idx is not None:
+        return
+    buffers = state.buffers
     inference_by_idx = {}
     if state.pending is None:
         # Mesh path: one sharded program does alignment + inference for the
@@ -456,17 +462,42 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
                          for (w_idx, _p), ll in zip(state.live, logliks)}
 
     # Fused device GL/EM/posterior pass over the region's windows (hot loop
-    # #2 on device; host float64 path is the fallback/oracle).
+    # #2 on device; host float64 path is the fallback/oracle).  Dispatch
+    # only — the results stay on device until finish_region_call gathers.
+    state.loglik_by_idx = loglik_by_idx
+    state.inference_by_idx = inference_by_idx
     if not inference_by_idx and _device_inference_enabled(config):
-        from ..parallel.batch import run_device_inference
+        from ..parallel.batch import dispatch_device_inference
 
         try:
             with metrics.timer("device_inference"):
-                inference_by_idx = run_device_inference(
+                state.pending_inference = dispatch_device_inference(
                     state.live, loglik_by_idx, len(buffers))
         except Exception:  # noqa: BLE001 — fall back to the host path
             logger.exception("device inference failed; using host path")
+            state.pending_inference = None
+
+
+def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
+    """Await the region's device results and run per-window inference +
+    output (in window order)."""
+    from .caller import finish_window
+
+    chrom, start, end = state.chrom, state.start, state.end
+    buffers, windows, prepared = state.buffers, state.windows, state.prepared
+    ref_file.set_cache_sequence(chrom, start - 2000, end + 2000)
+
+    begin_region_inference(state, config)
+    loglik_by_idx = state.loglik_by_idx
+    inference_by_idx = state.inference_by_idx or {}
+    if state.pending_inference is not None:
+        try:
+            with metrics.timer("device_inference"):
+                inference_by_idx = state.pending_inference.gather()
+        except Exception:  # noqa: BLE001 — fall back to the host path
+            logger.exception("device inference failed; using host path")
             inference_by_idx = {}
+        state.pending_inference = None
 
     # Phase 3 (host): per-window inference + output, in window order.
     n_written = 0

@@ -155,9 +155,25 @@ def run_single_process(
     # while region k+1 does its host-side work (prepare), then k's results
     # are awaited and written (finish) — output order is preserved because
     # finish runs in region order.
-    from .region import finish_region_call, prepare_region_call
+    from .region import (begin_region_inference, finish_region_call,
+                         prepare_region_call)
 
-    in_flight = None  # (chrom, start, end, PreparedRegion)
+    # Three-deep region pipeline: while region k prepares (host work +
+    # alignment dispatch), region k-1's alignments are awaited and its
+    # GL/EM/posterior programs dispatched, and region k-2's inference —
+    # in flight for a whole iteration — is gathered and written.  Output
+    # stays in region order because writes only happen in _finish.
+    aligning = None   # (chrom, start, end, PreparedRegion): alignments in flight
+    inferring = None  # (chrom, start, end, PreparedRegion): inference in flight
+
+    def _begin(entry):
+        chrom, start, end, state = entry
+        try:
+            begin_region_inference(state, config)
+            return entry
+        except Exception:  # noqa: BLE001 — region crash containment
+            logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
+            return None
 
     def _finish(entry):
         nonlocal n_written
@@ -167,6 +183,17 @@ def run_single_process(
         except Exception:  # noqa: BLE001 — region crash containment
             logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
 
+    def _drain():
+        nonlocal aligning, inferring
+        if inferring is not None:
+            _finish(inferring)
+            inferring = None
+        if aligning is not None:
+            entry = _begin(aligning)
+            aligning = None
+            if entry is not None:
+                _finish(entry)
+
     for index, (chrom, start, end) in enumerate(regions):
         if index % 10 == 0:
             logger.info("Processing region %s:%s-%s", chrom, start, end)
@@ -174,9 +201,7 @@ def run_single_process(
             if config.hla_typing:
                 from .hla import call_hla_variants_in_region
 
-                if in_flight is not None:
-                    _finish(in_flight)
-                    in_flight = None
+                _drain()
                 n_written += call_hla_variants_in_region(
                     chrom, start, end, bam_files, samples_by_bam, ref_file,
                     config, rt, out,
@@ -188,13 +213,15 @@ def run_single_process(
         except Exception:  # noqa: BLE001 — region crash containment
             logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
             state = None
-        if in_flight is not None:
-            _finish(in_flight)
-            in_flight = None
+        begun = _begin(aligning) if aligning is not None else None
+        aligning = None
+        if inferring is not None:
+            _finish(inferring)
+            inferring = None
+        inferring = begun
         if state is not None:
-            in_flight = (chrom, start, end, state)
-    if in_flight is not None:
-        _finish(in_flight)
+            aligning = (chrom, start, end, state)
+    _drain()
     if output_path != "-":
         out.close()
     for bam in bam_files:

@@ -58,14 +58,64 @@ class WindowInference:
     ratios: Dict[Variant, float]  # ln P(no var) - ln P(var)
 
 
+class PendingInference:
+    """In-flight device inference for a region's windows.
+
+    dispatch_device_inference() launches the fused programs and returns
+    immediately (JAX async dispatch keeps them in flight); gather() blocks
+    on the transfers.  The split lets the engine keep region k's EM on the
+    device while region k+1 does its host work (same pipeline split as
+    PendingAlignments in engine/score.py)."""
+
+    def __init__(self):
+        self.buckets: list = []  # (items, h1, h2, device result tuple)
+
+    def gather(self) -> Dict[int, WindowInference]:
+        out: Dict[int, WindowInference] = {}
+        for items, h1, h2, dev in self.buckets:
+            _lik_d, em_d, freq_d, gof_d, ratio_d, glrel_d = dev
+            # Linear relative likelihoods via float64 exp of the log table —
+            # the f32 linear values saturate below ~1e-38, the host floor is
+            # 1e-300.
+            lik_h = np.exp(np.asarray(glrel_d, np.float64))
+            em_h = np.asarray(em_d, np.float64)
+            freq_h = np.asarray(freq_d, np.float64)
+            gof_h = np.asarray(gof_d, np.float64)
+            ratio_h = np.asarray(ratio_d, np.float64)
+            for k, (w_idx, prep, ll, variants) in enumerate(items):
+                H, R = ll.shape
+                cols = np.nonzero((h1 < H) & (h2 < H))[0]
+                out[w_idx] = WindowInference(
+                    likelihoods=lik_h[k][:, cols],
+                    em=em_h[k][:, cols],
+                    frequencies=freq_h[k][:H],
+                    gof_sum=gof_h[k][:, cols],
+                    ratios={v: float(ratio_h[k, vi])
+                            for vi, v in enumerate(variants)},
+                )
+        self.buckets = []
+        return out
+
+
 def run_device_inference(
     live: Sequence[Tuple[int, object]],   # (window index, PreparedWindow)
     loglik_by_idx: Dict[int, np.ndarray],
     n_individuals: int,
     em_iters: int = 100,
 ) -> Dict[int, WindowInference]:
-    """Run the fused GL/EM/posterior program over every live window,
-    bucketed; returns per-window gathered results keyed by window index."""
+    """Dispatch + gather in one call (tests and the mesh fallback path)."""
+    return dispatch_device_inference(
+        live, loglik_by_idx, n_individuals, em_iters=em_iters).gather()
+
+
+def dispatch_device_inference(
+    live: Sequence[Tuple[int, object]],   # (window index, PreparedWindow)
+    loglik_by_idx: Dict[int, np.ndarray],
+    n_individuals: int,
+    em_iters: int = 100,
+) -> PendingInference:
+    """Launch the fused GL/EM/posterior program over every live window,
+    bucketed by shape; returns a PendingInference to gather() later."""
     import jax.numpy as jnp
 
     from ..ops.likelihood import genotype_index_pairs
@@ -85,7 +135,7 @@ def run_device_inference(
                geom_bucket(max(1, len(variants))))
         groups.setdefault(key, []).append((w_idx, prep, ll, variants))
 
-    out: Dict[int, WindowInference] = {}
+    pending = PendingInference()
     I = n_individuals
     for (Hb, Rb, Vb), items in groups.items():
         Wb = geom_bucket(len(items))
@@ -109,27 +159,10 @@ def run_device_inference(
             has_reads[k] = n_good > 0
 
         h1, h2 = genotype_index_pairs(Hb)
-        _lik_d, em_d, freq_d, gof_d, ratio_d, glrel_d = infer_window_batch(
+        dev = infer_window_batch(
             jnp.asarray(loglik), jnp.asarray(onehot), jnp.asarray(hap_mask),
             jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
             jnp.asarray(var_mask), jnp.asarray(has_reads), em_iters=em_iters,
         )
-        # Linear relative likelihoods via float64 exp of the log table — the
-        # f32 linear values saturate below ~1e-38, the host floor is 1e-300.
-        lik_h = np.exp(np.asarray(glrel_d, np.float64))
-        em_h = np.asarray(em_d, np.float64)
-        freq_h = np.asarray(freq_d, np.float64)
-        gof_h = np.asarray(gof_d, np.float64)
-        ratio_h = np.asarray(ratio_d, np.float64)
-
-        for k, (w_idx, prep, ll, variants) in enumerate(items):
-            H, R = ll.shape
-            cols = np.nonzero((h1 < H) & (h2 < H))[0]
-            out[w_idx] = WindowInference(
-                likelihoods=lik_h[k][:, cols],
-                em=em_h[k][:, cols],
-                frequencies=freq_h[k][:H],
-                gof_sum=gof_h[k][:, cols],
-                ratios={v: float(ratio_h[k, vi]) for vi, v in enumerate(variants)},
-            )
-    return out
+        pending.buckets.append((items, h1, h2, dev))
+    return pending
