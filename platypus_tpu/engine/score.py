@@ -302,6 +302,18 @@ class PendingAlignments:
         self.groups: list = []
 
     def finalize(self) -> List[np.ndarray]:
+        if self.groups:
+            # One batched transfer for every chunk: per-array fetches each
+            # pay the device round trip (~45ms over the tunnel).
+            import jax
+
+            devs = [dev for _, _, chunks in self.groups
+                    for dev, _, _ in chunks]
+            fetched = iter(jax.device_get(devs))
+            self.groups = [
+                (owners, out_scores,
+                 [(next(fetched), sl, take) for _dev, sl, take in chunks])
+                for owners, out_scores, chunks in self.groups]
         for owners, out_scores, chunks in self.groups:
             for dev, sl, take in chunks:
                 out_scores[sl] = np.asarray(dev)[:take]
@@ -426,6 +438,11 @@ def dispatch_alignment_requests(
                 padded = gather_pad_device(hap_dev, go_dev, seq_dev, qual_dev,
                                            ph, pr, ps, n)
                 dev = _kernel_fn()(*padded, gapextend=gapextend, nucprior=nucprior)
+                try:
+                    # Stream the scores back behind the compute.
+                    dev.copy_to_host_async()
+                except AttributeError:
+                    pass
                 chunks.append((dev, sl, take))
                 done += take
 

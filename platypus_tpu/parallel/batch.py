@@ -72,6 +72,15 @@ class PendingInference:
 
     def gather(self) -> Dict[int, WindowInference]:
         out: Dict[int, WindowInference] = {}
+        if self.buckets:
+            # One batched transfer for every bucket's outputs: per-array
+            # fetches each pay the full device round trip (~45ms over the
+            # tunnel), device_get overlaps them all.
+            import jax
+
+            fetched = jax.device_get([dev for _, _, _, dev in self.buckets])
+            self.buckets = [(items, h1, h2, dev) for (items, h1, h2, _), dev
+                            in zip(self.buckets, fetched)]
         for items, h1, h2, dev in self.buckets:
             _lik_d, em_d, freq_d, gof_d, ratio_d, glrel_d = dev
             # Linear relative likelihoods via float64 exp of the log table —
@@ -164,5 +173,12 @@ def dispatch_device_inference(
             jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
             jnp.asarray(var_mask), jnp.asarray(has_reads), em_iters=em_iters,
         )
+        # Start the device->host copies now; they stream behind the
+        # compute while the next region does its host work.
+        for arr in dev:
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                break
         pending.buckets.append((items, h1, h2, dev))
     return pending
