@@ -55,21 +55,22 @@ class CandidateGenerator:
         else:
             existing.add_variant(var)
 
-    def _add_platypus_candidate(self, pos: int, removed: bytes, added: bytes) -> None:
-        """add_variant of a 1-read PLATYPUS candidate without constructing a
-        Variant when an equal one was seen (the scans emit the same candidate
-        once per supporting read)."""
+    def _add_platypus_candidate(self, pos: int, removed: bytes, added: bytes,
+                                count: int = 1) -> None:
+        """add_variant of a `count`-read PLATYPUS candidate without
+        constructing a Variant when an equal one was seen (the scans emit
+        the same candidate once per supporting read)."""
         if pos < 0:
             pos = 0  # Variant.__init__ clamps; the cache key must agree
         canon = self._batch_var_cache.get((pos, removed, added))
         if canon is not None:
-            canon.n_supporting_reads += 1
+            canon.n_supporting_reads += count
             if pos < canon.bam_min_pos:
                 canon.bam_min_pos = pos
             if pos > canon.bam_max_pos:
                 canon.bam_max_pos = pos
         else:
-            v = Variant(self.ref_name, pos, removed, added, 1, PLATYPUS_VAR)
+            v = Variant(self.ref_name, pos, removed, added, count, PLATYPUS_VAR)
             self.add_variant(v)
             self._batch_var_cache[(pos, removed, added)] = self.variant_heap[v]
 
@@ -134,7 +135,25 @@ class CandidateGenerator:
             bpos = np.nonzero(breaks)[0]
             starts = np.concatenate([[0], bpos + 1])
             ends = np.concatenate([bpos, [len(rr) - 1]])
-            for s, e in zip(starts, ends):
+            # Single-base runs (almost all of them: isolated SNP mismatches)
+            # dedup in one np.unique pass — the same candidate repeats once
+            # per supporting read, and per-hit Python costs dominate.
+            single = starts == ends
+            if single.any():
+                rr_s = rr[starts[single]]
+                cc_s = cc[starts[single]]
+                absb = ref_base[rr_s].astype(np.int64) + cc_s
+                key = absb * 256 + seq[rr_s, cc_s]
+                uniq, first, counts = np.unique(key, return_index=True,
+                                                return_counts=True)
+                for k, fi, n in zip(uniq.tolist(), first.tolist(),
+                                    counts.tolist()):
+                    rb_i0 = k >> 8
+                    pos = rb_i0 + self.ref_seq_start
+                    removed = self.ref_seq[rb_i0 : rb_i0 + 1]
+                    added = bytes(seq[rr_s[fi], cc_s[fi] : cc_s[fi] + 1])
+                    self._add_platypus_candidate(pos, removed, added, count=n)
+            for s, e in zip(starts[~single], ends[~single]):
                 r = int(rr[s])
                 i0 = int(cc[s])
                 i1 = int(cc[e])

@@ -89,14 +89,54 @@ class WindowReads:
         """[R] bool: cigar is exactly one M/=/X op — the common case the
         INFO re-walk vectorises (computed once per window, lazily)."""
         if self._single_m is None:
-            out = np.zeros(len(self), bool)
-            for r, (rs, row) in enumerate(self.cigar_refs):
-                off = rs.cigar_off
-                lo = int(off[row])
-                if int(off[row + 1]) - lo == 1:
-                    out[r] = (int(rs.cigar_flat[lo]) & 0xF) in (0, 7, 8)
-            self._single_m = out
+            if isinstance(self.cigar_refs, CigarRefs):
+                self._single_m = self.cigar_refs.single_m_mask()
+            else:
+                out = np.zeros(len(self), bool)
+                for r, (rs, row) in enumerate(self.cigar_refs):
+                    off = rs.cigar_off
+                    lo = int(off[row])
+                    if int(off[row + 1]) - lo == 1:
+                        out[r] = (int(rs.cigar_flat[lo]) & 0xF) in (0, 7, 8)
+                self._single_m = out
         return self._single_m
+
+
+class CigarRefs:
+    """Lazy (ReadSet, row) sequence over block segments.
+
+    gather_window_reads copies read payloads in contiguous block slices;
+    materialising a (ReadSet, row) tuple per read for the INFO re-walks
+    costs more than the block copies themselves, so this keeps only the
+    (readset, start) per segment and resolves rows on demand."""
+
+    __slots__ = ("readsets", "starts", "offsets")
+
+    def __init__(self, segs):
+        # segs: list of (ReadSet, start, stop) with stop > start
+        self.readsets = [rs for rs, _, _ in segs]
+        self.starts = [s for _, s, _ in segs]
+        lens = np.array([e - s for _, s, e in segs], np.int64)
+        self.offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])
+
+    def __len__(self) -> int:
+        return int(self.offsets[-1])
+
+    def __getitem__(self, r: int):
+        seg = int(np.searchsorted(self.offsets, r, side="right")) - 1
+        return self.readsets[seg], self.starts[seg] + (r - int(self.offsets[seg]))
+
+    def single_m_mask(self) -> np.ndarray:
+        out = np.zeros(len(self), bool)
+        for seg, rs in enumerate(self.readsets):
+            o = int(self.offsets[seg])
+            n = int(self.offsets[seg + 1]) - o
+            s = self.starts[seg]
+            off = rs.cigar_off[s : s + n + 1]
+            first_op = rs.cigar_flat[off[:-1]] & 0xF
+            out[o : o + n] = ((off[1:] - off[:-1]) == 1) & (
+                (first_op == 0) | (first_op == 7) | (first_op == 8))
+        return out
 
 
 def gather_window_reads(
@@ -132,7 +172,6 @@ def gather_window_reads(
     broken = np.zeros(R, bool)
     sample_idx = np.zeros(R, np.int32)
     good = np.zeros(R, bool)
-    cigar_refs: List[Tuple[object, int]] = []
     col = np.arange(L, dtype=np.int32)
     r = 0
     for s_idx, pile, rs, sl in segs:
@@ -157,8 +196,8 @@ def gather_window_reads(
         broken[r : r + n] = pile == "broken"
         good[r : r + n] = pile == "good"
         sample_idx[r : r + n] = s_idx
-        cigar_refs.extend((rs, i) for i in range(sl.start, sl.stop))
         r += n
+    cigar_refs = CigarRefs([(rs, sl.start, sl.stop) for _, _, rs, sl in segs])
     return WindowReads(seq, qual, rlen, pos, end, mapq, rev, qc, broken,
                        sample_idx, good, cigar_refs)
 

@@ -87,10 +87,14 @@ def main() -> int:
     info = build_dataset(args.workdir, length)
     region_arg = f"chr20:1000-{length + 1000}"
 
-    # Warm the compile caches once in-process.
+    # Warm the compile caches once in-process over the FULL region list —
+    # window-shape buckets differ across regions, so a one-region warm
+    # leaves compiles inside the timed run.
     cfg = PlatypusConfig(bam_files=[info["bam"]], ref_file=info["ref"],
                          regions=[region_arg], assemble=args.assemble)
-    run_single_process(cfg, [("chr20", 1000, 101000)], os.path.join(args.workdir, "warm.vcf"))
+    warm_regions = [("chr20", s, min(s + 100_000, length + 1000))
+                    for s in range(1000, length + 1000, 100_000)]
+    run_single_process(cfg, warm_regions, os.path.join(args.workdir, "warm.vcf"))
 
     base = None
     for ncpu in [int(x) for x in args.ncpus.split(",")]:
