@@ -295,6 +295,43 @@ def call_variants_in_region(
     return finish_region_call(state, ref_file, config, writer)
 
 
+class RegionPrefetch:
+    """BAM decode for the NEXT region running on a helper thread.
+
+    The native reader releases the GIL for the whole fetch, so region k+1's
+    BGZF inflate + record decode genuinely overlaps region k's window prep
+    and device waits.  The runner guarantees the thread is the only BAM
+    user while it runs (it joins before any other fetch)."""
+
+    def __init__(self, bam_files, samples_by_bam, chrom, start, end, config):
+        import threading
+
+        self.chrom, self.start, self.end = chrom, start, end
+        self._box = {}
+
+        def work():
+            try:
+                self._box["buffers"] = load_region_buffers(
+                    bam_files, samples_by_bam, chrom, start, end, config)
+            except BaseException as exc:  # noqa: BLE001 — re-raised in result()
+                self._box["exc"] = exc
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def matches(self, chrom, start, end) -> bool:
+        return (chrom, start, end) == (self.chrom, self.start, self.end)
+
+    def join(self) -> None:
+        self._thread.join()
+
+    def result(self):
+        self._thread.join()
+        if "exc" in self._box:
+            raise self._box["exc"]
+        return self._box["buffers"]
+
+
 def prepare_region_call(
     chrom: str,
     start: int,
@@ -304,6 +341,7 @@ def prepare_region_call(
     ref_file,
     config: PlatypusConfig,
     rt: RuntimeState,
+    preloaded: "RegionPrefetch" = None,
 ):
     """Host phases of a region (load, candidates, window prep) ending with
     the ASYNC dispatch of all its device alignments.  Returns None when the
@@ -321,7 +359,11 @@ def prepare_region_call(
     max_contig_pos = contig_len - 1
 
     try:
-        buffers = load_region_buffers(bam_files, samples_by_bam, chrom, start, end, config)
+        if preloaded is not None and preloaded.matches(chrom, start, end):
+            buffers = preloaded.result()
+        else:
+            buffers = load_region_buffers(bam_files, samples_by_bam, chrom,
+                                          start, end, config)
     except Exception as exc:  # noqa: BLE001 — region-level crash containment
         logger.exception("Exception loading region %s:%s-%s: %s", chrom, start, end, exc)
         return None

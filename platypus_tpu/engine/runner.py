@@ -194,6 +194,9 @@ def run_single_process(
             if entry is not None:
                 _finish(entry)
 
+    from .region import RegionPrefetch
+
+    prefetch = None  # next region's BAM decode on a helper thread
     for index, (chrom, start, end) in enumerate(regions):
         if index % 10 == 0:
             logger.info("Processing region %s:%s-%s", chrom, start, end)
@@ -201,6 +204,9 @@ def run_single_process(
             if config.hla_typing:
                 from .hla import call_hla_variants_in_region
 
+                if prefetch is not None:  # the HLA path fetches directly
+                    prefetch.join()
+                    prefetch = None
                 _drain()
                 n_written += call_hla_variants_in_region(
                     chrom, start, end, bam_files, samples_by_bam, ref_file,
@@ -208,11 +214,19 @@ def run_single_process(
                 )
                 continue
             state = prepare_region_call(
-                chrom, start, end, bam_files, samples_by_bam, ref_file, config, rt
+                chrom, start, end, bam_files, samples_by_bam, ref_file,
+                config, rt, preloaded=prefetch,
             )
         except Exception:  # noqa: BLE001 — region crash containment
             logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
             state = None
+        if prefetch is not None:
+            prefetch.join()  # never leave the helper running into a fetch
+            prefetch = None
+        if index + 1 < len(regions) and not config.hla_typing:
+            nc, ns, ne = regions[index + 1]
+            prefetch = RegionPrefetch(bam_files, samples_by_bam, nc, ns, ne,
+                                      config)
         begun = _begin(aligning) if aligning is not None else None
         aligning = None
         if inferring is not None:
