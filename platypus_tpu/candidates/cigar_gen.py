@@ -114,18 +114,41 @@ class CandidateGenerator:
         n_char = ord("N")
         L = rs.seq.shape[1]
         col = np.arange(L, dtype=np.int32)
+        # Row-wise gather via a sliding-window view: one index per read
+        # instead of one per cell (the elementwise take dominated this scan).
+        ref_rows = (np.lib.stride_tricks.sliding_window_view(ref_arr, L)
+                    if len(ref_arr) >= L else None)
         for done in range(0, len(rows), 16384):
             rws = rows[done : done + 16384]
             lns = lens[done : done + 16384]
             ref_base = (rs.pos[rws] - self.ref_seq_start).astype(np.int32)
+            safe = ((ref_base >= 0) & (ref_base <= len(ref_arr) - L)
+                    if ref_rows is not None else np.zeros(len(rws), bool))
+            if safe.all():
+                refm = ref_rows[ref_base]
+            else:
+                refm = np.empty((len(rws), L), np.uint8)
+                if safe.any():
+                    refm[safe] = ref_rows[ref_base[safe]]
+                edge = ~safe
+                refm[edge] = ref_arr.take(
+                    ref_base[edge, None] + col[None, :], mode="clip")
+            seq = rs.seq[rws]
+            neq = seq != refm
+            # Most reads match the reference exactly; run the flank/qual
+            # masking only over rows with any mismatch at all.
+            any_mm = neq.any(axis=1)
+            if not any_mm.any():
+                continue
+            sel = np.nonzero(any_mm)[0]
+            rws, lns, ref_base = rws[sel], lns[sel], ref_base[sel]
+            refm, seq, neq = refm[sel], seq[sel], neq[sel]
             lo = np.maximum(self.min_flank, -ref_base)
             hi = np.minimum(np.minimum(lns, rs.rlen[rws] - self.min_flank),
                             len(ref_arr) - ref_base)
-            refm = ref_arr.take(ref_base[:, None] + col[None, :], mode="clip")
-            seq = rs.seq[rws]
             mm = (
                 (col[None, :] >= lo[:, None]) & (col[None, :] < hi[:, None])
-                & (seq != refm) & (seq != n_char) & (refm != n_char)
+                & neq & (seq != n_char) & (refm != n_char)
                 & (rs.qual[rws] >= self.min_base_qual)
             )
             rr, cc = np.nonzero(mm)

@@ -220,6 +220,14 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
     exact_indels = bool(config.count_only_exact_indel_matches)
     col = np.arange(reads.qual.shape[1]) if reads.qual.size else np.zeros(0, np.int64)
 
+    # Cumulative count of low-qual (<5) columns per read: turns each
+    # variant's "all quals >= 5 in span" check from an [R, L] mask into two
+    # gathers (computed once per window, used per variant x individual).
+    L = reads.qual.shape[1]
+    lowq_cum = np.zeros((len(reads.qual), L + 1), np.int32)
+    if reads.qual.size:
+        np.cumsum(reads.qual < 5, axis=1, out=lowq_cum[:, 1:])
+
     def overlap_qualgood(rows: np.ndarray, var_min: int, var_max: int) -> np.ndarray:
         """Rows overlapping [var_min, var_max] whose quals in the variant
         span are all >= 5 (the scalar helpers' semantics, batched)."""
@@ -234,9 +242,8 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
         rlen = reads.rlen[rows].astype(np.int64)
         lo = np.clip(var_min - pos, 0, rlen)
         hi = np.clip(var_max - pos, 0, rlen)
-        span = (col[None, :] >= lo[:, None]) & (col[None, :] < hi[:, None])
-        ok = ((reads.qual[rows] >= 5) | ~span).all(axis=1)
-        return rows[ok]
+        n_low = (lowq_cum[rows, np.maximum(hi, lo)] - lowq_cum[rows, lo])
+        return rows[n_low == 0]
 
     def supported_mask(rows: np.ndarray, variant: Variant) -> np.ndarray:
         """variant_supported_by_read over many rows: single-M cigars (the
