@@ -255,3 +255,98 @@ def test_vcf_tools_membership_and_checks(tmp_path):
            "chr1\t100\t.\tA\tG\t1\tPASS\tTC=1\n")
     out = _run_tool(["vcf-checks"], bad)
     assert "untrimmed-padding" in out and "unsorted" in out and "problems\t2" in out
+
+
+def test_vcf_tools_context_filters_round2(tmp_path):
+    """keep-gof / remove-hps / remove-tandems-and-hps / filter-pal /
+    filter-tu / the HP-context family / count-ref-nonref / hist."""
+    vcf = ("##fileformat=VCFv4.0\n"
+           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+           "chr1\t10\t.\tA\tG\t9\tPASS\tTR=8;TU=A;PAL=3\t"
+           "GT:GL:GOF:GQ:NR:NV\t0/1:-1,0,-1:12:40:30:10\n"
+           "chr1\t20\t.\tC\tT\t9\tPASS\tTR=6;TU=AC;PAL=8\t"
+           "GT:GL:GOF:GQ:NR:NV\t0/1:-1,0,-1:3:40:30:10\n")
+    # keep-gof: GOF >= 10 keeps only the first record; headers dropped.
+    out = _run_tool(["keep-gof", "10"], vcf)
+    assert "\t10\t" in out and "\t20\t" not in out and "#" not in out
+    # remove-hps: TR*|TU| = 8 > 5 with |TU|==1 drops record 1 only.
+    out = _run_tool(["remove-hps"], vcf)
+    assert "\t10\t" not in out and "\t20\t" in out
+    # remove-tandems-and-hps: 8>5(|TU|=1) and 12>10(|TU|=2) drop both.
+    out = _run_tool(["remove-tandems-and-hps"], vcf)
+    assert "\t10\t" not in out and "\t20\t" not in out
+    # filter-pal: PAL >= 5 keeps only record 2.
+    out = _run_tool(["filter-pal", ">5"], vcf)
+    assert "\t10\t" not in out and "\t20\t" in out
+    # filter-tu: keep len(TU) != 1 -> record 2 only.
+    out = _run_tool(["filter-tu", "1"], vcf)
+    assert "\t10\t" not in out and "\t20\t" in out
+    # count-ref-nonref on pileup text.
+    out = _run_tool(["count-ref-nonref"],
+                    "chr1\t5\tA\t10\t..,,AACG\t~~~~~~~~\n")
+    assert "N ref = 4 (40.0 %)" in out and "N non-ref = 4" in out
+    # hist writes a PNG.
+    png = tmp_path / "h.png"
+    out = _run_tool(["hist", str(png), "4"], "1.0\n2.0\n2.5\n9.0\n")
+    assert png.exists() and "4 values" in out
+
+
+def test_vcf_tools_hp_context_family(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from synth import make_reference
+
+    ref_path, ref_seq = make_reference(tmp_path, length=3000, seed=6)
+    seq = bytearray(ref_seq.tobytes())
+    # pos 1000 (0-based): site X between AAAAA (left) and TTTTT (right).
+    seq[995:1000] = b"AAAAA"
+    seq[1000:1001] = b"G"
+    seq[1001:1006] = b"TTTTT"
+    # pos 2000: site inside a run of the ALT base C on both sides.
+    seq[1995:2000] = b"CCCCC"
+    seq[2000:2001] = b"A"
+    seq[2001:2006] = b"CCCCC"
+    # pos 1499 (0-based): last A of an AAAAA|TTTTT junction.
+    seq[1495:1500] = b"AAAAA"
+    seq[1500:1505] = b"TTTTT"
+    ref2 = tmp_path / "refhp.fa"
+    with open(ref2, "w") as fh:
+        fh.write(">chr20\n")
+        text = bytes(seq).decode()
+        for i in range(0, len(text), 60):
+            fh.write(text[i:i + 60] + "\n")
+    from platypus_tpu.io.fasta import build_index
+
+    build_index(str(ref2))
+    vcf = ("##fileformat=VCFv4.0\n"
+           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+           "chr20\t1001\t.\tG\tA\t60\tPASS\tTC=30\tGT\t0/1\n"
+           "chr20\t2001\t.\tA\tC\t60\tPASS\tTC=30\tGT\t0/1\n")
+    # one-sided: both sites sit beside >=5 runs.
+    out = _run_tool(["filter-one-sided-hp", str(ref2), "5"], vcf)
+    assert "\t1001\t" in out and "\t2001\t" in out
+    # two-sided (ALT-base runs both sides): only the CCCCC[A->C]CCCCC site.
+    out = _run_tool(["filter-two-sided-hp", str(ref2), "5"], vcf)
+    assert "\t1001\t" not in out and "\t2001\t" in out
+    # joining (different HPs each side): only the AAAAA[G->A]TTTTT site.
+    out = _run_tool(["filter-joining-hps", str(ref2), "5"], vcf)
+    assert "\t1001\t" in out and "\t2001\t" not in out
+    # lr-hp-counts at the AAAAA|TTTTT junction, REF extends the left HP:
+    # lc=4+1(REF), rc=5 -> "Equal Snp To Right" under the tie rules.
+    vcf_j = ("##fileformat=VCFv4.0\n"
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+             "chr20\t1500\t.\tA\tT\t60\tPASS\tTC=30\tGT\t0/1\n")
+    out = _run_tool(["lr-hp-counts", str(ref2), "3"], vcf_j)
+    assert "A --> T." in out and "Snp To" in out
+
+
+def test_vcf_tools_count_broken_pairs(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from synth import SimHaplotype, make_reference, simulate_reads, write_synth_bam
+
+    ref_path, ref_seq = make_reference(tmp_path, length=6000, seed=7)
+    hap = SimHaplotype(ref_seq, [])
+    reads = simulate_reads([hap], 1000, 3000, coverage=4, seed=8)
+    bam = write_synth_bam(tmp_path, reads, ref_len=6000)
+    out = _run_tool(["count-broken-pairs", str(tmp_path / "reads.bam"),
+                     "--chroms", "chr20"], "")
+    assert "N broken pairs for chrom chr20 = 0" in out

@@ -22,6 +22,18 @@ filters and metrics into one CLI (same semantics, python 3):
   annotate-palindrome   PAL= palindromic-match length  (scripts/annotatePalindromes.py + palindrome.pyx)
   membership      SNP membership summary vs a site VCF (scripts/computePhaseOneMembership.py)
   vcf-checks      structural sanity checks             (scripts/vcfChecks.py)
+  keep-gof        keep samples' GOF >= N               (scripts/keepGof.py)
+  remove-hps      drop long homopolymer contexts       (scripts/removeHomopolymers.py)
+  remove-tandems-and-hps  drop both context classes    (scripts/removeTandemsAndHPs.py)
+  filter-pal      keep records by INFO PAL vs spec     (scripts/filterPal.py)
+  filter-tu       keep records with len(TU) != N       (scripts/filterTU.py)
+  filter-one-sided-hp   SNPs beside a >=N HP run       (scripts/filterOneSidedHP.py)
+  filter-two-sided-hp   SNPs inside an ALT-base HP     (scripts/filterTwoSidedHP.py)
+  filter-joining-hps    SNPs joining two diff. HPs     (scripts/filterJoiningHPs.py)
+  lr-hp-counts    junction-HP overhang classification  (scripts/printLRHpCounts.py)
+  count-ref-nonref      pileup ref/non-ref base stats  (scripts/countRefAndNonRefChars.py)
+  count-broken-pairs    cross-chrom mate counts (BAM)  (scripts/countBrokenPairs.py)
+  hist            histogram of stdin floats to a PNG   (scripts/hist.py)
 
 All subcommands read VCF text on stdin and write to stdout:
     platypus-tpu-vcf-tools filter-hp '>4' < in.vcf > out.vcf
@@ -230,6 +242,289 @@ def cmd_filter_tandem(args, stream, out):
         if tr * len(tu) > 10 and len(tu) > 1:
             continue
         print(raw, file=out)
+
+
+def cmd_keep_gof(args, stream, out):
+    """Keep data lines whose first sample's GOF >= threshold
+    (scripts/keepGof.py; GOF is field -4 of GT:GL:GOF:GQ:NR:NV).  The
+    reference drops headers and passes malformed rows through."""
+    for cols, raw in _records(stream):
+        if cols is None:
+            continue
+        try:
+            if int(cols[9].split(":")[-4]) >= args.threshold:
+                print(raw, file=out)
+        except Exception:  # noqa: BLE001 — malformed rows pass through
+            print(raw, file=out)
+
+
+def cmd_remove_hps(args, stream, out):
+    """Drop calls in long homopolymer contexts: removed when
+    TR*len(TU) > 5 and len(TU) == 1 (scripts/removeHomopolymers.py)."""
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        info = _info_dict(cols[7])
+        try:
+            tr = int(info.get("TR", "0").split(",")[0])
+            tu = info.get("TU", "")
+        except ValueError:
+            continue
+        if tr * len(tu) > 5 and len(tu) == 1:
+            continue
+        print(raw, file=out)
+
+
+def cmd_remove_tandems_and_hps(args, stream, out):
+    """Drop both long multi-base tandems (TR*len(TU) > 10, len(TU) > 1)
+    and long homopolymers (TR*len(TU) > 5, len(TU) == 1) —
+    scripts/removeTandemsAndHPs.py."""
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        info = _info_dict(cols[7])
+        try:
+            tr = int(info.get("TR", "0").split(",")[0])
+            tu = info.get("TU", "")
+        except ValueError:
+            continue
+        n = tr * len(tu)
+        if (n > 10 and len(tu) > 1) or (n > 5 and len(tu) == 1):
+            continue
+        print(raw, file=out)
+
+
+def cmd_filter_pal(args, stream, out):
+    """Keep records whose INFO PAL satisfies '<N'/'>N'/'=N'
+    (scripts/filterPal.py; '>' means >=, as there)."""
+    flag, threshold = args.spec[0], int(args.spec[1:])
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        try:
+            value = int(_info_dict(cols[7])["PAL"].split(",")[0])
+            if _cmp(flag, value, threshold):
+                print(raw, file=out)
+        except Exception:  # noqa: BLE001
+            continue
+
+
+def cmd_filter_tu(args, stream, out):
+    """Keep records whose tandem unit length differs from N
+    (scripts/filterTU.py)."""
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        try:
+            tu = _info_dict(cols[7])["TU"]
+            if isinstance(tu, str) and len(tu) != args.threshold:
+                print(raw, file=out)
+        except Exception:  # noqa: BLE001
+            continue
+
+
+def _hp_context(fa, chrom: str, pos: int):
+    """(left 20bp, right 20bp) flanks of a 0-based site; '' at edges."""
+    left = fa.get_sequence(chrom, max(0, pos - 20), pos).decode()
+    right = fa.get_sequence(chrom, pos + 1, pos + 21).decode()
+    return left, right
+
+
+def _run_lengths(left: str, right: str):
+    """Homopolymer run lengths adjacent to the site, each of its own
+    flank's nearest base (the reference scripts' 20bp cap)."""
+    left_count = 0
+    for i in range(1, min(20, len(left)) + 1):
+        if left[-i] == left[-1]:
+            left_count += 1
+        else:
+            break
+    right_count = 0
+    for i in range(min(20, len(right))):
+        if right[i] == right[0]:
+            right_count += 1
+        else:
+            break
+    return left_count, right_count
+
+
+def cmd_filter_one_sided_hp(args, stream, out):
+    """Keep SNPs with a homopolymer run >= N on either side
+    (scripts/filterOneSidedHP.py)."""
+    from platypus_tpu.io.fasta import FastaFile
+
+    fa = FastaFile(args.ref)
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        ref, alt = cols[3], cols[4]
+        if len(ref) != 1 or len(alt) != 1:
+            continue
+        left, right = _hp_context(fa, cols[0], int(cols[1]) - 1)
+        if not left or not right:
+            continue
+        lc, rc = _run_lengths(left, right)
+        if lc >= args.threshold or rc >= args.threshold:
+            print(raw, file=out)
+
+
+def cmd_filter_two_sided_hp(args, stream, out):
+    """Keep SNPs flanked on BOTH sides by runs of the ALT base >= N
+    (scripts/filterTwoSidedHP.py)."""
+    from platypus_tpu.io.fasta import FastaFile
+
+    fa = FastaFile(args.ref)
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        ref, alt = cols[3], cols[4]
+        if len(ref) != 1 or len(alt) != 1:
+            continue
+        left, right = _hp_context(fa, cols[0], int(cols[1]) - 1)
+        if not left or not right or left[-1] != alt or right[0] != alt:
+            continue
+        lc = 0
+        for i in range(1, min(20, len(left)) + 1):
+            if left[-i] == alt:
+                lc += 1
+            else:
+                break
+        rc = 0
+        for i in range(min(20, len(right))):
+            if right[i] == alt:
+                rc += 1
+            else:
+                break
+        if lc >= args.threshold and rc >= args.threshold:
+            print(raw, file=out)
+
+
+def cmd_filter_joining_hps(args, stream, out):
+    """Keep SNPs joining two DIFFERENT homopolymers, each run >= N
+    (scripts/filterJoiningHPs.py)."""
+    from platypus_tpu.io.fasta import FastaFile
+
+    fa = FastaFile(args.ref)
+    for cols, raw in _records(stream):
+        if cols is None:
+            print(raw, file=out)
+            continue
+        ref, alt = cols[3], cols[4]
+        if len(ref) != 1 or len(alt) != 1:
+            continue
+        left, right = _hp_context(fa, cols[0], int(cols[1]) - 1)
+        if not left or not right or left[-1] == right[0]:
+            continue
+        lc, rc = _run_lengths(left, right)
+        if lc >= args.threshold and rc >= args.threshold:
+            print(raw, file=out)
+
+
+def cmd_lr_hp_counts(args, stream, out):
+    """Classify junction-HP SNPs by which side the REF extends and print
+    the overhang direction lines (scripts/printLRHpCounts.py)."""
+    from platypus_tpu.io.fasta import FastaFile
+
+    fa = FastaFile(args.ref)
+    for cols, raw in _records(stream):
+        if cols is None:
+            continue
+        ref, alt = cols[3], cols[4]
+        if len(ref) != 1 or len(alt) != 1:
+            continue
+        left, right = _hp_context(fa, cols[0], int(cols[1]) - 1)
+        if not left or not right or left[-1] == right[0]:
+            continue
+        lc, rc = _run_lengths(left, right)
+        if ref == left[-1]:
+            lc += 1
+        elif ref == right[0]:
+            rc += 1
+        else:
+            continue
+        if lc < args.threshold or rc < args.threshold:
+            continue
+        if lc > rc and ref == left[-1]:
+            print(f"{ref} --> {alt}. Overhang Left Snp To Right", file=out)
+        elif lc < rc and ref == right[0]:
+            print(f"{ref} --> {alt}. Overhang Right Snp To Left", file=out)
+        elif lc < rc and ref == left[-1]:
+            print(f"{ref} --> {alt}. Overhang Right Snp To Right", file=out)
+        elif lc > rc and ref == right[0]:
+            print(f"{ref} --> {alt}. Overhang Left Snp To Left", file=out)
+        elif lc == rc and ref == right[0]:
+            print(f"{ref} --> {alt}. Equal Snp To Left", file=out)
+        elif lc == rc and ref == left[-1]:
+            print(f"{ref} --> {alt}. Equal Snp To Right", file=out)
+
+
+def cmd_count_ref_nonref(args, stream, out):
+    """Per-pileup-row ref/non-ref base counts from samtools pileup text
+    (scripts/countRefAndNonRefChars.py)."""
+    for line in stream:
+        try:
+            cols = line.split("\t")
+            chars = cols[4].upper()
+            n = int(cols[3])
+            n_ref = chars.count(".") + chars.count(",")
+            n_nonref = sum(chars.count(b) for b in "ACGT")
+            print(f"N ref = {n_ref} ({100.0 * n_ref / n} %). "
+                  f"N non-ref = {n_nonref} ({100.0 * n_nonref / n} %)",
+                  file=out)
+        except Exception:  # noqa: BLE001 — parity: skip malformed rows
+            continue
+
+
+def cmd_count_broken_pairs(args, stream, out):
+    """Count reads whose mate maps to a different chromosome, per target
+    chromosome, with the mate-chromosome breakdown
+    (scripts/countBrokenPairs.py, over our own BAM reader).  Deviation:
+    unmapped mates (mrnm=-1) are not counted — the reference script
+    KeyErrors on them (its defaultdict import is unused)."""
+    from collections import Counter
+
+    from platypus_tpu.io.bam import BamFile
+
+    bam = BamFile(args.bam)
+    chroms = (args.chroms.split(",") if args.chroms
+              else [n for n, _ in bam.references])
+    name_by_id = {i: n for i, (n, _) in enumerate(bam.references)}
+    lengths = {n: ln for n, ln in bam.references}
+    for chrom in chroms:
+        if chrom not in lengths:
+            continue
+        rs = bam.fetch(chrom, 0, lengths[chrom])
+        n_reads = len(rs)
+        mates = Counter()
+        broken = (rs.mate_chrom_id >= 0) & (rs.mate_chrom_id != rs.chrom_id)
+        for mid in rs.mate_chrom_id[broken]:
+            mates[name_by_id.get(int(mid), str(int(mid)))] += 1
+        print(f"N broken pairs for chrom {chrom} = {int(broken.sum())} "
+              f"out of {n_reads} reads", file=out)
+        print(f"List of chroms with broken pairs that map to chrom {chrom}",
+              file=out)
+        for name in sorted(mates):
+            print(name, mates[name], file=out)
+
+
+def cmd_hist(args, stream, out):
+    """Histogram of one float per stdin line to a PNG (scripts/hist.py;
+    file '-' shows interactively there — here it requires a filename)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot
+
+    values = [float(line.strip()) for line in stream if line.strip()]
+    pyplot.hist(values, bins=args.bins)
+    pyplot.savefig(args.out_file)
+    print(f"wrote {args.out_file} ({len(values)} values)", file=out)
 
 
 def cmd_keep_tr(args, stream, out):
@@ -518,6 +813,35 @@ def main(argv=None) -> int:
     p.add_argument("sites")
     p.set_defaults(fn=cmd_membership)
     sub.add_parser("vcf-checks").set_defaults(fn=cmd_vcf_checks)
+    p = sub.add_parser("keep-gof")
+    p.add_argument("threshold", type=int)
+    p.set_defaults(fn=cmd_keep_gof)
+    sub.add_parser("remove-hps").set_defaults(fn=cmd_remove_hps)
+    sub.add_parser("remove-tandems-and-hps").set_defaults(
+        fn=cmd_remove_tandems_and_hps)
+    p = sub.add_parser("filter-pal")
+    p.add_argument("spec")
+    p.set_defaults(fn=cmd_filter_pal)
+    p = sub.add_parser("filter-tu")
+    p.add_argument("threshold", type=int)
+    p.set_defaults(fn=cmd_filter_tu)
+    for name, fn in (("filter-one-sided-hp", cmd_filter_one_sided_hp),
+                     ("filter-two-sided-hp", cmd_filter_two_sided_hp),
+                     ("filter-joining-hps", cmd_filter_joining_hps),
+                     ("lr-hp-counts", cmd_lr_hp_counts)):
+        p = sub.add_parser(name)
+        p.add_argument("ref")
+        p.add_argument("threshold", type=int)
+        p.set_defaults(fn=fn)
+    sub.add_parser("count-ref-nonref").set_defaults(fn=cmd_count_ref_nonref)
+    p = sub.add_parser("count-broken-pairs")
+    p.add_argument("bam")
+    p.add_argument("--chroms", default="")
+    p.set_defaults(fn=cmd_count_broken_pairs)
+    p = sub.add_parser("hist")
+    p.add_argument("out_file")
+    p.add_argument("bins", type=int)
+    p.set_defaults(fn=cmd_hist)
     args = parser.parse_args(argv)
     args.fn(args, sys.stdin, sys.stdout)
     return 0
