@@ -350,3 +350,28 @@ def test_vcf_tools_count_broken_pairs(tmp_path):
     out = _run_tool(["count-broken-pairs", str(tmp_path / "reads.bam"),
                      "--chroms", "chr20"], "")
     assert "N broken pairs for chrom chr20 = 0" in out
+
+
+def test_vcf_tools_bins_and_plots(tmp_path):
+    vcf = ("##fileformat=VCFv4.0\n"
+           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+           "chr1\t10\t.\tA\tAG\t9\tPASS\tHP=2\tGT:GL:GOF:GQ:NR:NV\t0/1:-1,0,-1:12:40:30:10\n"
+           "chr1\t20\t.\tCT\tC\t9\tPASS\tHP=2\tGT:GL:GOF:GQ:NR:NV\t0/1:-1,0,-1:3:40:30:0\n"
+           "chr1\t30\t.\tG\tGA\t9\tbadReads\tHP=7\tGT:GL:GOF:GQ:NR:NV\t0/1:-1,0,-1:8:40:30:2\n")
+    out = _run_tool(["indel-ratio-by-bin", "1"], vcf)
+    assert "nInsertions = 2. nDeletions = 1." in out
+    assert "2\t2\t1.00" in out       # HP=2 bin: 1 ins + 1 del
+    assert "7\t1\t-1.00" in out      # HP=7 bin: 1 ins, no dels
+    for cmd, fname in (
+        (["plot-gof"], "g.png"),
+        (["plot-info", "HP", "--bins", "4"], "i.png"),
+        (["plot-var-density"], "d.png"),
+    ):
+        png = tmp_path / fname
+        out = _run_tool([cmd[0], *(cmd[1:2] if cmd[0] == "plot-info" else []),
+                         str(png), *cmd[2:]] if cmd[0] == "plot-info"
+                        else [cmd[0], str(png), *cmd[1:]], vcf)
+        assert png.exists(), out
+    # cortex-only: NV==0 in the last sample keeps only the chr1:20 record.
+    out = _run_tool(["cortex-only"], vcf)
+    assert "\t20\t" in out and "\t10\t" not in out and "\t30\t" not in out

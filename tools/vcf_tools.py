@@ -34,6 +34,11 @@ filters and metrics into one CLI (same semantics, python 3):
   count-ref-nonref      pileup ref/non-ref base stats  (scripts/countRefAndNonRefChars.py)
   count-broken-pairs    cross-chrom mate counts (BAM)  (scripts/countBrokenPairs.py)
   hist            histogram of stdin floats to a PNG   (scripts/hist.py)
+  indel-ratio-by-bin    ins/del ratio binned by INFO key  (scripts/binIndelRatioByHP.py, byPal)
+  plot-gof        GOF histogram PNG                    (scripts/plotGOF.py)
+  plot-info       PASS/FAIL INFO-field histograms PNG  (scripts/plotInfo.py)
+  plot-var-density      SNP/indel position histograms  (scripts/plotVarDensity.py)
+  cortex-only     single-alt calls with last NV == 0   (scripts/printCortexOnlyCalls.py)
 
 All subcommands read VCF text on stdin and write to stdout:
     platypus-tpu-vcf-tools filter-hp '>4' < in.vcf > out.vcf
@@ -527,6 +532,139 @@ def cmd_hist(args, stream, out):
     print(f"wrote {args.out_file} ({len(values)} values)", file=out)
 
 
+def cmd_indel_ratio_by_bin(args, stream, out):
+    """Insertion/deletion ratio binned by INFO HP (or another integer key)
+    — scripts/binIndelRatioByHP.py / binIndelRatioByPal.py."""
+    from collections import defaultdict
+
+    n_ins = defaultdict(int)
+    n_del = defaultdict(int)
+    total_ins = total_del = 0
+    bin_size = args.bin_size
+    for cols, raw in _records(stream):
+        if cols is None:
+            continue
+        try:
+            ref = cols[3]
+            key = int(_info_dict(cols[7]).get(args.key, "0").split(",")[0])
+            for alt in cols[4].split(","):
+                if len(ref) > len(alt):
+                    total_del += 1
+                    n_del[key // bin_size] += 1
+                elif len(alt) > len(ref):
+                    total_ins += 1
+                    n_ins[key // bin_size] += 1
+        except Exception:  # noqa: BLE001 — parity: skip malformed rows
+            continue
+    ratio = total_ins / total_del if total_del else -1.0
+    print(f"nInsertions = {total_ins}. nDeletions = {total_del}. "
+          f"Total = {total_ins + total_del}. Ins/Dels = {ratio}", file=out)
+    if bin_size == 1:
+        print(f"{args.key} Length\tnIndels\tnIns/nDel", file=out)
+    for start in sorted(set(n_ins) | set(n_del)):
+        n_indels = n_ins[start] + n_del[start]
+        r = n_ins[start] / n_del[start] if n_del[start] else -1.0
+        if bin_size == 1:
+            print(f"{start}\t{n_indels}\t{r:1.2f}", file=out)
+        else:
+            print(f"For {start * bin_size} <= {args.key} < "
+                  f"{(start + 1) * bin_size}, nIndels = {n_indels}. "
+                  f"nIns/nDel = {r:1.2f}", file=out)
+
+
+def cmd_plot_gof(args, stream, out):
+    """Histogram of per-sample GOF values to a PNG (scripts/plotGOF.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot
+
+    gofs = []
+    for cols, raw in _records(stream):
+        if cols is None:
+            continue
+        try:
+            gofs.append(int(cols[9].split(":")[-4]))
+        except Exception:  # noqa: BLE001
+            continue
+    pyplot.hist(gofs, bins=25)
+    pyplot.savefig(args.out_file)
+    print(f"wrote {args.out_file} ({len(gofs)} values)", file=out)
+
+
+def cmd_plot_info(args, stream, out):
+    """PASS-vs-FAIL histograms of one INFO field to a PNG
+    (scripts/plotInfo.py; saves instead of pyplot.show())."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot
+
+    passed, failed = [], []
+    for cols, raw in _records(stream):
+        if cols is None:
+            continue
+        info = _info_dict(cols[7])
+        if args.field not in info:
+            continue
+        sink = passed if cols[6] == "PASS" else failed
+        for v in str(info[args.field]).split(","):
+            try:
+                sink.append(float(v))
+            except ValueError:
+                pass
+    pyplot.hist(passed, bins=args.bins, label=f"PASS_{args.field}",
+                density=True)
+    pyplot.hist(failed, bins=args.bins, label=f"FAIL_{args.field}",
+                density=True, alpha=0.5)
+    pyplot.legend()
+    pyplot.savefig(args.out_file)
+    print(f"wrote {args.out_file} ({len(passed)} PASS, {len(failed)} FAIL)",
+          file=out)
+
+
+def cmd_plot_var_density(args, stream, out):
+    """SNP/indel position histograms to a PNG (scripts/plotVarDensity.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot
+
+    snp_pos, indel_pos = [], []
+    for cols, raw in _records(stream):
+        if cols is None:
+            continue
+        ref, alt = cols[3], cols[4]
+        if "," in alt:
+            continue
+        (snp_pos if len(alt) == len(ref) else indel_pos).append(int(cols[1]))
+    pyplot.subplot(121)
+    pyplot.hist(snp_pos, bins=min(500, max(1, len(snp_pos))), label="snps")
+    pyplot.subplot(122)
+    pyplot.hist(indel_pos, bins=min(1000, max(1, len(indel_pos))),
+                label="indels")
+    pyplot.legend()
+    pyplot.savefig(args.out_file)
+    print(f"wrote {args.out_file} ({len(snp_pos)} SNPs, "
+          f"{len(indel_pos)} indels)", file=out)
+
+
+def cmd_cortex_only(args, stream, out):
+    """Print single-alt records whose last sample has NV == 0 — calls
+    present only in the other caller of a merged set
+    (scripts/printCortexOnlyCalls.py)."""
+    for cols, raw in _records(stream):
+        if cols is None:
+            continue
+        if "," in cols[4]:
+            continue
+        try:
+            if int(cols[-1].split(":")[-1]) == 0:
+                print(raw, file=out)
+        except ValueError:
+            continue
+
+
 def cmd_keep_tr(args, stream, out):
     """Keep single-alt calls with TR >= threshold (scripts/filterTR.py)."""
     for cols, raw in _records(stream):
@@ -842,6 +980,22 @@ def main(argv=None) -> int:
     p.add_argument("out_file")
     p.add_argument("bins", type=int)
     p.set_defaults(fn=cmd_hist)
+    p = sub.add_parser("indel-ratio-by-bin")
+    p.add_argument("bin_size", type=int)
+    p.add_argument("--key", default="HP")
+    p.set_defaults(fn=cmd_indel_ratio_by_bin)
+    p = sub.add_parser("plot-gof")
+    p.add_argument("out_file")
+    p.set_defaults(fn=cmd_plot_gof)
+    p = sub.add_parser("plot-info")
+    p.add_argument("field")
+    p.add_argument("out_file")
+    p.add_argument("--bins", type=int, default=20)
+    p.set_defaults(fn=cmd_plot_info)
+    p = sub.add_parser("plot-var-density")
+    p.add_argument("out_file")
+    p.set_defaults(fn=cmd_plot_var_density)
+    sub.add_parser("cortex-only").set_defaults(fn=cmd_cortex_only)
     args = parser.parse_args(argv)
     args.fn(args, sys.stdin, sys.stdout)
     return 0
