@@ -70,6 +70,40 @@ def barrier() -> None:
     multihost_utils.sync_global_devices("platypus_tpu_region_barrier")
 
 
+def aggregate_metrics(local: dict) -> dict:
+    """Sum numeric metrics across every host of the slice.
+
+    One psum over a dense vector (keys are agreed by sorted union via
+    process_allgather), so the collective rides the ICI/DCN fabric rather
+    than a side channel; the reference has no analogue (its forked workers
+    never aggregate).  Works on a single host too (identity)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return dict(local)
+    from jax.experimental import multihost_utils
+
+    # Key agreement: the gather is numeric-only, so ship the sorted key
+    # list as padded uint8 (two rounds: max length, then bytes).
+    blob = ",".join(sorted(local)).encode()
+    max_len = int(multihost_utils.process_allgather(
+        np.array([len(blob)], np.int64)).max())
+    padded = np.zeros(max_len, np.uint8)
+    padded[:len(blob)] = np.frombuffer(blob, np.uint8)
+    rows = np.asarray(multihost_utils.process_allgather(padded))
+    keys = sorted({k for row in rows.reshape(-1, max_len) if max_len
+                   for k in bytes(row).rstrip(b"\x00").decode().split(",")
+                   if k})
+    vec = np.array([float(local.get(k, 0)) for k in keys], np.float64)
+    if not keys:
+        return {}
+    summed = np.asarray(multihost_utils.process_allgather(vec)).reshape(
+        -1, len(keys)).sum(axis=0)
+    return {k: float(v) for k, v in zip(keys, summed)}
+
+
 def run_distributed(config: PlatypusConfig,
                     coordinator_address: Optional[str] = None,
                     num_processes: Optional[int] = None,
@@ -84,6 +118,15 @@ def run_distributed(config: PlatypusConfig,
 
     temp = f"{config.output}_host{pid}" if pcount > 1 else config.output
     run_single_process(config, mine, temp)
+
+    # Fleet-wide throughput accounting: psum the per-host counters so host
+    # 0 logs slice totals (reads, windows, alignment pairs, calls).
+    from ..utils.observability import GLOBAL_METRICS
+
+    totals = aggregate_metrics(dict(GLOBAL_METRICS.counters))
+    if pid == 0 and totals:
+        logger.info("slice totals: %s",
+                    " ".join(f"{k}={int(v)}" for k, v in sorted(totals.items())))
     barrier()
 
     if pcount > 1 and pid == 0:

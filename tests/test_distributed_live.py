@@ -69,15 +69,27 @@ def test_two_process_distributed_matches_single(tmp_path):
                              output={dist_out!r})
         run_distributed(cfg, coordinator_address="127.0.0.1:{port}",
                         num_processes=2, process_id=int(sys.argv[1]))
+
+        # Cross-host metric reduction: asymmetric keys, summed values.
+        from platypus_tpu.parallel.distributed import aggregate_metrics
+        me = int(sys.argv[1])
+        totals = aggregate_metrics({{"reads": 10.0 * (me + 1), f"only{{me}}": 1.5}})
+        print("TOTALS", sorted(totals.items()))
     """))
     procs = [
         subprocess.Popen([sys.executable, str(worker), str(i)],
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for i in range(2)
     ]
+    outs = []
     for p in procs:
         out, err = p.communicate(timeout=240)
         assert p.returncode == 0, err.decode()[-2000:]
+        outs.append(out.decode())
+
+    expect = "TOTALS [('only0', 1.5), ('only1', 1.5), ('reads', 30.0)]"
+    for out in outs:
+        assert expect in out, out
 
     single = [l for l in open(single_out) if not l.startswith("#")]
     dist = [l for l in open(dist_out) if not l.startswith("#")]
