@@ -27,6 +27,7 @@ from ..io.bam import (
     CIGAR_X,
 )
 from .variant import PLATYPUS_VAR, Variant
+from .. import native
 
 
 class CandidateGenerator:
@@ -101,7 +102,16 @@ class CandidateGenerator:
             if self.gen_snps:
                 batch = is_m & (lens >= self.min_flank)
                 if batch.any():
-                    self._scan_single_m_batch(read_set, srows[batch], lens[batch])
+                    found = native.native_scan_single_m(
+                        read_set, srows[batch], lens[batch], self.ref_seq,
+                        self.ref_seq_start, self.min_flank, self.min_base_qual)
+                    if found is None:
+                        self._scan_single_m_batch(read_set, srows[batch],
+                                                  lens[batch])
+                    else:
+                        for pos, removed, added, count in found:
+                            self._add_platypus_candidate(pos, removed, added,
+                                                         count=count)
             # Single-op reads that aren't plain M still walk the scalar path.
             scalar_rows = np.concatenate([scalar_rows, srows[~is_m]])
         for i in scalar_rows:

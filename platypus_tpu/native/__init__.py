@@ -75,6 +75,19 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
     ]
+    lib.ptpu_scan_single_m.restype = ctypes.c_void_p
+    lib.ptpu_scan_single_m.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.ptpu_scan_fill.restype = None
+    lib.ptpu_scan_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+    lib.ptpu_scan_free.restype = None
+    lib.ptpu_scan_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -183,6 +196,55 @@ def native_fetch(bam_path: str, bai_path: str, ref_id: int, start: int, end: int
         )
     finally:
         lib.ptpu_batch_free(handle)
+
+
+def native_scan_single_m(read_set, rows: np.ndarray, mlens: np.ndarray,
+                         ref_seq: bytes, ref_start: int, min_flank: int,
+                         min_base_qual: int):
+    """Deduped SNP/MNP candidates from single-M reads via the C++ scanner;
+    None when the library is unavailable (callers fall back to the numpy
+    batch in candidates/cigar_gen.py).  Returns a list of
+    (pos, removed, added, count)."""
+    lib = load()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(read_set.seq, np.uint8)
+    qual = np.ascontiguousarray(read_set.qual, np.uint8)
+    rows64 = np.ascontiguousarray(rows, np.int64)
+    mlen64 = np.ascontiguousarray(mlens, np.int64)
+    pos = np.ascontiguousarray(read_set.pos, np.int64)
+    rlen = np.ascontiguousarray(read_set.rlen, np.int32)
+    out_n = ctypes.c_int64()
+    out_blob = ctypes.c_int64()
+    handle = lib.ptpu_scan_single_m(
+        _np_ptr(seq), _np_ptr(qual), seq.shape[1], _np_ptr(rows64), len(rows64),
+        _np_ptr(pos), _np_ptr(rlen), _np_ptr(mlen64),
+        ref_seq, len(ref_seq), ref_start, min_flank, min_base_qual,
+        ctypes.byref(out_n), ctypes.byref(out_blob),
+    )
+    try:
+        n = out_n.value
+        if n == 0:
+            return []
+        vpos = np.zeros(n, np.int64)
+        count = np.zeros(n, np.int32)
+        n_rem = np.zeros(n, np.int32)
+        n_add = np.zeros(n, np.int32)
+        blob_off = np.zeros(n + 1, np.int64)
+        blob = ctypes.create_string_buffer(int(out_blob.value))
+        lib.ptpu_scan_fill(handle, _np_ptr(vpos), _np_ptr(count), _np_ptr(n_rem),
+                           _np_ptr(n_add), _np_ptr(blob_off), blob)
+        raw = blob.raw
+        out = []
+        for i in range(n):
+            o = int(blob_off[i])
+            nr = int(n_rem[i])
+            na = int(n_add[i])
+            out.append((int(vpos[i]), raw[o : o + nr], raw[o + nr : o + nr + na],
+                        int(count[i])))
+        return out
+    finally:
+        lib.ptpu_scan_free(handle)
 
 
 def native_trim_reads(reads, good_mask: np.ndarray, trim_read_flank: int,

@@ -1,0 +1,138 @@
+// Single-M mismatch candidate scan (host hot loop #5).
+//
+// C++ twin of CandidateGenerator._scan_single_m_batch
+// (platypus_tpu/candidates/cigar_gen.py), which mirrors the reference's
+// M-segment SNP/MNP scan (/root/reference/src/cython/variant.pyx:518-610)
+// for the dominant read shape: a single all-M CIGAR at read_off=ref_off=0.
+//
+// Most reads match the reference exactly inside their scannable span, so the
+// kernel is a memcmp per read; only mismatching rows walk base-by-base,
+// applying the reference's rules (no Ns on either side, base qual >=
+// minBaseQual, candidate at least minFlank from both read ends) and merging
+// qualifying mismatches closer than minFlank into MNP runs.  Candidates
+// dedup in a hash map keyed by (pos, removed, added) with support counts,
+// exactly like the Python batch's np.unique pass.
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct ScanResult {
+    // Insertion-ordered unique candidates.
+    std::vector<int64_t> pos;
+    std::vector<int32_t> count;
+    std::vector<int32_t> n_removed;
+    std::vector<int32_t> n_added;
+    std::string blob;  // removed||added bytes back to back per candidate
+    std::vector<int64_t> blob_off;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Scan single-M rows of a row-major [R, L] seq/qual pile against the region
+// reference cache.  `rows`/`mlen` are n_rows-long (mlen aligned with rows);
+// pos/rlen are the full per-read arrays indexed by row id.  Returns an
+// opaque handle (free with ptpu_scan_free) and writes the unique-candidate
+// count / blob size through the out params.
+void* ptpu_scan_single_m(const uint8_t* seq, const uint8_t* qual,
+                         int32_t L, const int64_t* rows, int64_t n_rows,
+                         const int64_t* pos, const int32_t* rlen,
+                         const int64_t* mlen, const char* ref,
+                         int64_t ref_len, int64_t ref_start,
+                         int32_t min_flank, int32_t min_base_qual,
+                         int64_t* out_n, int64_t* out_blob) {
+    auto* res = new ScanResult();
+    std::unordered_map<std::string, size_t> seen;
+    std::string key;
+    std::vector<int32_t> mm_cols;
+
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const int64_t r = rows[i];
+        const uint8_t* srow = seq + r * L;
+        const uint8_t* qrow = qual + r * L;
+        const int64_t ref_base = pos[r] - ref_start;
+
+        int64_t lo = min_flank;
+        if (-ref_base > lo) lo = -ref_base;
+        int64_t hi = mlen[i];
+        const int64_t read_cap = (int64_t)rlen[r] - min_flank;
+        if (read_cap < hi) hi = read_cap;
+        if (ref_len - ref_base < hi) hi = ref_len - ref_base;
+        if (hi > L) hi = L;
+        if (hi <= lo) continue;
+
+        // Fast path: span matches the reference byte for byte.
+        if (std::memcmp(srow + lo, ref + ref_base + lo, hi - lo) == 0)
+            continue;
+
+        mm_cols.clear();
+        for (int64_t c = lo; c < hi; ++c) {
+            const uint8_t rb = srow[c];
+            const uint8_t fb = (uint8_t)ref[ref_base + c];
+            if (rb != fb && rb != 'N' && fb != 'N' && qrow[c] >= min_base_qual)
+                mm_cols.push_back((int32_t)c);
+        }
+        if (mm_cols.empty()) continue;
+
+        // Merge mismatches with gaps <= min_flank into runs; emit each run.
+        size_t g0 = 0;
+        for (size_t j = 1; j <= mm_cols.size(); ++j) {
+            if (j < mm_cols.size() &&
+                mm_cols[j] - mm_cols[j - 1] <= min_flank)
+                continue;
+            const int32_t i0 = mm_cols[g0];
+            const int32_t i1 = mm_cols[j - 1];
+            const int64_t vpos = ref_base + i0 + ref_start;
+            const int64_t cpos = vpos < 0 ? 0 : vpos;  // Variant clamps
+            const int32_t n = i1 - i0 + 1;
+
+            key.assign((const char*)&cpos, sizeof(cpos));
+            key.append(ref + ref_base + i0, n);
+            key.push_back('\xff');
+            key.append((const char*)srow + i0, n);
+            auto it = seen.find(key);
+            if (it != seen.end()) {
+                res->count[it->second] += 1;
+            } else {
+                seen.emplace(key, res->pos.size());
+                res->pos.push_back(cpos);
+                res->count.push_back(1);
+                res->n_removed.push_back(n);
+                res->n_added.push_back(n);
+                res->blob_off.push_back((int64_t)res->blob.size());
+                res->blob.append(ref + ref_base + i0, n);
+                res->blob.append((const char*)srow + i0, n);
+            }
+            g0 = j;
+        }
+    }
+    res->blob_off.push_back((int64_t)res->blob.size());
+    *out_n = (int64_t)res->pos.size();
+    *out_blob = (int64_t)res->blob.size();
+    return res;
+}
+
+void ptpu_scan_fill(void* handle, int64_t* pos, int32_t* count,
+                    int32_t* n_removed, int32_t* n_added, int64_t* blob_off,
+                    char* blob) {
+    auto* res = (ScanResult*)handle;
+    std::memcpy(pos, res->pos.data(), res->pos.size() * sizeof(int64_t));
+    std::memcpy(count, res->count.data(), res->count.size() * sizeof(int32_t));
+    std::memcpy(n_removed, res->n_removed.data(),
+                res->n_removed.size() * sizeof(int32_t));
+    std::memcpy(n_added, res->n_added.data(),
+                res->n_added.size() * sizeof(int32_t));
+    std::memcpy(blob_off, res->blob_off.data(),
+                res->blob_off.size() * sizeof(int64_t));
+    std::memcpy(blob, res->blob.data(), res->blob.size());
+}
+
+void ptpu_scan_free(void* handle) { delete (ScanResult*)handle; }
+
+}  // extern "C"

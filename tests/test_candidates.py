@@ -72,3 +72,54 @@ def test_batch_respects_edge_flanks(tmp_path):
     # Support is less than total reads covering the site (edge reads skip it).
     covering = sum(1 for r in reads if r["pos"] <= pos - 1 < r["pos"] + 100)
     assert got[key] < covering
+
+
+def test_native_scan_matches_numpy_batch(tmp_path):
+    """The C++ single-M scanner (native/src/scan.cpp) reproduces the numpy
+    batch exactly — high error rate, N bases, mixed quals, reads straddling
+    the reference-cache edges."""
+    import pytest
+
+    from platypus_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+
+    ref_path, ref_seq = make_reference(tmp_path, length=9000, seed=17)
+    rng = np.random.default_rng(23)
+    variants = [(p, 1, bytes([rng.choice([b for b in b"ACGT" if b != ref_seq[p]])]))
+                for p in range(1200, 7800, 311)]
+    hap = SimHaplotype(ref_seq, variants)
+    reads = simulate_reads([hap, SimHaplotype(ref_seq, [])], 150, 8800,
+                           coverage=18, error_rate=0.05, seed=5)
+    # Sprinkle Ns and low quals.
+    for i, r in enumerate(reads):
+        if i % 7 == 0:
+            s = bytearray(r["seq"]); s[i % len(s)] = ord("N"); r["seq"] = bytes(s)
+        if i % 5 == 0:
+            q = bytearray(r["qual"]); q[i % len(q)] = 3; r["qual"] = bytes(q)
+    rs, (gen_native, gen_numpy) = _generators(tmp_path, reads, 9000)
+
+    rows = np.arange(len(rs.pos))
+    c_lo = rs.cigar_off[rows]
+    single = (rs.cigar_off[rows + 1] - c_lo) == 1
+    words = rs.cigar_flat[c_lo[single]].astype(np.int64)
+    is_m = (words & 0xF) == 0
+    lens = words >> 4
+    srows = rows[single][is_m & (lens >= 10)]
+    mlens = lens[is_m & (lens >= 10)]
+    assert len(srows) > 50
+
+    found = native.native_scan_single_m(rs, srows, mlens, gen_native.ref_seq,
+                                        gen_native.ref_seq_start, 10, 20)
+    assert found is not None
+    for pos, removed, added, count in found:
+        gen_native._add_platypus_candidate(pos, removed, added, count=count)
+    gen_numpy._scan_single_m_batch(rs, srows, mlens)
+
+    got = {(v.ref_pos, v.removed, v.added): v.n_supporting_reads
+           for v in gen_native.get_candidates()}
+    want = {(v.ref_pos, v.removed, v.added): v.n_supporting_reads
+            for v in gen_numpy.get_candidates()}
+    assert got == want
+    assert len(want) > 20
