@@ -43,40 +43,35 @@ class CandidateGenerator:
         self.min_base_qual = min_base_qual
         self.gen_snps = gen_snps
         self.gen_indels = gen_indels
-        self.variant_heap: Dict[Variant, Variant] = {}
-        # (pos, removed, added) -> canonical heap Variant: lets the batched
-        # mismatch scan bump support without constructing a Variant per hit.
-        self._batch_var_cache: Dict[tuple, Variant] = {}
+        # (pos, removed, added) -> support count.  Variant objects are only
+        # constructed in get_candidates()/iter_counts consumers: the scans
+        # emit ~10x more unique error singletons than surviving candidates,
+        # and the tuple dict is ~5x cheaper per hit than a Variant heap.
+        self.counts: Dict[tuple, int] = {}
 
     # ------------------------------------------------------------------
-    def add_variant(self, var: Variant) -> None:
-        existing = self.variant_heap.get(var)
-        if existing is None:
-            self.variant_heap[var] = var
-        else:
-            existing.add_variant(var)
-
     def _add_platypus_candidate(self, pos: int, removed: bytes, added: bytes,
                                 count: int = 1) -> None:
-        """add_variant of a `count`-read PLATYPUS candidate without
-        constructing a Variant when an equal one was seen (the scans emit
-        the same candidate once per supporting read)."""
         if pos < 0:
-            pos = 0  # Variant.__init__ clamps; the cache key must agree
-        canon = self._batch_var_cache.get((pos, removed, added))
-        if canon is not None:
-            canon.n_supporting_reads += count
-            if pos < canon.bam_min_pos:
-                canon.bam_min_pos = pos
-            if pos > canon.bam_max_pos:
-                canon.bam_max_pos = pos
-        else:
-            v = Variant(self.ref_name, pos, removed, added, count, PLATYPUS_VAR)
-            self.add_variant(v)
-            self._batch_var_cache[(pos, removed, added)] = self.variant_heap[v]
+            pos = 0  # Variant.__init__ clamps; the key must agree
+        key = (pos, removed, added)
+        self.counts[key] = self.counts.get(key, 0) + count
 
-    def get_candidates(self) -> List[Variant]:
-        return sorted(self.variant_heap.values())
+    def get_candidates(self, min_support: int = 1) -> List[Variant]:
+        """Construct the surviving candidates as Variants.
+
+        `min_support` pre-applies filterVariants' support threshold
+        (variantFilter.pyx:98-171) to SNP/MNP candidates only — equal-length
+        replacements are unchanged by left-normalisation, so distinct keys
+        can never merge support downstream; indels always survive to the
+        real filter."""
+        out = [
+            Variant(self.ref_name, pos, removed, added, n, PLATYPUS_VAR)
+            for (pos, removed, added), n in self.counts.items()
+            if n >= min_support or len(removed) != len(added)
+        ]
+        out.sort()
+        return out
 
     # ------------------------------------------------------------------
     def add_candidates_from_reads(self, read_set, indices) -> None:

@@ -207,31 +207,37 @@ def generate_variants_in_region(
     longest_read = 0
 
     if config.get_variants_from_bams:
-        all_sample_gen = CandidateGenerator(
-            (chrom, start, end), ref_file, config.min_map_qual, config.min_flank,
-            config.min_base_qual, config.gen_snps, config.gen_indels,
-        )
+        # Per-sample tuple counts -> per-sample min-VAF gate
+        # (variantcaller.pyx:457-468) -> cross-sample merged counts; Variant
+        # objects are constructed once, for the merged survivors only.
+        merged: dict = {}
+        merged_gen = None
         for buf in buffers:
             gen = CandidateGenerator(
                 (chrom, start, end), ref_file, config.min_map_qual, config.min_flank,
                 config.min_base_qual, config.gen_snps, config.gen_indels,
             )
+            merged_gen = gen
             if len(buf.good):
                 longest_read = max(longest_read, int((buf.good.end - buf.good.pos).max()))
             gen.add_candidates_from_reads(buf.good, range(len(buf.good)))
-            heap_vars = list(gen.variant_heap.values())
-            if heap_vars:
+            keys = list(gen.counts)
+            if keys:
                 counts = buf.count_reads_covering_positions(
-                    np.fromiter((v.ref_pos for v in heap_vars), np.int64,
-                                count=len(heap_vars))
+                    np.fromiter((k[0] for k in keys), np.int64, count=len(keys))
                 )
-                for v, c in zip(heap_vars, counts):
-                    frac = v.n_supporting_reads / c if c else 0.0
-                    if frac >= config.min_var_freq:
-                        all_sample_gen.add_variant(v)
-                    elif v.n_added != v.n_removed:
-                        all_sample_gen.add_variant(v)
-        raw_bam_variants.extend(all_sample_gen.get_candidates())
+                for k, c in zip(keys, counts):
+                    support = gen.counts[k]
+                    frac = support / c if c else 0.0
+                    if frac >= config.min_var_freq or len(k[1]) != len(k[2]):
+                        merged[k] = merged.get(k, 0) + support
+        if merged_gen is not None:
+            merged_gen.counts = merged
+            # SNP singletons can't gain support downstream unless another
+            # candidate source can contribute an equal variant.
+            pre_drop = (config.min_reads
+                        if not config.source_file and not config.assemble else 1)
+            raw_bam_variants.extend(merged_gen.get_candidates(pre_drop))
 
         # rlen tracks the longest observed read (variantcaller.pyx:478-487).
         if longest_read > 0:

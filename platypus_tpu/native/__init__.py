@@ -88,6 +88,13 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.ptpu_scan_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
     lib.ptpu_scan_free.restype = None
     lib.ptpu_scan_free.argtypes = [ctypes.c_void_p]
+    lib.ptpu_variant_supported.restype = None
+    lib.ptpu_variant_supported.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+    ]
     _lib = lib
     return lib
 
@@ -245,6 +252,33 @@ def native_scan_single_m(read_set, rows: np.ndarray, mlens: np.ndarray,
         return out
     finally:
         lib.ptpu_scan_free(handle)
+
+
+def native_variant_supported(cigar_flat: np.ndarray, cigar_off: np.ndarray,
+                             win_seq: np.ndarray, win_rlen: np.ndarray,
+                             win_pos: np.ndarray, rs_rows: np.ndarray,
+                             win_rows: np.ndarray, var_pos: int, added: bytes,
+                             n_removed: int, exact: bool):
+    """Batched variant_supported_by_read over one CigarRefs segment's rows;
+    None when the library is unavailable (callers fall back to the Python
+    walk in vcfout/records.py)."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(rs_rows)
+    out = np.zeros(n, np.uint8)
+    if n:
+        lib.ptpu_variant_supported(
+            _np_ptr(np.ascontiguousarray(cigar_flat, np.uint32)),
+            _np_ptr(np.ascontiguousarray(cigar_off, np.int64)),
+            _np_ptr(win_seq), win_seq.shape[1],
+            _np_ptr(np.ascontiguousarray(win_rlen, np.int32)),
+            _np_ptr(np.ascontiguousarray(win_pos, np.int64)),
+            _np_ptr(np.ascontiguousarray(rs_rows, np.int64)),
+            _np_ptr(np.ascontiguousarray(win_rows, np.int64)),
+            n, var_pos, added, len(added), n_removed, int(exact), _np_ptr(out),
+        )
+    return out.astype(bool)
 
 
 def native_trim_reads(reads, good_mask: np.ndarray, trim_read_flank: int,

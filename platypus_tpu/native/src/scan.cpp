@@ -136,3 +136,85 @@ void ptpu_scan_fill(void* handle, int64_t* pos, int32_t* count,
 void ptpu_scan_free(void* handle) { delete (ScanResult*)handle; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched variant_supported_by_read (vcfutils.pyx:961-1072) for the INFO
+// re-walks: the window's single-M rows vectorise in numpy; rows with any
+// other CIGAR walk here instead of in Python (vcfout/records.py:51-99).
+// CIGAR op codes are the BAM standard: M0 I1 D2 N3 S4 H5 P6 =7 X8.
+// ---------------------------------------------------------------------------
+
+extern "C" void ptpu_variant_supported(
+    const uint32_t* cigar_flat, const int64_t* cigar_off,
+    const uint8_t* seq, int32_t L, const int32_t* rlen, const int64_t* pos,
+    const int64_t* rs_rows, const int64_t* win_rows, int64_t n,
+    int64_t var_pos, const char* added, int32_t n_add, int32_t n_rem,
+    int32_t exact, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t rr = rs_rows[i];
+        const int64_t wr = win_rows[i];
+        const uint8_t* srow = seq + wr * L;
+        const int64_t read_start = pos[wr];
+        const int32_t read_len = rlen[wr];
+        int64_t ref_off = 0, read_off = 0;
+        uint8_t supported = 0;
+        const int64_t c0 = cigar_off[rr], c1 = cigar_off[rr + 1];
+        for (int64_t ci = c0; ci < c1 && !supported; ++ci) {
+            const uint32_t word = cigar_flat[ci];
+            const int32_t op = (int32_t)(word & 0xF);
+            const int64_t length = (int64_t)(word >> 4);
+            switch (op) {
+                case 1:  // I
+                    if (n_add != n_rem) {
+                        if (exact) {
+                            if (n_add - n_rem == length &&
+                                read_off + n_add <= L &&
+                                std::memcmp(srow + read_off, added, n_add) == 0)
+                                supported = 1;
+                            ci = c1;  // Python returns either way
+                        } else {
+                            supported = 1;
+                        }
+                        break;
+                    }
+                    read_off += length;
+                    break;
+                case 2:  // D
+                    if (n_add != n_rem) {
+                        if (exact) {
+                            supported = (n_rem - n_add == length);
+                            ci = c1;  // Python returns either way
+                        } else {
+                            supported = 1;
+                        }
+                        break;
+                    }
+                    ref_off += length;
+                    break;
+                case 0: case 7: case 8: {  // M, =, X
+                    const int64_t start = var_pos - read_start + read_off - ref_off;
+                    if (ref_off + read_start <= var_pos &&
+                        ref_off + read_start + length > var_pos &&
+                        n_add == n_rem && start >= 0 &&
+                        start + n_add <= read_len &&
+                        std::memcmp(srow + start, added, n_add) == 0)
+                        supported = 1;
+                    read_off += length;
+                    ref_off += length;
+                    break;
+                }
+                case 3:  // N (mirrors the Python walk: both offsets advance)
+                    read_off += length;
+                    ref_off += length;
+                    break;
+                case 4:  // S
+                    read_off += length;
+                    if (ci == c0) ref_off += length;
+                    break;
+                default:  // H, P
+                    break;
+            }
+        }
+        out[i] = supported;
+    }
+}

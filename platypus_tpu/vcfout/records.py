@@ -29,6 +29,7 @@ from ..config import PlatypusConfig
 from ..engine.caller import WindowCall
 from ..io.bam import CIGAR_D, CIGAR_EQ, CIGAR_I, CIGAR_M, CIGAR_N, CIGAR_S, CIGAR_X
 from ..utils.maths import beta_binomial_cdf, mann_whitney_rank_sum_z
+from .. import native
 from .writer import FILTER_NAMES, VCFWriter
 
 LOG10E = 0.43429448190325182
@@ -267,10 +268,31 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
             else:
                 res = np.zeros(len(srows), bool)
             out[sm] = res
-        # Indels never match an M-only cigar; re-walk the rest.
-        for j in np.nonzero(~sm)[0]:
+        # Indels never match an M-only cigar; re-walk the rest — in C++ when
+        # the native library and the lazy segment refs are available.
+        nsm = np.nonzero(~sm)[0]
+        if len(nsm) == 0:
+            return out
+        refs = reads.cigar_refs
+        offs = getattr(refs, "offsets", None)
+        if offs is not None and native.load() is not None:
+            wrows = rows[nsm].astype(np.int64)
+            segs = np.searchsorted(offs, wrows, side="right") - 1
+            res = np.zeros(len(wrows), bool)
+            for seg in np.unique(segs):
+                rs = refs.readsets[seg]
+                m = segs == seg
+                rs_rows = refs.starts[seg] + (wrows[m] - offs[seg])
+                res[m] = native.native_variant_supported(
+                    rs.cigar_flat, rs.cigar_off, reads.seq, reads.rlen,
+                    reads.pos, rs_rows, wrows[m], variant.ref_pos,
+                    variant.added, variant.n_removed, exact_indels,
+                )
+            out[nsm] = res
+            return out
+        for j in nsm:
             r = int(rows[j])
-            rs, row = reads.cigar_refs[r]
+            rs, row = refs[r]
             out[j] = variant_supported_by_read(
                 rs.cigar_ops(row), reads.seq[r], int(reads.rlen[r]),
                 int(reads.pos[r]), variant, exact_indels,

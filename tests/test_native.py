@@ -96,3 +96,66 @@ def test_native_kmer_segments_matches_numpy():
         pr1, ps1 = native_kmer_segments(hap, seq, rl, rs, hs)
         assert np.array_equal(pr0, pr1)
         assert np.array_equal(ps0, ps1)
+
+
+def test_native_variant_supported_matches_python():
+    """The C++ batched variant_supported_by_read walk agrees with the Python
+    walk over random CIGARs (indels, soft clips, skips) x random variants,
+    both exact and non-exact indel matching."""
+    import pytest
+
+    from platypus_tpu import native
+    from platypus_tpu.candidates.variant import Variant
+    from platypus_tpu.vcfout.records import variant_supported_by_read
+
+    if native.load() is None:
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    OPS = [0, 1, 2, 3, 4, 7, 8]  # M I D N S = X
+    for trial in range(400):
+        # One read with a random multi-op CIGAR.
+        n_ops = int(rng.integers(1, 6))
+        words = []
+        read_len = 0
+        for k in range(n_ops):
+            op = int(rng.choice(OPS))
+            length = int(rng.integers(1, 30))
+            words.append((length << 4) | op)
+            if op in (0, 1, 3, 4, 7, 8):
+                read_len += length
+        if read_len == 0:
+            continue
+        L = read_len + int(rng.integers(0, 8))
+        seq = np.zeros((1, L), np.uint8)
+        seq[0, :read_len] = rng.choice(bases, size=read_len)
+        pos = int(rng.integers(0, 50))
+        cigar_flat = np.array(words, np.uint32)
+        cigar_off = np.array([0, len(words)], np.int64)
+        cigar = np.stack([cigar_flat & 0xF, cigar_flat >> 4], axis=1).astype(np.int64)
+
+        for _ in range(6):
+            kind = rng.random()
+            vpos = int(rng.integers(pos - 5, pos + read_len + 5))
+            if kind < 0.4:  # SNP/MNP
+                n = int(rng.integers(1, 4))
+                removed = bytes(rng.choice(bases, size=n))
+                added = bytes(rng.choice(bases, size=n))
+            elif kind < 0.7:  # insertion
+                removed = b""
+                added = bytes(rng.choice(bases, size=int(rng.integers(1, 9))))
+            else:  # deletion
+                removed = bytes(rng.choice(bases, size=int(rng.integers(1, 9))))
+                added = b""
+            var = Variant("chr20", max(0, vpos), removed, added, 1, 1)
+            exact = bool(rng.random() < 0.5)
+
+            want = variant_supported_by_read(cigar, seq[0], read_len, pos, var, exact)
+            got = native.native_variant_supported(
+                cigar_flat, cigar_off, seq, np.array([read_len], np.int32),
+                np.array([pos], np.int64), np.array([0], np.int64),
+                np.array([0], np.int64), var.ref_pos, var.added,
+                var.n_removed, exact)
+            assert got is not None and bool(got[0]) == bool(want), (
+                trial, words, pos, vpos, removed, added, exact)
