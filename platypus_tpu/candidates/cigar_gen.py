@@ -89,6 +89,11 @@ class CandidateGenerator:
         c_lo = read_set.cigar_off[idx]
         single = (read_set.cigar_off[idx + 1] - c_lo) == 1
         scalar_rows = idx[~single]
+        use_native = native.load() is not None
+        # M segments accumulate (row, length, read_off, ref_off) and scan in
+        # ONE native call per pile; indels stay in the Python CIGAR walk.
+        m_sink: List[tuple] = [] if use_native else None
+        batch_rows = batch_lens = None
         if single.any():
             words = read_set.cigar_flat[c_lo[single]].astype(np.int64)
             is_m = (words & 0xF) == CIGAR_M
@@ -97,20 +102,32 @@ class CandidateGenerator:
             if self.gen_snps:
                 batch = is_m & (lens >= self.min_flank)
                 if batch.any():
-                    found = native.native_scan_single_m(
-                        read_set, srows[batch], lens[batch], self.ref_seq,
-                        self.ref_seq_start, self.min_flank, self.min_base_qual)
-                    if found is None:
+                    if use_native:
+                        batch_rows, batch_lens = srows[batch], lens[batch]
+                    else:
                         self._scan_single_m_batch(read_set, srows[batch],
                                                   lens[batch])
-                    else:
-                        for pos, removed, added, count in found:
-                            self._add_platypus_candidate(pos, removed, added,
-                                                         count=count)
             # Single-op reads that aren't plain M still walk the scalar path.
             scalar_rows = np.concatenate([scalar_rows, srows[~is_m]])
         for i in scalar_rows:
-            self._scan_read(read_set, int(i))
+            self._scan_read(read_set, int(i), m_sink)
+        if use_native and (m_sink or batch_rows is not None):
+            if m_sink:
+                sr, sl, so, sg = (np.array(col, np.int64)
+                                  for col in zip(*m_sink))
+            else:
+                sr = sl = so = sg = np.zeros(0, np.int64)
+            if batch_rows is not None:
+                z = np.zeros(len(batch_rows), np.int64)
+                sr = np.concatenate([batch_rows.astype(np.int64), sr])
+                sl = np.concatenate([batch_lens.astype(np.int64), sl])
+                so = np.concatenate([z, so])
+                sg = np.concatenate([z, sg])
+            found = native.native_scan_m_segments(
+                read_set, sr, sl, so, sg, self.ref_seq, self.ref_seq_start,
+                self.min_flank, self.min_base_qual)
+            for pos, removed, added, count in found:
+                self._add_platypus_candidate(pos, removed, added, count=count)
 
     def _scan_single_m_batch(self, rs, rows: np.ndarray, lens: np.ndarray) -> None:
         """Vectorised equivalent of _scan_match_segment(read_off=0, ref_off=0)
@@ -191,7 +208,10 @@ class CandidateGenerator:
                 added = bytes(seq[r, i0 : i1 + 1])
                 self._add_platypus_candidate(pos, removed, added)
 
-    def _scan_read(self, rs, i: int) -> None:
+    def _scan_read(self, rs, i: int, m_sink=None) -> None:
+        """Scalar CIGAR walk.  With `m_sink` given, qualifying M segments are
+        appended as (row, length, read_off, ref_off) for one batched native
+        scan instead of scanning inline."""
         read_start = int(rs.pos[i])
         read_len = int(rs.rlen[i])
         seq = rs.seq[i]
@@ -206,8 +226,11 @@ class CandidateGenerator:
             length = word >> 4
             if op == CIGAR_M:
                 if self.gen_snps and length >= self.min_flank:
-                    self._scan_match_segment(seq, qual, read_start, 0, 0,
-                                             length, read_len)
+                    if m_sink is not None:
+                        m_sink.append((i, length, 0, 0))
+                    else:
+                        self._scan_match_segment(seq, qual, read_start, 0, 0,
+                                                 length, read_len)
                 return
         cigar = rs.cigar_ops(i)
         n_ops = len(cigar)
@@ -250,8 +273,12 @@ class CandidateGenerator:
                     ref_off += length
                     continue
                 if self.gen_snps:
-                    self._scan_match_segment(seq, qual, read_start, read_off, ref_off,
-                                             length, read_len)
+                    if m_sink is not None:
+                        m_sink.append((i, length, read_off, ref_off))
+                    else:
+                        self._scan_match_segment(seq, qual, read_start,
+                                                 read_off, ref_off, length,
+                                                 read_len)
                 read_off += length
                 ref_off += length
             elif op == CIGAR_N:

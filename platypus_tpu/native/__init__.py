@@ -75,11 +75,12 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
     ]
-    lib.ptpu_scan_single_m.restype = ctypes.c_void_p
-    lib.ptpu_scan_single_m.argtypes = [
+    lib.ptpu_scan_m_segments.restype = ctypes.c_void_p
+    lib.ptpu_scan_m_segments.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -205,13 +206,15 @@ def native_fetch(bam_path: str, bai_path: str, ref_id: int, start: int, end: int
         lib.ptpu_batch_free(handle)
 
 
-def native_scan_single_m(read_set, rows: np.ndarray, mlens: np.ndarray,
-                         ref_seq: bytes, ref_start: int, min_flank: int,
-                         min_base_qual: int):
-    """Deduped SNP/MNP candidates from single-M reads via the C++ scanner;
+def native_scan_m_segments(read_set, rows: np.ndarray, mlens: np.ndarray,
+                           read_offs, ref_offs,
+                           ref_seq: bytes, ref_start: int, min_flank: int,
+                           min_base_qual: int):
+    """Deduped SNP/MNP candidates from M segments via the C++ scanner;
     None when the library is unavailable (callers fall back to the numpy
-    batch in candidates/cigar_gen.py).  Returns a list of
-    (pos, removed, added, count)."""
+    batch / scalar walk in candidates/cigar_gen.py).  Each item is one M
+    segment (row id, length, read offset, ref offset) — single-M reads pass
+    offsets 0/0.  Returns a list of (pos, removed, added, count)."""
     lib = load()
     if lib is None:
         return None
@@ -219,13 +222,16 @@ def native_scan_single_m(read_set, rows: np.ndarray, mlens: np.ndarray,
     qual = np.ascontiguousarray(read_set.qual, np.uint8)
     rows64 = np.ascontiguousarray(rows, np.int64)
     mlen64 = np.ascontiguousarray(mlens, np.int64)
+    roff64 = np.ascontiguousarray(read_offs, np.int64)
+    goff64 = np.ascontiguousarray(ref_offs, np.int64)
     pos = np.ascontiguousarray(read_set.pos, np.int64)
     rlen = np.ascontiguousarray(read_set.rlen, np.int32)
     out_n = ctypes.c_int64()
     out_blob = ctypes.c_int64()
-    handle = lib.ptpu_scan_single_m(
+    handle = lib.ptpu_scan_m_segments(
         _np_ptr(seq), _np_ptr(qual), seq.shape[1], _np_ptr(rows64), len(rows64),
-        _np_ptr(pos), _np_ptr(rlen), _np_ptr(mlen64),
+        _np_ptr(pos), _np_ptr(rlen), _np_ptr(mlen64), _np_ptr(roff64),
+        _np_ptr(goff64),
         ref_seq, len(ref_seq), ref_start, min_flank, min_base_qual,
         ctypes.byref(out_n), ctypes.byref(out_blob),
     )
@@ -242,14 +248,12 @@ def native_scan_single_m(read_set, rows: np.ndarray, mlens: np.ndarray,
         lib.ptpu_scan_fill(handle, _np_ptr(vpos), _np_ptr(count), _np_ptr(n_rem),
                            _np_ptr(n_add), _np_ptr(blob_off), blob)
         raw = blob.raw
-        out = []
-        for i in range(n):
-            o = int(blob_off[i])
-            nr = int(n_rem[i])
-            na = int(n_add[i])
-            out.append((int(vpos[i]), raw[o : o + nr], raw[o + nr : o + nr + na],
-                        int(count[i])))
-        return out
+        return [
+            (p, raw[o : o + nr], raw[o + nr : o + nr + na], c)
+            for p, o, nr, na, c in zip(
+                vpos.tolist(), blob_off[:-1].tolist(), n_rem.tolist(),
+                n_add.tolist(), count.tolist())
+        ]
     finally:
         lib.ptpu_scan_free(handle)
 

@@ -35,18 +35,22 @@ struct ScanResult {
 
 extern "C" {
 
-// Scan single-M rows of a row-major [R, L] seq/qual pile against the region
-// reference cache.  `rows`/`mlen` are n_rows-long (mlen aligned with rows);
-// pos/rlen are the full per-read arrays indexed by row id.  Returns an
-// opaque handle (free with ptpu_scan_free) and writes the unique-candidate
-// count / blob size through the out params.
-void* ptpu_scan_single_m(const uint8_t* seq, const uint8_t* qual,
-                         int32_t L, const int64_t* rows, int64_t n_rows,
-                         const int64_t* pos, const int32_t* rlen,
-                         const int64_t* mlen, const char* ref,
-                         int64_t ref_len, int64_t ref_start,
-                         int32_t min_flank, int32_t min_base_qual,
-                         int64_t* out_n, int64_t* out_blob) {
+// Scan M segments of a row-major [R, L] seq/qual pile against the region
+// reference cache.  Each of the n_rows items is one M segment:
+// (row id, segment length, read offset, ref offset) — single-M reads pass
+// offsets 0/0, multi-op reads pass their CIGAR-walk offsets
+// (variant.pyx:518-610 with arbitrary read_off/ref_off).  pos/rlen are the
+// full per-read arrays indexed by row id.  Returns an opaque handle (free
+// with ptpu_scan_free) and writes the unique-candidate count / blob size
+// through the out params.
+void* ptpu_scan_m_segments(const uint8_t* seq, const uint8_t* qual,
+                           int32_t L, const int64_t* rows, int64_t n_rows,
+                           const int64_t* pos, const int32_t* rlen,
+                           const int64_t* mlen, const int64_t* read_offs,
+                           const int64_t* ref_offs, const char* ref,
+                           int64_t ref_len, int64_t ref_start,
+                           int32_t min_flank, int32_t min_base_qual,
+                           int64_t* out_n, int64_t* out_blob) {
     auto* res = new ScanResult();
     std::unordered_map<std::string, size_t> seen;
     std::string key;
@@ -54,17 +58,18 @@ void* ptpu_scan_single_m(const uint8_t* seq, const uint8_t* qual,
 
     for (int64_t i = 0; i < n_rows; ++i) {
         const int64_t r = rows[i];
-        const uint8_t* srow = seq + r * L;
-        const uint8_t* qrow = qual + r * L;
-        const int64_t ref_base = pos[r] - ref_start;
+        const int64_t read_off = read_offs[i];
+        const uint8_t* srow = seq + r * L + read_off;
+        const uint8_t* qrow = qual + r * L + read_off;
+        const int64_t ref_base = pos[r] + ref_offs[i] - ref_start;
 
-        int64_t lo = min_flank;
+        int64_t lo = read_off == 0 ? min_flank : 0;
         if (-ref_base > lo) lo = -ref_base;
         int64_t hi = mlen[i];
-        const int64_t read_cap = (int64_t)rlen[r] - min_flank;
+        const int64_t read_cap = (int64_t)rlen[r] - min_flank - read_off;
         if (read_cap < hi) hi = read_cap;
         if (ref_len - ref_base < hi) hi = ref_len - ref_base;
-        if (hi > L) hi = L;
+        if (hi > L - read_off) hi = L - read_off;
         if (hi <= lo) continue;
 
         // Fast path: span matches the reference byte for byte.

@@ -110,8 +110,10 @@ def test_native_scan_matches_numpy_batch(tmp_path):
     mlens = lens[is_m & (lens >= 10)]
     assert len(srows) > 50
 
-    found = native.native_scan_single_m(rs, srows, mlens, gen_native.ref_seq,
-                                        gen_native.ref_seq_start, 10, 20)
+    zero = np.zeros(len(srows), np.int64)
+    found = native.native_scan_m_segments(rs, srows, mlens, zero, zero,
+                                          gen_native.ref_seq,
+                                          gen_native.ref_seq_start, 10, 20)
     assert found is not None
     for pos, removed, added, count in found:
         gen_native._add_platypus_candidate(pos, removed, added, count=count)
@@ -123,3 +125,37 @@ def test_native_scan_matches_numpy_batch(tmp_path):
             for v in gen_numpy.get_candidates()}
     assert got == want
     assert len(want) > 20
+
+
+def test_indel_read_m_segments_match_scalar(tmp_path):
+    """Reads with I/D CIGARs route their M segments through the batched
+    native scan (offset read_off/ref_off); candidates match the pure scalar
+    walk exactly, including SNPs on indel-bearing reads."""
+    ref_path, ref_seq = make_reference(tmp_path, length=9000, seed=13)
+    rng = np.random.default_rng(31)
+    variants = [
+        (2000, 0, b"ACT"),          # insertion
+        (3000, 4, b""),             # deletion
+        (3040, 1, b"T" if ref_seq[3040] != ord("T") else b"C"),  # SNP near D
+        (5000, 2, b""),             # deletion
+        (5030, 0, b"G"),            # insertion
+    ]
+    hap = SimHaplotype(ref_seq, variants)
+    reads = simulate_reads([hap, SimHaplotype(ref_seq, [])], 1500, 6500,
+                           coverage=15, error_rate=0.02, seed=9)
+    rs, (gen_batch, gen_scalar) = _generators(tmp_path, reads, 9000)
+
+    rows = np.arange(len(rs.pos))
+    multi = (rs.cigar_off[rows + 1] - rs.cigar_off[rows]) > 1
+    assert multi.sum() >= 20  # indel reads actually present
+
+    gen_batch.add_candidates_from_reads(rs, rows)
+    for i in rows:
+        if not rs.qc_fail[i]:
+            gen_scalar._scan_read(rs, int(i))
+    got = {(v.ref_pos, v.removed, v.added): v.n_supporting_reads
+           for v in gen_batch.get_candidates()}
+    want = {(v.ref_pos, v.removed, v.added): v.n_supporting_reads
+            for v in gen_scalar.get_candidates()}
+    assert got == want
+    assert any(len(r) != len(a) for _, r, a in got)  # indels found
