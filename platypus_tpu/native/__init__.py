@@ -96,6 +96,15 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
     ]
+    lib.ptpu_info_accumulate.restype = None
+    lib.ptpu_info_accumulate.argtypes = (
+        [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+        + [ctypes.c_void_p] * 9
+        + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p]
+        + [ctypes.c_int32] * 5
+        + [ctypes.c_void_p] * 6
+    )
     _lib = lib
     return lib
 
@@ -283,6 +292,58 @@ def native_variant_supported(cigar_flat: np.ndarray, cigar_off: np.ndarray,
             n, var_pos, added, len(added), n_removed, int(exact), _np_ptr(out),
         )
     return out.astype(bool)
+
+
+def native_info_context(reads, nsm_idx: np.ndarray, nsm_flat: np.ndarray,
+                        nsm_off: np.ndarray):
+    """Per-window prepared arrays for native_info_accumulate (keeps the
+    contiguous copies + pointer conversions out of the per-variant loop).
+    None when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    arrs = (
+        reads.seq, reads.qual,
+        np.ascontiguousarray(reads.pos, np.int64),
+        np.ascontiguousarray(reads.end, np.int64),
+        np.ascontiguousarray(reads.rlen, np.int32),
+        np.ascontiguousarray(reads.mapq, np.int32),
+        np.ascontiguousarray(reads.strand_reverse).view(np.uint8),
+        np.ascontiguousarray(reads.single_m()).view(np.uint8),
+        nsm_idx, nsm_flat, nsm_off,
+    )
+    ptrs = tuple(_np_ptr(a) for a in arrs)
+    return (lib, arrs, ptrs, reads.seq.shape[1])
+
+
+def native_info_accumulate(ctx, good_rows: np.ndarray, bad_rows: np.ndarray,
+                           var_min: int, var_max: int, var_pos: int,
+                           added: bytes, n_removed: int, exact: bool,
+                           var_in_genotype: bool, bad_reads_window: int):
+    """One (variant, individual) INFO accounting pass in C++ over a
+    native_info_context.  Returns (counters[13] int64, rmsmq float,
+    min_quals, alt_dists, ref_dists)."""
+    lib, arrs, p, L = ctx
+    cap = max(1, len(good_rows))
+    counters = np.zeros(13, np.int64)
+    rmsmq = ctypes.c_double()
+    min_quals = np.zeros(cap, np.int32)
+    alt_dists = np.zeros(cap, np.int32)
+    ref_dists = np.zeros(cap, np.int32)
+    out_counts = np.zeros(3, np.int64)
+    good64 = np.ascontiguousarray(good_rows, np.int64)
+    bad64 = np.ascontiguousarray(bad_rows, np.int64)
+    lib.ptpu_info_accumulate(
+        p[0], p[1], L, p[2], p[3], p[4], p[5], p[6], p[7], p[8], p[9], p[10],
+        _np_ptr(good64), len(good64), _np_ptr(bad64), len(bad64),
+        var_min, var_max, var_pos, added, len(added), n_removed, int(exact),
+        int(var_in_genotype), bad_reads_window,
+        _np_ptr(counters), ctypes.byref(rmsmq), _np_ptr(min_quals),
+        _np_ptr(alt_dists), _np_ptr(ref_dists), _np_ptr(out_counts),
+    )
+    n_minq, n_alt, n_ref = out_counts.tolist()
+    return (counters, rmsmq.value, min_quals[:n_minq].tolist(),
+            alt_dists[:n_alt].tolist(), ref_dists[:n_ref].tolist())
 
 
 def native_trim_reads(reads, good_mask: np.ndarray, trim_read_flank: int,

@@ -223,3 +223,202 @@ extern "C" void ptpu_variant_supported(
         out[i] = supported;
     }
 }
+
+// ---------------------------------------------------------------------------
+// Per-(variant, individual) INFO accounting (vcfutils.pyx:1226-1459; the
+// numpy batch in vcfout/records.py:compute_vcf_info): overlap + qual-good
+// filtering of the individual's good/bad rows, read support (memcmp for
+// single-M rows, CIGAR walk otherwise), strand counts, MMLQ window minima
+// and read-position distances, in one call.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// The CIGAR walk of ptpu_variant_supported, as a helper.
+inline uint8_t walk_supported(const uint32_t* cigar_flat, int64_t c0,
+                              int64_t c1, const uint8_t* srow, int32_t L,
+                              int64_t read_start, int32_t read_len,
+                              int64_t var_pos, const char* added,
+                              int32_t n_add, int32_t n_rem, int32_t exact) {
+    int64_t ref_off = 0, read_off = 0;
+    uint8_t supported = 0;
+    for (int64_t ci = c0; ci < c1 && !supported; ++ci) {
+        const uint32_t word = cigar_flat[ci];
+        const int32_t op = (int32_t)(word & 0xF);
+        const int64_t length = (int64_t)(word >> 4);
+        switch (op) {
+            case 1:  // I
+                if (n_add != n_rem) {
+                    if (exact) {
+                        if (n_add - n_rem == length && read_off + n_add <= L &&
+                            std::memcmp(srow + read_off, added, n_add) == 0)
+                            supported = 1;
+                        ci = c1;
+                    } else {
+                        supported = 1;
+                    }
+                    break;
+                }
+                read_off += length;
+                break;
+            case 2:  // D
+                if (n_add != n_rem) {
+                    if (exact) {
+                        supported = (n_rem - n_add == length);
+                        ci = c1;
+                    } else {
+                        supported = 1;
+                    }
+                    break;
+                }
+                ref_off += length;
+                break;
+            case 0: case 7: case 8: {  // M, =, X
+                const int64_t start = var_pos - read_start + read_off - ref_off;
+                if (ref_off + read_start <= var_pos &&
+                    ref_off + read_start + length > var_pos &&
+                    n_add == n_rem && start >= 0 &&
+                    start + n_add <= read_len &&
+                    std::memcmp(srow + start, added, n_add) == 0)
+                    supported = 1;
+                read_off += length;
+                ref_off += length;
+                break;
+            }
+            case 3:  // N (mirrors the Python walk: both offsets advance)
+                read_off += length;
+                ref_off += length;
+                break;
+            case 4:  // S
+                read_off += length;
+                if (ci == c0) ref_off += length;
+                break;
+            default:
+                break;
+        }
+    }
+    return supported;
+}
+
+// Row passes overlap_qualgood: overlaps [var_min, var_max] and has no
+// qual < 5 inside the clipped variant span.
+inline bool overlap_qualgood_row(int64_t pos, int64_t end, int32_t rl,
+                                 const uint8_t* qrow, int64_t var_min,
+                                 int64_t var_max) {
+    if (pos > var_max || end <= var_min) return false;
+    int64_t lo = var_min - pos;
+    if (lo < 0) lo = 0; else if (lo > rl) lo = rl;
+    int64_t hi = var_max - pos;
+    if (hi < 0) hi = 0; else if (hi > rl) hi = rl;
+    for (int64_t c = lo; c < hi; ++c)
+        if (qrow[c] < 5) return false;
+    return true;
+}
+
+}  // namespace
+
+extern "C" void ptpu_info_accumulate(
+    // Window read arrays (row-major [R, L] seq/qual).
+    const uint8_t* seq, const uint8_t* qual, int32_t L, const int64_t* pos,
+    const int64_t* end, const int32_t* rlen, const int32_t* mapq,
+    const uint8_t* strand_reverse, const uint8_t* single_m,
+    // Non-single-M CIGAR access: row -> index into the window CSR (-1 when
+    // single-M), plus the CSR itself.
+    const int32_t* nsm_idx, const uint32_t* nsm_flat, const int64_t* nsm_off,
+    // The individual's raw (pre-filter) good/bad row ids.
+    const int64_t* good_rows, int64_t n_good_rows,
+    const int64_t* bad_rows, int64_t n_bad_rows,
+    // Variant spec.
+    int64_t var_min, int64_t var_max, int64_t var_pos, const char* added,
+    int32_t n_add, int32_t n_rem, int32_t exact, int32_t var_in_genotype,
+    int32_t bad_reads_window,
+    // Outputs: counters[13] = tc, tc_bad, tr, tc_ab, tr_ab, nf, nr, nf_sb,
+    // nr_sb, tcf, tcr, tcf_sb, tcr_sb; rmsmq; min_quals / alt_dists /
+    // ref_dists are caller-alloc'd with capacity n_good_rows, their fill
+    // counts land in out_counts[3].
+    int64_t* counters, double* rmsmq, int32_t* min_quals, int32_t* alt_dists,
+    int32_t* ref_dists, int64_t* out_counts) {
+    int64_t tc = 0, tc_bad = 0, tr = 0, tc_ab = 0, tr_ab = 0;
+    int64_t nf = 0, nr = 0, nf_sb = 0, nr_sb = 0;
+    int64_t tcf = 0, tcr = 0, tcf_sb = 0, tcr_sb = 0;
+    double rms = 0.0;
+    int64_t n_minq = 0, n_alt = 0, n_ref = 0;
+
+    for (int64_t k = 0; k < n_bad_rows; ++k) {
+        const int64_t r = bad_rows[k];
+        if (!overlap_qualgood_row(pos[r], end[r], rlen[r], qual + r * L,
+                                  var_min, var_max))
+            continue;
+        ++tc_bad;
+        rms += (double)mapq[r] * (double)mapq[r];
+    }
+
+    for (int64_t k = 0; k < n_good_rows; ++k) {
+        const int64_t r = good_rows[k];
+        const uint8_t* qrow = qual + r * L;
+        const int32_t rl = rlen[r];
+        if (!overlap_qualgood_row(pos[r], end[r], rl, qrow, var_min, var_max))
+            continue;
+        ++tc;
+        rms += (double)mapq[r] * (double)mapq[r];
+        const bool rev = strand_reverse[r] != 0;
+        if (rev) ++tcr; else ++tcf;
+        if (var_in_genotype) {
+            ++tc_ab;
+            if (rev) ++tcr_sb; else ++tcf_sb;
+        }
+
+        // Support.
+        uint8_t supp = 0;
+        const uint8_t* srow = seq + r * L;
+        if (single_m[r]) {
+            if (n_add == n_rem) {
+                const int64_t start = var_pos - pos[r];
+                if (start >= 0 && start + n_add <= rl && start < rl &&
+                    std::memcmp(srow + start, added, n_add) == 0)
+                    supp = 1;
+            }
+        } else {
+            const int32_t ci = nsm_idx[r];
+            if (ci >= 0)
+                supp = walk_supported(nsm_flat, nsm_off[ci], nsm_off[ci + 1],
+                                      srow, L, pos[r], rl, var_pos, added,
+                                      n_add, n_rem, exact);
+        }
+
+        // Distance of the variant from the nearer read end.
+        int64_t off = var_min - pos[r];
+        if (off < 0) off = 0; else if (off > rl - 1) off = rl - 1;
+        const int64_t dist = off < rl - 1 - off ? off : rl - 1 - off;
+        if (supp) alt_dists[n_alt++] = (int32_t)dist;
+        else ref_dists[n_ref++] = (int32_t)dist;
+
+        if (supp) {
+            ++tr;
+            if (rev) ++nr; else ++nf;
+            if (var_in_genotype) {
+                ++tr_ab;
+                if (rev) ++nr_sb; else ++nf_sb;
+                // MMLQ: min qual inside the bad-reads window around the
+                // variant, 0 for an empty window.
+                const int64_t half = (bad_reads_window - 1) / 2;
+                int64_t ws = var_min - pos[r] - half;
+                if (ws < 0) ws = 0;
+                int64_t we = var_max - pos[r] + half;
+                if (we > rl) we = rl;
+                int32_t mn = 255;
+                for (int64_t c = ws; c < we; ++c)
+                    if (qrow[c] < mn) mn = qrow[c];
+                min_quals[n_minq++] = we > ws ? mn : 0;
+            }
+        }
+    }
+
+    counters[0] = tc; counters[1] = tc_bad; counters[2] = tr;
+    counters[3] = tc_ab; counters[4] = tr_ab; counters[5] = nf;
+    counters[6] = nr; counters[7] = nf_sb; counters[8] = nr_sb;
+    counters[9] = tcf; counters[10] = tcr; counters[11] = tcf_sb;
+    counters[12] = tcr_sb;
+    *rmsmq = rms;
+    out_counts[0] = n_minq; out_counts[1] = n_alt; out_counts[2] = n_ref;
+}

@@ -182,6 +182,39 @@ def compute_sc_value(sequence: str) -> float:
 # vcfINFO / vcfFILTER
 # ---------------------------------------------------------------------------
 
+def _window_nsm_csr(reads):
+    """CSR of the window's non-single-M CIGARs for the native INFO pass:
+    (row -> csr index or -1, flat words, offsets)."""
+    sm = reads.single_m()
+    R = len(sm)
+    nsm_idx = np.full(R, -1, np.int32)
+    rows = np.nonzero(~sm)[0]
+    if len(rows) == 0:
+        return nsm_idx, np.zeros(1, np.uint32), np.zeros(1, np.int64)
+    refs = reads.cigar_refs
+    flats = []
+    lens = np.zeros(len(rows), np.int64)
+    offs = getattr(refs, "offsets", None)
+    if offs is not None:
+        segs = np.searchsorted(offs, rows, side="right") - 1
+        for j, (wr, seg) in enumerate(zip(rows.tolist(), segs.tolist())):
+            rs = refs.readsets[seg]
+            rr = refs.starts[seg] + (wr - int(offs[seg]))
+            c0, c1 = int(rs.cigar_off[rr]), int(rs.cigar_off[rr + 1])
+            flats.append(rs.cigar_flat[c0:c1])
+            lens[j] = c1 - c0
+    else:
+        for j, wr in enumerate(rows.tolist()):
+            rs, rr = refs[wr]
+            c0, c1 = int(rs.cigar_off[rr]), int(rs.cigar_off[rr + 1])
+            flats.append(rs.cigar_flat[c0:c1])
+            lens[j] = c1 - c0
+    nsm_idx[rows] = np.arange(len(rows), dtype=np.int32)
+    nsm_flat = np.ascontiguousarray(np.concatenate(flats), np.uint32)
+    nsm_off = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])
+    return nsm_idx, nsm_flat, nsm_off
+
+
 def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict[Variant, dict]:
     """Per-variant INFO dict (vcfutils.pyx:1226-1459)."""
     reads = call.reads
@@ -221,12 +254,22 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
     exact_indels = bool(config.count_only_exact_indel_matches)
     col = np.arange(reads.qual.shape[1]) if reads.qual.size else np.zeros(0, np.int64)
 
+    # Native fast path: the whole per-(variant, individual) accounting loop
+    # runs in one C++ call (ptpu_info_accumulate); the numpy body below is
+    # the fallback and oracle.
+    info_ctx = None
+    if native.load() is not None and reads.qual.size:
+        info_ctx = native.native_info_context(reads, *_window_nsm_csr(reads))
+    use_native_info = info_ctx is not None
+
     # Cumulative count of low-qual (<5) columns per read: turns each
     # variant's "all quals >= 5 in span" check from an [R, L] mask into two
     # gathers (computed once per window, used per variant x individual).
+    # Fallback-path only — the native pass checks spans directly.
     L = reads.qual.shape[1]
-    lowq_cum = np.zeros((len(reads.qual), L + 1), np.int32)
-    if reads.qual.size:
+    lowq_cum = np.zeros((0, 0), np.int32)
+    if reads.qual.size and not use_native_info:
+        lowq_cum = np.zeros((len(reads.qual), L + 1), np.int32)
         np.cumsum(reads.qual < 5, axis=1, out=lowq_cum[:, 1:])
 
     def overlap_qualgood(rows: np.ndarray, var_min: int, var_max: int) -> np.ndarray:
@@ -320,6 +363,25 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
                 h1 = call.hap1_idx[gt_idx]
                 h2 = call.hap2_idx[gt_idx]
                 var_in_genotype = variant in hap_var_sets[h1] or variant in hap_var_sets[h2]
+
+            if use_native_info:
+                c, rms, minq, alt_d, ref_d = native.native_info_accumulate(
+                    info_ctx, good_rows_by_ind[i], bad_rows_by_ind[i],
+                    var_min, var_max, variant.ref_pos, variant.added,
+                    variant.n_removed, exact_indels, var_in_genotype,
+                    config.bad_reads_window,
+                )
+                tc += int(c[0]); tc_bad += int(c[1]); tr += int(c[2])
+                tc_ab += int(c[3]); tr_ab += int(c[4]); nf += int(c[5])
+                nr += int(c[6]); nf_sb += int(c[7]); nr_sb += int(c[8])
+                tcf += int(c[9]); tcr += int(c[10]); tcf_sb += int(c[11])
+                tcr_sb += int(c[12]); rmsmq += rms
+                min_quals.extend(minq)
+                alt_read_pos.extend(alt_d)
+                ref_read_pos.extend(ref_d)
+                n_reads_per_sample.append(int(c[0]))
+                n_var_reads_per_sample.append(int(c[2]))
+                continue
 
             brows = overlap_qualgood(bad_rows_by_ind[i], var_min, var_max)
             tc_bad += len(brows)
