@@ -375,3 +375,19 @@ def test_vcf_tools_bins_and_plots(tmp_path):
     # cortex-only: NV==0 in the last sample keeps only the chr1:20 record.
     out = _run_tool(["cortex-only"], vcf)
     assert "\t20\t" in out and "\t10\t" not in out and "\t30\t" not in out
+
+
+def test_count_alus():
+    """count-alus reproduces scripts/countAlus.sh's per-family line counts."""
+    from tools.vcf_tools import ALU_CONSENSUS, cmd_count_alus
+    import io
+
+    consensus = ALU_CONSENSUS[0][1]
+    sb = ALU_CONSENSUS[1][1]
+    text = f"x{consensus}y\n{sb}\nnothing\n{consensus}\n"
+    out = io.StringIO()
+    cmd_count_alus(None, io.StringIO(text), out)
+    lines = out.getvalue().splitlines()
+    assert lines[0] == "Consensus alu count: 3"  # Sb embeds the consensus
+    assert lines[1] == "Alu-Sb count: 1"
+    assert all(l.endswith(": 0") for l in lines[2:])
