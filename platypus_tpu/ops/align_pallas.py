@@ -3,12 +3,13 @@
 Same recurrence as ops/align_jax.py (and bit-identical outputs — tested),
 hand-scheduled for the TPU:
 
-* grid over batch tiles: each program aligns LANES=128 (read, hap) pairs,
-  one pair per vector lane; the 8-lane wavefront sits on the sublane axis so
-  every state tensor is an [8, 128] int32 tile — native VPU shape;
+* grid over batch tiles: each program aligns LANES (read, hap) pairs, one
+  pair per vector lane; the 8-lane wavefront sits on the sublane axis so
+  every state tensor is an [8, LANES] int32 tile — native VPU shape;
 * all sequence columns live in VMEM for the whole kernel; the sequential
-  antidiagonal loop is a fori_loop of pure element-wise min/add/compare plus
-  sublane rolls, with no HBM traffic inside the loop;
+  antidiagonal loop is pure element-wise min/add/compare plus sublane rolls,
+  with no HBM traffic and no cross-sublane reductions inside the loop, and
+  is fully unrolled so the compiler schedules across step boundaries;
 * sublane shifts are implemented with pltpu.roll + masked select.
 """
 
@@ -24,10 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .align_core import N_LANES, POS_INF
 
-# Lanes (pairs) per grid program.  128 is one native vreg; 256 measures
-# ~20% faster on v5e because the two independent half-tiles give the VPU
-# pipeline parallel dependency chains (512 is flat, 1024 regresses).
-LANES = 256
+# Lanes (pairs) per grid program.  One native vreg: with the step loop fully
+# unrolled the compiler already has cross-step instruction parallelism, and
+# 128 lanes keeps register pressure low (measured on v5e: 128 > 256 > 512).
+LANES = 128
 _N_CHAR = ord("N")
 
 
@@ -45,6 +46,7 @@ def _shift_down(v, new_row):
 
 
 def _band_align_kernel(n_steps: int, gapextend: int, nucprior: int,
+                       interpret: bool,
                        hap_ref, go_ref, read_ref, qual_ref, rlen_ref, out_ref):
     B = LANES
     ge = jnp.int32(4 * gapextend)
@@ -115,7 +117,17 @@ def _band_align_kernel(n_steps: int, gapextend: int, nucprior: int,
         return m1, i1, d1, m2, i2, d2, s1w, gow, s2w, q2w, minacc
 
     carry = (m0, m0, m0, m0, m0, m0, s1w, gow, s2w, q2w, minacc)
-    carry = jax.lax.fori_loop(0, n_steps, step, carry)
+    def scan_body(carry, _):
+        s2, inner = carry
+        return (s2 + 1, step(s2, inner)), None
+    # Fully unrolling the antidiagonal loop lets Mosaic schedule across step
+    # boundaries (~+30% on v5e); Pallas-TPU lowering only supports unroll=1
+    # or full unroll, so cap the program size for very long read buckets.
+    # Interpret mode (CPU testing) keeps the rolled loop — unrolled tracing
+    # is quadratically slow there and has no scheduler to feed.
+    unroll = n_steps if (n_steps <= 256 and not interpret) else 1
+    (_, carry), _ = jax.lax.scan(scan_body, (jnp.int32(0), carry), None,
+                                 length=n_steps, unroll=unroll)
     minacc = carry[-1]
     minsc = jnp.min(minacc, axis=0)
     out_ref[0, :] = (minsc + 0x8000) >> 2
@@ -155,7 +167,8 @@ def band_align_padded_pallas(
         read_len = jnp.pad(read_len, (0, pad), constant_values=8)
     B_pad = read_cols.shape[1]
 
-    kernel = functools.partial(_band_align_kernel, n_steps, gapextend, nucprior)
+    kernel = functools.partial(_band_align_kernel, n_steps, gapextend, nucprior,
+                               interpret)
     grid = (B_pad // LANES,)
 
     out = pl.pallas_call(
