@@ -196,23 +196,37 @@ def run_single_process(
 
     from .region import RegionPrefetch
 
+    # `regions` may be a list or a lazy source (the work-stealing queue of
+    # multi-worker runs); iterate with one-region lookahead so the BAM
+    # prefetch still has a target.  A worker therefore claims at most one
+    # region ahead of the one it is processing.
+    region_iter = iter(regions)
+    cur = next(region_iter, None)
     prefetch = None  # next region's BAM decode on a helper thread
-    for index, (chrom, start, end) in enumerate(regions):
+    index = 0
+    while cur is not None:
+        chrom, start, end = cur
         if index % 10 == 0:
             logger.info("Processing region %s:%s-%s", chrom, start, end)
-        try:
-            if config.hla_typing:
+        if config.hla_typing:
+            if prefetch is not None:  # the HLA path fetches directly
+                prefetch.join()
+                prefetch = None
+            _drain()
+            try:
                 from .hla import call_hla_variants_in_region
 
-                if prefetch is not None:  # the HLA path fetches directly
-                    prefetch.join()
-                    prefetch = None
-                _drain()
                 n_written += call_hla_variants_in_region(
                     chrom, start, end, bam_files, samples_by_bam, ref_file,
                     config, rt, out,
                 )
-                continue
+            except Exception:  # noqa: BLE001 — region crash containment
+                logger.exception("Region %s:%s-%s will be skipped",
+                                 chrom, start, end)
+            cur = next(region_iter, None)
+            index += 1
+            continue
+        try:
             state = prepare_region_call(
                 chrom, start, end, bam_files, samples_by_bam, ref_file,
                 config, rt, preloaded=prefetch,
@@ -223,8 +237,9 @@ def run_single_process(
         if prefetch is not None:
             prefetch.join()  # never leave the helper running into a fetch
             prefetch = None
-        if index + 1 < len(regions) and not config.hla_typing:
-            nc, ns, ne = regions[index + 1]
+        nxt = next(region_iter, None)
+        if nxt is not None:
+            nc, ns, ne = nxt
             prefetch = RegionPrefetch(bam_files, samples_by_bam, nc, ns, ne,
                                       config)
         begun = _begin(aligning) if aligning is not None else None
@@ -235,6 +250,8 @@ def run_single_process(
         inferring = begun
         if state is not None:
             aligning = (chrom, start, end, state)
+        cur = nxt
+        index += 1
     _drain()
     if output_path != "-":
         out.close()
@@ -269,9 +286,23 @@ def _cap_worker_threads(n_workers: int) -> None:
         os.environ["XLA_FLAGS"] = f"{existing} {extra}".strip()
 
 
+def _queue_regions(q):
+    """Drain a pre-filled region queue lazily (work stealing: the region is
+    claimed at next() time, not at worker launch).  The parent enqueues one
+    None sentinel per worker after the regions; a blocking get avoids the
+    spurious-Empty race of get_nowait while the feeder pipe is flushing."""
+    while True:
+        region = q.get()
+        if region is None:
+            return
+        yield region
+
+
 def _worker_entry(args):
     config_json, regions, path = args
     config = PlatypusConfig.from_json(config_json)
+    if not isinstance(regions, (list, tuple)):
+        regions = _queue_regions(regions)  # multiprocessing queue
     # Honour a platform override in spawned workers (the axon TPU plugin
     # ignores JAX_PLATFORMS; tests set PLATYPUS_TPU_PLATFORM=cpu).  With no
     # env override, config.worker_platform applies — "auto" resolves to
@@ -408,17 +439,36 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
         run_single_process(config, regions, config.output, append=continuing)
         return
 
-    # Round-robin regions over workers (runner.py:470-482).
-    per_worker: List[List[Region]] = [[] for _ in range(config.n_cpu)]
-    for i, region in enumerate(regions):
-        per_worker[i % config.n_cpu].append(region)
-    temp_files = [f"{config.output}_temp_{i}" for i in range(config.n_cpu)]
+    # Work-stealing region pool: all regions go into one shared FIFO queue
+    # and each worker pulls the next one whenever it finishes (or, via the
+    # one-region prefetch lookahead, is about to finish) its current region.
+    # This replaces the reference's static round-robin (runner.py:470-482):
+    # dense regions no longer stall one worker while the others idle.
+    # Output is byte-identical to any static assignment — the queue is FIFO
+    # so each worker's regions (hence its temp VCF) stay position-sorted,
+    # regions are disjoint, and the k-way merge orders by (chrom, pos).
+    n_workers = min(config.n_cpu, max(1, len(regions)))
+    temp_files = [f"{config.output}_temp_{i}" for i in range(n_workers)]
     ctx = multiprocessing.get_context("spawn")
-    with ctx.Pool(config.n_cpu) as pool:
-        pool.map(
-            _worker_entry,
-            [(config.to_json(), per_worker[i], temp_files[i]) for i in range(config.n_cpu)],
-        )
+    queue = ctx.Queue()
+    for region in regions:
+        queue.put(region)
+    for _ in range(n_workers):
+        queue.put(None)  # one end-of-work sentinel per worker
+    workers = [
+        ctx.Process(target=_worker_entry,
+                    args=((config.to_json(), queue, temp_files[i]),))
+        for i in range(n_workers)
+    ]
+    for p in workers:
+        p.start()
+    try:
+        for p in workers:
+            p.join()
+    except KeyboardInterrupt:
+        for p in workers:
+            p.terminate()
+        raise
     merge_vcf_files(temp_files, config.output)
 
 
