@@ -29,7 +29,7 @@ class Variant:
     __slots__ = (
         "ref_name", "ref_pos", "removed", "added", "n_supporting_reads",
         "var_source", "bam_min_pos", "bam_max_pos", "bam_added", "bam_removed",
-        "min_ref_pos", "max_ref_pos", "var_type", "_hash",
+        "min_ref_pos", "max_ref_pos", "var_type", "_hash", "_prior",
     )
 
     def __init__(self, ref_name: str, ref_pos: int, removed: bytes, added: bytes,
@@ -142,7 +142,15 @@ class Variant:
 
     # -- priors ---------------------------------------------------------------
     def calculate_prior(self, ref_file) -> float:
-        """P(variant) prior (variant.pyx:219-259)."""
+        """P(variant) prior (variant.pyx:219-259).
+
+        Memoised per instance: the prior is a pure function of the variant
+        and the (fixed) reference, and it is re-requested from the
+        haplotype-prior, beam-search, and INFO:QD paths — for indels each
+        evaluation costs a 200 bp tandem annotation."""
+        cached = getattr(self, "_prior", None)
+        if cached is not None:
+            return cached
         n_added, n_removed = self.n_added, self.n_removed
         if n_added == 1 and n_removed == 1:
             prior = 1e-3 / 3
@@ -155,7 +163,8 @@ class Variant:
             prior = self._indel_prior(ref_file, -n_removed)
         else:
             prior = 5e-6
-        return max(prior, 1e-10)
+        self._prior = max(prior, 1e-10)
+        return self._prior
 
     def _indel_prior(self, ref_file, indel_length_and_type: int) -> float:
         context = 100
