@@ -19,6 +19,8 @@ A small BAM writer is included for synthetic test data.
 
 from __future__ import annotations
 
+import logging
+import os
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -27,6 +29,8 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .bgzf import BGZFReader, BGZFWriter
+
+logger = logging.getLogger("platypus_tpu")
 
 # BAM flag bits (standard).
 FLAG_PAIRED = 1
@@ -199,6 +203,89 @@ def _reg2bins(beg: int, end: int) -> List[int]:
     return bins
 
 
+def _reg2bin(beg: int, end: int) -> int:
+    """The single smallest bin containing [beg, end) (SAM spec §5.3)."""
+    end -= 1
+    for shift, offset in ((14, 4681), (17, 585), (20, 73), (23, 9), (26, 1)):
+        if beg >> shift == end >> shift:
+            return offset + (beg >> shift)
+    return 0
+
+
+def build_bai(bam_path: str, bai_path: str) -> None:
+    """Build a standard .bai for a coordinate-sorted BAM (one streaming
+    pass).  Python oracle for native/src/bgzf_bam.cpp:ptpu_bam_index; used
+    directly when the native library is unavailable."""
+    bg = BGZFReader(bam_path)
+    try:
+        if bg.read(4) != b"BAM\x01":
+            raise ValueError(f"{bam_path}: not a BAM file")
+        (l_text,) = struct.unpack("<i", bg.read(4))
+        bg.read(l_text)
+        (n_ref,) = struct.unpack("<i", bg.read(4))
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", bg.read(4))
+            bg.read(l_name + 4)
+
+        bins: List[Dict[int, List[List[int]]]] = [{} for _ in range(n_ref)]
+        linear: List[List[int]] = [[] for _ in range(n_ref)]
+        while True:
+            u = bg.virtual_offset
+            size_bytes = bg.read(4)
+            if len(size_bytes) < 4:
+                break
+            (block_size,) = struct.unpack("<i", size_bytes)
+            if block_size <= 0:
+                break
+            rec = bg.read(block_size)
+            if len(rec) < block_size:
+                break
+            v = bg.virtual_offset
+            ref_id, pos, l_read_name = struct.unpack_from("<iiB", rec, 0)
+            if ref_id < 0 or ref_id >= n_ref or pos < 0:
+                continue
+            (n_cigar,) = struct.unpack_from("<H", rec, 12)
+            cigar = np.frombuffer(rec, dtype="<u4", count=n_cigar,
+                                  offset=32 + l_read_name)
+            ops = cigar & 0xF
+            span = int((cigar >> 4)[np.isin(ops, list(_CONSUMES_REF))].sum())
+            rend = pos + max(span, 1)
+
+            chunk_list = bins[ref_id].setdefault(_reg2bin(pos, rend), [])
+            if chunk_list and chunk_list[-1][1] == u:
+                chunk_list[-1][1] = v
+            else:
+                chunk_list.append([u, v])
+            lin = linear[ref_id]
+            wend = (rend - 1) >> 14
+            if len(lin) <= wend:
+                lin.extend([0] * (wend + 1 - len(lin)))
+            for w in range(pos >> 14, wend + 1):
+                if lin[w] == 0:
+                    lin[w] = u
+    finally:
+        bg.close()
+
+    with open(bai_path, "wb") as out:
+        out.write(b"BAI\x01" + struct.pack("<i", n_ref))
+        for r in range(n_ref):
+            out.write(struct.pack("<i", len(bins[r])))
+            for bin_id in sorted(bins[r]):
+                chunks = bins[r][bin_id]
+                out.write(struct.pack("<Ii", bin_id, len(chunks)))
+                for u, v in chunks:
+                    out.write(struct.pack("<QQ", u, v))
+            lin = linear[r]
+            last = 0  # forward-fill readless windows with the previous offset
+            for w in range(len(lin)):
+                if lin[w] == 0:
+                    lin[w] = last
+                else:
+                    last = lin[w]
+            out.write(struct.pack("<i", len(lin)))
+            out.write(struct.pack(f"<{len(lin)}Q", *lin))
+
+
 class BaiIndex:
     def __init__(self, filename: str):
         with open(filename, "rb") as fh:
@@ -298,10 +385,54 @@ class BamFile:
         self._first_record_voffset = self._bgzf.virtual_offset
         self.index: Optional[BaiIndex] = None
         index_filename = index_filename or filename + ".bai"
+        self.index_path = index_filename
         try:
             self.index = BaiIndex(index_filename)
         except (FileNotFoundError, ValueError):
             self.index = None
+        if self.index is None and os.environ.get("PLATYPUS_TPU_AUTOINDEX", "1") != "0":
+            # The reference refuses unindexed BAMs outright (htslib index
+            # load failure); we go one better and build the .bai in one
+            # streaming pass — without it every region fetch scans the file
+            # from the first record (quadratic over a whole-genome run).
+            built = self._build_index(index_filename)
+            if built is not None:
+                try:
+                    self.index = BaiIndex(built)
+                    self.index_path = built
+                except (FileNotFoundError, ValueError):
+                    self.index = None
+
+    def _build_index(self, index_filename: str) -> Optional[str]:
+        """Build a .bai next to the BAM (atomic rename), or in the temp dir
+        when the BAM's directory is not writable.  Returns the index path,
+        or None when the build failed."""
+        import tempfile
+
+        from ..native import native_bam_index
+
+        target = index_filename
+        d = os.path.dirname(os.path.abspath(target)) or "."
+        try:
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".bai.tmp")
+            os.close(fd)
+        except OSError:
+            fd, tmp = tempfile.mkstemp(suffix=".bai")
+            os.close(fd)
+            target = tmp  # unwritable directory: keep the index private
+        try:
+            if not native_bam_index(self.filename, tmp):
+                build_bai(self.filename, tmp)
+            if tmp != target:
+                os.replace(tmp, target)
+            return target
+        except Exception:  # noqa: BLE001 — unindexed operation still works
+            logger.warning("Could not build index for %s", self.filename)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            return None
 
     def close(self) -> None:
         self._bgzf.close()
@@ -385,7 +516,7 @@ class BamFile:
 
             rs = native_fetch(
                 self.filename,
-                self.filename + ".bai" if self.index is not None else "",
+                self.index_path if self.index is not None else "",
                 ref_id, start, end, self._first_record_voffset,
             )
             if rs is not None:
@@ -410,7 +541,12 @@ def _parse_records(
         ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq, next_ref, next_pos, tlen = (
             struct.unpack_from("<iiBBHHHiiii", rec, 0)
         )
-        if ref_id != want_ref:
+        if ref_id < 0 or ref_id > want_ref or (ref_id == want_ref and pos >= end):
+            # Coordinate-sorted early exit: a later chromosome, the
+            # unplaced-unmapped tail, or a start at/after `end` means no
+            # later record can overlap the query.
+            break
+        if ref_id < want_ref:
             continue
         if l_seq == 0:
             continue

@@ -58,6 +58,8 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.ptpu_batch_fill.argtypes = [ctypes.c_void_p] * 14
     lib.ptpu_batch_free.restype = None
     lib.ptpu_batch_free.argtypes = [ctypes.c_void_p]
+    lib.ptpu_bam_index.restype = ctypes.c_int32
+    lib.ptpu_bam_index.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.ptpu_trim_reads.restype = None
     lib.ptpu_trim_reads.argtypes = (
         [ctypes.c_int64, ctypes.c_int32] + [ctypes.c_void_p] * 7
@@ -166,6 +168,16 @@ def native_kmer_segments(hap_seq: bytes, read_seq: np.ndarray,
         cap = n
 
 
+def native_bam_index(bam_path: str, bai_path: str) -> bool:
+    """Build a standard .bai for a coordinate-sorted BAM via the C++
+    streaming pass; False when the library is unavailable or the build
+    fails (callers fall back to the Python builder in io/bam.py)."""
+    lib = load()
+    if lib is None:
+        return False
+    return lib.ptpu_bam_index(bam_path.encode(), bai_path.encode()) == 0
+
+
 def native_fetch(bam_path: str, bai_path: str, ref_id: int, start: int, end: int,
                  first_record_voffset: int):
     """Fetch a region into a ReadSet via the native decoder; None if the
@@ -185,7 +197,8 @@ def native_fetch(bam_path: str, bai_path: str, ref_id: int, start: int, end: int
         lib.ptpu_batch_dims(handle, ctypes.byref(n), ctypes.byref(max_len),
                             ctypes.byref(n_cigar))
         n_reads = n.value
-        L = max(1, max_len.value)
+        # Match the Python parser's empty-fetch shape ((0, 0), not (0, 1)).
+        L = max(1, max_len.value) if n_reads else 0
         seq = np.zeros((n_reads, L), np.uint8)
         qual = np.zeros((n_reads, L), np.uint8)
         rlen = np.zeros(n_reads, np.int32)

@@ -370,6 +370,17 @@ const Nib2Table NIB2;
 
 constexpr uint32_t kConsumesRef = (1u << 0) | (1u << 2) | (1u << 3) | (1u << 7) | (1u << 8);
 
+// Standard BAI bin for an alignment spanning [beg, end) (SAM spec §5.3).
+inline uint32_t reg2bin(int64_t beg, int64_t end) {
+    --end;
+    if (beg >> 14 == end >> 14) return (uint32_t)(((1 << 15) - 1) / 7 + (beg >> 14));
+    if (beg >> 17 == end >> 17) return (uint32_t)(((1 << 12) - 1) / 7 + (beg >> 17));
+    if (beg >> 20 == end >> 20) return (uint32_t)(((1 << 9) - 1) / 7 + (beg >> 20));
+    if (beg >> 23 == end >> 23) return (uint32_t)(((1 << 6) - 1) / 7 + (beg >> 23));
+    if (beg >> 26 == end >> 26) return (uint32_t)(((1 << 3) - 1) / 7 + (beg >> 26));
+    return 0;
+}
+
 // Flat structure-of-arrays batch: one growing buffer per field instead of
 // three heap vectors per read (~1M small allocations per Mb otherwise).
 struct BatchStore {
@@ -418,8 +429,10 @@ PtpuBamBatch* ptpu_bam_fetch(const char* bam_path, const char* bai_path,
     auto* store = new BatchStore();
     int32_t max_len = 0;
     std::vector<uint8_t> rec;
+    bool past_query = false;
 
     for (auto [u, v] : chunks) {
+        if (past_query) break;
         if (!bg.seek_virtual((int64_t)u)) continue;
         while ((uint64_t)bg.virtual_offset() < v) {
             uint8_t size_bytes[4];
@@ -443,7 +456,18 @@ PtpuBamBatch* ptpu_bam_fetch(const char* bam_path, const char* bai_path,
             memcpy(&next_pos, rec.data() + 24, 4);
             memcpy(&tlen, rec.data() + 28, 4);
 
-            if (ref_id != want_ref || l_seq == 0) continue;
+            // Coordinate-sorted early exit: once the scan reaches a later
+            // chromosome, the unplaced-unmapped tail (ref_id < 0), or a
+            // record starting at/after `end` on want_ref, no later record
+            // can overlap the query — stop the whole fetch instead of
+            // decoding to the chunk/file end (critical for the no-index
+            // full scan, where this turns O(file) tails into O(query)).
+            if (ref_id < 0 || ref_id > want_ref ||
+                (ref_id == want_ref && (int64_t)pos >= end)) {
+                past_query = true;
+                break;
+            }
+            if (ref_id < want_ref || l_seq == 0) continue;
             size_t off = 32 + l_read_name;
             const uint32_t* cigar = (const uint32_t*)(rec.data() + off);
             off += 4 * (size_t)n_cigar;
@@ -533,6 +557,111 @@ void ptpu_batch_fill(PtpuBamBatch* b, uint8_t* seq, uint8_t* qual, int32_t* rlen
 void ptpu_batch_free(PtpuBamBatch* b) {
     delete b->store;
     delete b;
+}
+
+// Build a standard .bai index for a coordinate-sorted BAM in one streaming
+// pass (the role `samtools index` / htslib's sam_index_build plays for the
+// reference, which refuses unindexed input).  Returns 0 on success,
+// negative on open/parse/write failure.
+int32_t ptpu_bam_index(const char* bam_path, const char* bai_path) {
+    BgzfFile bg;
+    if (!bg.open(bam_path)) return -1;
+    uint8_t buf[4];
+    if (bg.read(buf, 4) != 4 || memcmp(buf, "BAM\x01", 4) != 0) return -2;
+    int32_t l_text;
+    if (bg.read((uint8_t*)&l_text, 4) != 4 || l_text < 0) return -2;
+    std::vector<uint8_t> skip((size_t)l_text);
+    if (bg.read(skip.data(), skip.size()) != skip.size()) return -2;
+    int32_t n_ref;
+    if (bg.read((uint8_t*)&n_ref, 4) != 4 || n_ref < 0) return -2;
+    for (int32_t r = 0; r < n_ref; r++) {
+        int32_t l_name;
+        if (bg.read((uint8_t*)&l_name, 4) != 4 || l_name < 0) return -2;
+        skip.resize((size_t)l_name + 4);
+        if (bg.read(skip.data(), skip.size()) != skip.size()) return -2;
+    }
+
+    struct RefIdx {
+        std::unordered_map<uint32_t, std::vector<std::pair<uint64_t, uint64_t>>> bins;
+        std::vector<uint64_t> linear;
+    };
+    std::vector<RefIdx> refs((size_t)n_ref);
+    std::vector<uint8_t> rec;
+    while (true) {
+        int64_t u = bg.virtual_offset();
+        if (bg.read(buf, 4) < 4) break;
+        int32_t block_size;
+        memcpy(&block_size, buf, 4);
+        if (block_size <= 0) break;
+        rec.resize((size_t)block_size);
+        if (bg.read(rec.data(), rec.size()) < rec.size()) break;
+        int64_t v = bg.virtual_offset();
+
+        int32_t ref_id, pos;
+        memcpy(&ref_id, rec.data() + 0, 4);
+        memcpy(&pos, rec.data() + 4, 4);
+        if (ref_id < 0 || ref_id >= n_ref || pos < 0) continue;
+        uint8_t l_read_name = rec[8];
+        uint16_t n_cigar;
+        memcpy(&n_cigar, rec.data() + 12, 2);
+        const uint32_t* cigar = (const uint32_t*)(rec.data() + 32 + l_read_name);
+        int64_t span = 0;
+        for (int c = 0; c < n_cigar; c++) {
+            uint32_t op = cigar[c] & 0xF;
+            if (kConsumesRef & (1u << op)) span += cigar[c] >> 4;
+        }
+        int64_t rend = pos + (span > 0 ? span : 1);
+
+        RefIdx& R = refs[(size_t)ref_id];
+        auto& ch = R.bins[reg2bin(pos, rend)];
+        if (!ch.empty() && ch.back().second == (uint64_t)u) {
+            ch.back().second = (uint64_t)v;  // extend the adjacent chunk
+        } else {
+            ch.push_back({(uint64_t)u, (uint64_t)v});
+        }
+        size_t wbeg = (size_t)(pos >> 14), wend = (size_t)((rend - 1) >> 14);
+        if (R.linear.size() <= wend) R.linear.resize(wend + 1, 0);
+        for (size_t w = wbeg; w <= wend; w++) {
+            if (R.linear[w] == 0) R.linear[w] = (uint64_t)u;
+        }
+    }
+    // Forward-fill empty linear-index windows with the preceding offset so a
+    // query landing in a readless window still seeks near its position.
+    for (auto& R : refs) {
+        uint64_t last = 0;
+        for (auto& x : R.linear) {
+            if (x == 0) x = last;
+            else last = x;
+        }
+    }
+
+    FILE* out = fopen(bai_path, "wb");
+    if (!out) return -3;
+    bool ok = fwrite("BAI\x01", 1, 4, out) == 4 && fwrite(&n_ref, 4, 1, out) == 1;
+    for (auto& R : refs) {
+        std::vector<uint32_t> ids;
+        ids.reserve(R.bins.size());
+        for (auto& kv : R.bins) ids.push_back(kv.first);
+        std::sort(ids.begin(), ids.end());  // deterministic output
+        int32_t n_bin = (int32_t)ids.size();
+        ok = ok && fwrite(&n_bin, 4, 1, out) == 1;
+        for (uint32_t id : ids) {
+            auto& ch = R.bins[id];
+            int32_t n_chunk = (int32_t)ch.size();
+            ok = ok && fwrite(&id, 4, 1, out) == 1 &&
+                 fwrite(&n_chunk, 4, 1, out) == 1;
+            for (auto [cu, cv] : ch) {
+                ok = ok && fwrite(&cu, 8, 1, out) == 1 && fwrite(&cv, 8, 1, out) == 1;
+            }
+        }
+        int32_t n_intv = (int32_t)R.linear.size();
+        ok = ok && fwrite(&n_intv, 4, 1, out) == 1;
+        if (n_intv) {
+            ok = ok && fwrite(R.linear.data(), 8, (size_t)n_intv, out) == (size_t)n_intv;
+        }
+    }
+    if (fclose(out) != 0) ok = false;
+    return ok ? 0 : -4;
 }
 
 // ---------------------------------------------------------------------------

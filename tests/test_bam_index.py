@@ -1,0 +1,97 @@
+"""BAI auto-indexing: builder parity (native vs Python oracle), fetch
+parity (indexed vs full scan), and the coordinate-sorted early exit.
+
+The reference requires indexed BAMs (htslib refuses to fetch without a
+.bai); platypus-tpu builds the missing index in one streaming pass instead
+(io/bam.py:build_bai, native bgzf_bam.cpp:ptpu_bam_index), which also keeps
+region fetches O(query) rather than O(file).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from synth import SimHaplotype, make_reference, simulate_reads, write_synth_bam
+
+from platypus_tpu.io.bam import BaiIndex, BamFile, build_bai
+from platypus_tpu.native import load as native_load, native_bam_index
+
+
+@pytest.fixture(scope="module")
+def synth_bam(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bai")
+    ref_path, ref_seq = make_reference(tmp, length=60_000, seed=11)
+    reads = simulate_reads([SimHaplotype(ref_seq, [(30_000, 1, b"T")])],
+                           1000, 59_000, coverage=8, seed=12)
+    bam = write_synth_bam(tmp, reads, ref_len=60_000)
+    return bam
+
+
+def test_python_and_native_builders_agree(synth_bam, tmp_path):
+    py_bai = str(tmp_path / "py.bai")
+    build_bai(synth_bam, py_bai)
+    assert BaiIndex(py_bai) is not None  # parses as a valid BAI
+    if native_load() is None:
+        pytest.skip("native library not built")
+    nat_bai = str(tmp_path / "nat.bai")
+    assert native_bam_index(synth_bam, nat_bai)
+    assert open(py_bai, "rb").read() == open(nat_bai, "rb").read()
+
+
+def test_auto_index_on_open_and_fetch_parity(synth_bam, monkeypatch):
+    bai = synth_bam + ".bai"
+    if os.path.exists(bai):
+        os.unlink(bai)
+
+    monkeypatch.setenv("PLATYPUS_TPU_AUTOINDEX", "0")
+    scan = BamFile(synth_bam)
+    assert scan.index is None
+
+    monkeypatch.setenv("PLATYPUS_TPU_AUTOINDEX", "1")
+    indexed = BamFile(synth_bam)
+    assert indexed.index is not None and os.path.exists(bai)
+
+    for start, end in [(1000, 5000), (29_000, 31_000), (55_000, 59_000),
+                       (59_500, 60_000)]:
+        r_scan = scan.fetch("chr20", start, end, use_native=False)
+        r_idx = indexed.fetch("chr20", start, end, use_native=False)
+        r_nat = indexed.fetch("chr20", start, end)
+        for name in ("pos", "end", "rlen", "mapq", "flag"):
+            assert np.array_equal(getattr(r_scan, name), getattr(r_idx, name))
+            assert np.array_equal(getattr(r_scan, name), getattr(r_nat, name))
+        assert np.array_equal(r_scan.seq, r_idx.seq)
+        assert np.array_equal(r_scan.seq, r_nat.seq)
+    scan.close()
+    indexed.close()
+
+
+def test_unwritable_directory_falls_back_to_tempdir(synth_bam, tmp_path, monkeypatch):
+    """When the BAM's directory rejects writes (read-only input trees), the
+    index is built in the temp dir instead.  Simulated by failing the
+    in-directory mkstemp — chmod can't make a directory unwritable under
+    the root user this suite often runs as."""
+    import shutil
+    import tempfile
+
+    ro_dir = tmp_path / "ro"
+    ro_dir.mkdir()
+    ro_bam = str(ro_dir / "reads.bam")
+    shutil.copy(synth_bam, ro_bam)
+
+    real_mkstemp = tempfile.mkstemp
+
+    def deny_in_dir(*args, **kwargs):
+        if kwargs.get("dir") is not None:
+            raise OSError("read-only directory")
+        return real_mkstemp(*args, **kwargs)
+
+    monkeypatch.setenv("PLATYPUS_TPU_AUTOINDEX", "1")
+    monkeypatch.setattr(tempfile, "mkstemp", deny_in_dir)
+    bf = BamFile(ro_bam)
+    # Index built somewhere writable, and fetch works through it.
+    assert bf.index is not None
+    assert not os.path.exists(ro_bam + ".bai")
+    rs = bf.fetch("chr20", 29_000, 31_000)
+    assert len(rs.pos) > 0
+    bf.close()
