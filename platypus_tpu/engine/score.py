@@ -282,29 +282,35 @@ def build_alignment_request(
         sub_qual = reads.qual[align_rows][:, :L2]
     sub_pos = reads.pos[align_rows]
 
-    pair_hap: List[np.ndarray] = []
-    pair_read: List[np.ndarray] = []
-    pair_seg: List[np.ndarray] = []
     # The C++ voter runs a ~30-read pile in ~10us vs ~0.4ms of fixed numpy
-    # overhead per (window, hap); output rows are byte-identical.
+    # overhead per (window, hap); output rows are byte-identical.  The
+    # whole-window entry votes every haplotype in ONE native call.
     use_native = native_kmer_segments is not None and native.load() is not None
-    kmer_table = None if use_native else read_kmer_table(sub_seq, sub_len)
-    for h_idx, hap in enumerate(haps):
-        if use_native:
-            pr, ps = native_kmer_segments(
-                hap.sequence, sub_seq, sub_len, sub_pos, hap.hap_start,
-            )
-        else:
+    if use_native:
+        from ..native import native_kmer_segments_window
+
+        pr, ps, counts = native_kmer_segments_window(
+            [hap.sequence for hap in haps],
+            np.array([hap.hap_start for hap in haps], np.int64),
+            sub_seq, sub_len, sub_pos,
+        )
+        ph = np.repeat(np.arange(H, dtype=np.int64), counts)
+    else:
+        pair_hap: List[np.ndarray] = []
+        pair_read: List[np.ndarray] = []
+        pair_seg: List[np.ndarray] = []
+        kmer_table = read_kmer_table(sub_seq, sub_len)
+        for h_idx, hap in enumerate(haps):
             pr, ps = candidate_segments(
                 hap.kmer_index, sub_seq, sub_len, sub_pos, hap.hap_start,
                 kmer_table=kmer_table,
             )
-        pair_hap.append(np.full(len(pr), h_idx, np.int64))
-        pair_read.append(pr)
-        pair_seg.append(ps)
-    ph = np.concatenate(pair_hap)
-    pr = np.concatenate(pair_read)
-    ps = np.concatenate(pair_seg)
+            pair_hap.append(np.full(len(pr), h_idx, np.int64))
+            pair_read.append(pr)
+            pair_seg.append(ps)
+        ph = np.concatenate(pair_hap)
+        pr = np.concatenate(pair_read)
+        ps = np.concatenate(pair_seg)
 
     seg_len = L2 + 15
     hap_len_max = max(h.hap_len for h in haps)

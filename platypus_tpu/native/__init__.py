@@ -77,6 +77,13 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
     ]
+    lib.ptpu_kmer_segments_multi.restype = ctypes.c_int32
+    lib.ptpu_kmer_segments_multi.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+    ]
     lib.ptpu_scan_m_segments.restype = ctypes.c_void_p
     lib.ptpu_scan_m_segments.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
@@ -165,6 +172,41 @@ def native_kmer_segments(hap_seq: bytes, read_seq: np.ndarray,
         )
         if n <= len(out_read):
             return out_read[:n].astype(np.int64), out_seg[:n].astype(np.int64)
+        cap = n
+
+
+def native_kmer_segments_window(hap_seqs, hap_starts, read_seq: np.ndarray,
+                                read_len: np.ndarray, read_start: np.ndarray):
+    """Anchor (read, segment) pairs for EVERY haplotype of a window in one
+    native call (per-hap blocks identical to native_kmer_segments); None
+    when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    H = len(hap_seqs)
+    flat = b"".join(hap_seqs)
+    offs = np.zeros(H + 1, np.int64)
+    np.cumsum([len(h) for h in hap_seqs], out=offs[1:])
+    starts = np.ascontiguousarray(hap_starts, np.int64)
+    seq = np.ascontiguousarray(read_seq, np.uint8)
+    R, L = seq.shape
+    rl = np.ascontiguousarray(read_len, np.int32)
+    rs = np.ascontiguousarray(read_start, np.int64)
+    counts = np.zeros(H, np.int32)
+    bufs = _KMER_BUFS
+    cap = max(16, 8 * R * max(1, H))
+    while True:
+        if bufs[0] is None or len(bufs[0]) < cap:
+            bufs[0] = np.zeros(max(cap, 4096), np.int32)
+            bufs[1] = np.zeros(max(cap, 4096), np.int32)
+        out_read, out_seg = bufs[0], bufs[1]
+        n = lib.ptpu_kmer_segments_multi(
+            flat, _np_ptr(offs), _np_ptr(starts), H,
+            _np_ptr(seq), R, L, _np_ptr(rl), _np_ptr(rs),
+            _np_ptr(out_read), _np_ptr(out_seg), _np_ptr(counts), len(out_read),
+        )
+        if n <= len(out_read):
+            return out_read[:n].astype(np.int64), out_seg[:n].astype(np.int64), counts
         cap = n
 
 

@@ -168,4 +168,30 @@ int32_t ptpu_kmer_segments(
     return total;
 }
 
+// Whole-window variant: one call votes every haplotype against the same
+// read pile (haplotype sequences concatenated, CSR offsets).  Emits the
+// per-hap pair blocks back-to-back into out_read/out_seg with per-hap
+// counts in out_counts; returns the total required (may exceed cap, in
+// which case the caller regrows and retries).  Cuts the ctypes/numpy
+// wrapper crossings from H per window to 1.
+int32_t ptpu_kmer_segments_multi(
+    const uint8_t* hap_flat, const int64_t* hap_off, const int64_t* hap_starts,
+    int32_t n_haps,
+    const uint8_t* read_seq, int32_t n_reads, int32_t row_len,
+    const int32_t* read_len, const int64_t* read_start,
+    int32_t* out_read, int32_t* out_seg, int32_t* out_counts, int32_t cap) {
+    int32_t total = 0;
+    for (int32_t h = 0; h < n_haps; ++h) {
+        const int32_t written = total < cap ? total : cap;
+        const int32_t rem = cap > total ? cap - total : 0;
+        const int32_t n = ptpu_kmer_segments(
+            hap_flat + hap_off[h], static_cast<int32_t>(hap_off[h + 1] - hap_off[h]),
+            read_seq, n_reads, row_len, read_len, read_start, hap_starts[h],
+            out_read + written, out_seg + written, rem);
+        out_counts[h] = n;
+        total += n;
+    }
+    return total;
+}
+
 }  // extern "C"

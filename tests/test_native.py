@@ -98,6 +98,42 @@ def test_native_kmer_segments_matches_numpy():
         assert np.array_equal(ps0, ps1)
 
 
+def test_native_kmer_window_matches_per_hap():
+    """The whole-window voter (one native call for H haplotypes) emits
+    exactly the concatenation of the per-hap calls."""
+    from platypus_tpu.native import (native_kmer_segments,
+                                     native_kmer_segments_window)
+
+    if native_kmer_segments(b"ACGTACGTACGTACGTACGTACGTACGT",
+                            np.zeros((1, 10), np.uint8),
+                            np.array([10]), np.array([0]), 0) is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for _ in range(25):
+        H = int(rng.integers(1, 9))
+        haps = [rng.choice(bases, size=int(rng.integers(30, 400))).tobytes()
+                for _ in range(H)]
+        starts = rng.integers(-50, 50, size=H).astype(np.int64)
+        R = int(rng.integers(1, 30))
+        L = int(rng.integers(8, 120))
+        seq = rng.choice(bases, size=(R, L)).astype(np.uint8)
+        rl = rng.integers(5, L + 1, size=R).astype(np.int64)
+        rs = rng.integers(-60, 400, size=R).astype(np.int64)
+        pr_w, ps_w, counts = native_kmer_segments_window(haps, starts, seq, rl, rs)
+        assert counts.sum() == len(pr_w)
+        off = 0
+        for h in range(H):
+            pr1, ps1 = native_kmer_segments(haps[h], seq, rl, rs, int(starts[h]))
+            n = counts[h]
+            assert n == len(pr1)
+            assert np.array_equal(pr_w[off:off + n], pr1)
+            assert np.array_equal(ps_w[off:off + n], ps1)
+            off += n
+
+
 def test_native_variant_supported_matches_python():
     """The C++ batched variant_supported_by_read walk agrees with the Python
     walk over random CIGARs (indels, soft clips, skips) x random variants,
