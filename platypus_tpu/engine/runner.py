@@ -163,8 +163,15 @@ def run_single_process(
     # GL/EM/posterior programs dispatched, and region k-2's inference —
     # in flight for a whole iteration — is gathered and written.  Output
     # stays in region order because writes only happen in _finish.
+    #
+    # begin/finish run on ONE dedicated inference thread so their device
+    # awaits (which release the GIL) overlap the next region's host prep on
+    # the main thread — on a tunneled device the awaits are the dominant
+    # non-overlapped cost.  A single worker keeps begin/finish strictly in
+    # region order; the writer and the finish-side reference reads are only
+    # touched from that thread while the loop runs (FastaFile reads are
+    # lock-protected, its region cache swap is atomic).
     aligning = None   # (chrom, start, end, PreparedRegion): alignments in flight
-    inferring = None  # (chrom, start, end, PreparedRegion): inference in flight
 
     def _begin(entry):
         chrom, start, end, state = entry
@@ -183,11 +190,40 @@ def run_single_process(
         except Exception:  # noqa: BLE001 — region crash containment
             logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
 
+    from concurrent.futures import Future, ThreadPoolExecutor
+
+    # The thread only pays off when begin/finish are await-dominated (a real
+    # device: the block releases the GIL and prepare overlaps it).  On the
+    # XLA:CPU backend those stages are host compute, and a second Python
+    # thread just adds GIL contention (~8% measured) — run them inline.
+    import jax
+
+    use_thread = os.environ.get("PLATYPUS_TPU_INFER_THREAD", "auto")
+    if use_thread == "auto":
+        use_thread = "1" if jax.default_backend() != "cpu" else "0"
+    executor = (ThreadPoolExecutor(max_workers=1, thread_name_prefix="ptpu-infer")
+                if use_thread == "1" else None)
+    stage_future = None  # in-flight (begin k-1, finish k-2) stage task
+
+    def _stage(entry, prev_begun):
+        begun = _begin(entry) if entry is not None else None
+        if prev_begun is not None:
+            _finish(prev_begun)
+        return begun
+
+    def _submit_stage(entry, prev_begun):
+        if executor is None:
+            f = Future()
+            f.set_result(_stage(entry, prev_begun))
+            return f
+        return executor.submit(_stage, entry, prev_begun)
+
     def _drain():
-        nonlocal aligning, inferring
-        if inferring is not None:
-            _finish(inferring)
-            inferring = None
+        nonlocal aligning, stage_future
+        prev = stage_future.result() if stage_future is not None else None
+        stage_future = None
+        if prev is not None:
+            _finish(prev)
         if aligning is not None:
             entry = _begin(aligning)
             aligning = None
@@ -242,17 +278,17 @@ def run_single_process(
             nc, ns, ne = nxt
             prefetch = RegionPrefetch(bam_files, samples_by_bam, nc, ns, ne,
                                       config)
-        begun = _begin(aligning) if aligning is not None else None
+        prev_begun = stage_future.result() if stage_future is not None else None
+        entry = aligning
         aligning = None
-        if inferring is not None:
-            _finish(inferring)
-            inferring = None
-        inferring = begun
+        stage_future = _submit_stage(entry, prev_begun)
         if state is not None:
             aligning = (chrom, start, end, state)
         cur = nxt
         index += 1
     _drain()
+    if executor is not None:
+        executor.shutdown(wait=True)
     if output_path != "-":
         out.close()
     for bam in bam_files:

@@ -11,6 +11,7 @@ contig.  NCBI ``gi|...|ref|name|`` headers are normalised the same way
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -59,6 +60,12 @@ class FastaFile:
                 )
         self._fh = open(filename, "rb")
         self._cache: Optional[Tuple[str, int, int, bytes]] = None  # (name, start, end, seq)
+        # The engine reads reference sequence from two threads (the region
+        # pipeline's prepare on the main thread, its begin/finish on the
+        # inference thread): the seek+read pair must be atomic.  The cache
+        # itself is safe lock-free — readers snapshot the tuple, writers
+        # replace it whole.
+        self._io_lock = threading.Lock()
 
     def close(self) -> None:
         self._fh.close()
@@ -81,8 +88,9 @@ class FastaFile:
         last_line = (end - 1) // entry.line_bases
         last_col = (end - 1) % entry.line_bases
         file_end = entry.offset + last_line * entry.line_width + last_col + 1
-        self._fh.seek(file_start)
-        raw = self._fh.read(file_end - file_start)
+        with self._io_lock:
+            self._fh.seek(file_start)
+            raw = self._fh.read(file_end - file_start)
         return raw.replace(b"\n", b"").replace(b"\r", b"").upper()
 
     def set_cache_sequence(self, name: str, start: int, end: int) -> None:
