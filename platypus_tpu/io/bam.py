@@ -388,8 +388,13 @@ class BamFile:
         self.index_path = index_filename
         try:
             self.index = BaiIndex(index_filename)
+            if os.path.getmtime(index_filename) < os.path.getmtime(filename):
+                logger.warning("Index %s is older than %s — regenerate it if "
+                               "the BAM changed", index_filename, filename)
         except (FileNotFoundError, ValueError):
             self.index = None
+        except OSError:
+            pass  # mtime unavailable; keep the loaded index
         if self.index is None and os.environ.get("PLATYPUS_TPU_AUTOINDEX", "1") != "0":
             # The reference refuses unindexed BAMs outright (htslib index
             # load failure); we go one better and build the .bai in one
