@@ -182,14 +182,6 @@ def run_single_process(
             logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
             return None
 
-    def _finish(entry):
-        nonlocal n_written
-        chrom, start, end, state = entry
-        try:
-            n_written += finish_region_call(state, ref_file, config, writer)
-        except Exception:  # noqa: BLE001 — region crash containment
-            logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
-
     from concurrent.futures import Future, ThreadPoolExecutor
 
     # The thread only pays off when begin/finish are await-dominated (a real
@@ -204,6 +196,20 @@ def run_single_process(
     executor = (ThreadPoolExecutor(max_workers=1, thread_name_prefix="ptpu-infer")
                 if use_thread == "1" else None)
     stage_future = None  # in-flight (begin k-1, finish k-2) stage task
+    # The finish stage re-caches its own region span; give the inference
+    # thread a private FastaFile so it does not evict the cache the main
+    # thread's prepare is slicing from (correctness is lock-protected either
+    # way — this avoids the cache ping-pong).
+    finish_ref = (FastaFile(config.ref_file, parse_ncbi=bool(config.parse_ncbi))
+                  if executor is not None else ref_file)
+
+    def _finish(entry):
+        nonlocal n_written
+        chrom, start, end, state = entry
+        try:
+            n_written += finish_region_call(state, finish_ref, config, writer)
+        except Exception:  # noqa: BLE001 — region crash containment
+            logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
 
     def _stage(entry, prev_begun):
         begun = _begin(entry) if entry is not None else None
@@ -289,6 +295,8 @@ def run_single_process(
     _drain()
     if executor is not None:
         executor.shutdown(wait=True)
+    if finish_ref is not ref_file:
+        finish_ref.close()
     if output_path != "-":
         out.close()
     for bam in bam_files:
@@ -504,7 +512,21 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
     except KeyboardInterrupt:
         for p in workers:
             p.terminate()
+        # The feeder thread blocks on the pipe if regions are still queued;
+        # without this the interpreter can hang at exit joining it.
+        queue.cancel_join_thread()
         raise
+    failed = [i for i, p in enumerate(workers) if p.exitcode != 0]
+    if failed:
+        # A dead worker's claimed regions are simply gone — merging the
+        # survivors would silently emit a VCF with holes (the reference's
+        # Pool-less fork model had the same blind spot; its Pool-era
+        # ancestor re-raised).  Leave the temp files for post-mortem.
+        raise RuntimeError(
+            f"worker process(es) {failed} exited with "
+            f"{[workers[i].exitcode for i in failed]}; output would be "
+            f"incomplete. Temp files kept: {[temp_files[i] for i in failed]}"
+        )
     merge_vcf_files(temp_files, config.output)
 
 

@@ -229,6 +229,7 @@ def build_bai(bam_path: str, bai_path: str) -> None:
 
         bins: List[Dict[int, List[List[int]]]] = [{} for _ in range(n_ref)]
         linear: List[List[int]] = [[] for _ in range(n_ref)]
+        last_ref, last_pos = -1, -1
         while True:
             u = bg.virtual_offset
             size_bytes = bg.read(4)
@@ -244,6 +245,12 @@ def build_bai(bam_path: str, bai_path: str) -> None:
             ref_id, pos, l_read_name = struct.unpack_from("<iiB", rec, 0)
             if ref_id < 0 or ref_id >= n_ref or pos < 0:
                 continue
+            if ref_id < last_ref or (ref_id == last_ref and pos < last_pos):
+                # A BAI is only meaningful for a coordinate-sorted file;
+                # refuse to index disorder (the fetch early-exit would
+                # silently drop reads otherwise).
+                raise ValueError(f"{bam_path} is not coordinate-sorted")
+            last_ref, last_pos = ref_id, pos
             (n_cigar,) = struct.unpack_from("<H", rec, 12)
             cigar = np.frombuffer(rec, dtype="<u4", count=n_cigar,
                                   offset=32 + l_read_name)
@@ -383,19 +390,37 @@ class BamFile:
             self.references.append((name, l_ref))
         self.ref_id: Dict[str, int] = {n: i for i, (n, _) in enumerate(self.references)}
         self._first_record_voffset = self._bgzf.virtual_offset
+        # Sort order: the caller (like the reference, which requires an
+        # htslib index) assumes coordinate order.  A header explicitly
+        # declaring otherwise turns off the sorted-scan early exit, the
+        # native fetch, and auto-indexing (a missing SO tag — common for
+        # coordinate-sorted files — is treated as coordinate).
+        self.coordinate_sorted = True
+        for line in self.header_text.splitlines():
+            if line.startswith("@HD") and "\tSO:" in line:
+                so = line.split("\tSO:", 1)[1].split("\t", 1)[0].strip()
+                if so not in ("coordinate", "unknown", ""):
+                    self.coordinate_sorted = False
+                    logger.warning(
+                        "%s declares SO:%s; using order-agnostic full scans "
+                        "(coordinate-sort the BAM for indexed access)",
+                        filename, so)
         self.index: Optional[BaiIndex] = None
         index_filename = index_filename or filename + ".bai"
         self.index_path = index_filename
         try:
             self.index = BaiIndex(index_filename)
-            if os.path.getmtime(index_filename) < os.path.getmtime(filename):
-                logger.warning("Index %s is older than %s — regenerate it if "
-                               "the BAM changed", index_filename, filename)
         except (FileNotFoundError, ValueError):
             self.index = None
-        except OSError:
-            pass  # mtime unavailable; keep the loaded index
-        if self.index is None and os.environ.get("PLATYPUS_TPU_AUTOINDEX", "1") != "0":
+        if self.index is not None:
+            try:
+                if os.path.getmtime(index_filename) < os.path.getmtime(filename):
+                    logger.warning("Index %s is older than %s — regenerate it "
+                                   "if the BAM changed", index_filename, filename)
+            except OSError:
+                pass  # mtime unavailable; keep the loaded index
+        if (self.index is None and self.coordinate_sorted
+                and os.environ.get("PLATYPUS_TPU_AUTOINDEX", "1") != "0"):
             # The reference refuses unindexed BAMs outright (htslib index
             # load failure); we go one better and build the .bai in one
             # streaming pass — without it every region fetch scans the file
@@ -407,11 +432,20 @@ class BamFile:
                     self.index_path = built
                 except (FileNotFoundError, ValueError):
                     self.index = None
+            else:
+                # Build failed — most likely the file is not actually
+                # coordinate-sorted despite its header; stay safe with
+                # order-agnostic full scans.
+                self.coordinate_sorted = False
 
     def _build_index(self, index_filename: str) -> Optional[str]:
-        """Build a .bai next to the BAM (atomic rename), or in the temp dir
-        when the BAM's directory is not writable.  Returns the index path,
-        or None when the build failed."""
+        """Build a .bai next to the BAM (atomic rename), or at a
+        deterministic temp-dir path when the BAM's directory is not
+        writable (keyed by the BAM's identity+mtime+size so later opens —
+        including sibling worker processes — reuse it instead of
+        re-streaming the file, and stale copies are not picked up).
+        Returns the index path, or None when the build failed."""
+        import hashlib
         import tempfile
 
         from ..native import native_bam_index
@@ -422,14 +456,23 @@ class BamFile:
             fd, tmp = tempfile.mkstemp(dir=d, suffix=".bai.tmp")
             os.close(fd)
         except OSError:
-            fd, tmp = tempfile.mkstemp(suffix=".bai")
+            # Unwritable input directory: deterministic private path keyed
+            # by the BAM's identity so later opens (and sibling workers)
+            # reuse it instead of re-streaming the file.
+            st = os.stat(self.filename)
+            key = hashlib.sha1(
+                f"{os.path.abspath(self.filename)}:{st.st_mtime_ns}:{st.st_size}"
+                .encode()).hexdigest()[:16]
+            target = os.path.join(tempfile.gettempdir(),
+                                  f"platypus_tpu_{key}.bai")
+            if os.path.exists(target):
+                return target  # built by an earlier open / another worker
+            fd, tmp = tempfile.mkstemp(suffix=".bai.tmp")
             os.close(fd)
-            target = tmp  # unwritable directory: keep the index private
         try:
             if not native_bam_index(self.filename, tmp):
                 build_bai(self.filename, tmp)
-            if tmp != target:
-                os.replace(tmp, target)
+            os.replace(tmp, target)
             return target
         except Exception:  # noqa: BLE001 — unindexed operation still works
             logger.warning("Could not build index for %s", self.filename)
@@ -516,7 +559,7 @@ class BamFile:
         ref_id = self.ref_id.get(chrom)
         if ref_id is None:
             return empty_read_set()
-        if use_native and not store_rg:
+        if use_native and not store_rg and self.coordinate_sorted:
             from ..native import native_fetch
 
             rs = native_fetch(
@@ -530,11 +573,13 @@ class BamFile:
             records = self._iter_raw_records(self.index.chunks_for_region(ref_id, start, end))
         else:
             records = self._iter_all_records()
-        return _parse_records(records, ref_id, start, end, store_rg)
+        return _parse_records(records, ref_id, start, end, store_rg,
+                              sorted_input=self.coordinate_sorted)
 
 
 def _parse_records(
-    records: Iterator[bytes], want_ref: int, start: int, end: int, store_rg: bool
+    records: Iterator[bytes], want_ref: int, start: int, end: int, store_rg: bool,
+    sorted_input: bool = True,
 ) -> ReadSet:
     seqs: List[np.ndarray] = []
     quals: List[np.ndarray] = []
@@ -546,12 +591,13 @@ def _parse_records(
         ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq, next_ref, next_pos, tlen = (
             struct.unpack_from("<iiBBHHHiiii", rec, 0)
         )
-        if ref_id < 0 or ref_id > want_ref or (ref_id == want_ref and pos >= end):
+        if sorted_input and (ref_id < 0 or ref_id > want_ref
+                             or (ref_id == want_ref and pos >= end)):
             # Coordinate-sorted early exit: a later chromosome, the
             # unplaced-unmapped tail, or a start at/after `end` means no
             # later record can overlap the query.
             break
-        if ref_id < want_ref:
+        if ref_id != want_ref:
             continue
         if l_seq == 0:
             continue

@@ -340,14 +340,18 @@ def native_variant_supported(cigar_flat: np.ndarray, cigar_off: np.ndarray,
     n = len(rs_rows)
     out = np.zeros(n, np.uint8)
     if n:
+        # Bind any dtype/contiguity copies to locals: _np_ptr returns a bare
+        # address, so a temporary would be freed before the C call runs.
+        cf = np.ascontiguousarray(cigar_flat, np.uint32)
+        co = np.ascontiguousarray(cigar_off, np.int64)
+        rl = np.ascontiguousarray(win_rlen, np.int32)
+        wp = np.ascontiguousarray(win_pos, np.int64)
+        rr = np.ascontiguousarray(rs_rows, np.int64)
+        wr = np.ascontiguousarray(win_rows, np.int64)
         lib.ptpu_variant_supported(
-            _np_ptr(np.ascontiguousarray(cigar_flat, np.uint32)),
-            _np_ptr(np.ascontiguousarray(cigar_off, np.int64)),
+            _np_ptr(cf), _np_ptr(co),
             _np_ptr(win_seq), win_seq.shape[1],
-            _np_ptr(np.ascontiguousarray(win_rlen, np.int32)),
-            _np_ptr(np.ascontiguousarray(win_pos, np.int64)),
-            _np_ptr(np.ascontiguousarray(rs_rows, np.int64)),
-            _np_ptr(np.ascontiguousarray(win_rows, np.int64)),
+            _np_ptr(rl), _np_ptr(wp), _np_ptr(rr), _np_ptr(wr),
             n, var_pos, added, len(added), n_removed, int(exact), _np_ptr(out),
         )
     return out.astype(bool)
@@ -416,13 +420,17 @@ def native_trim_reads(reads, good_mask: np.ndarray, trim_read_flank: int,
     if n == 0:
         return True
     gm = np.ascontiguousarray(good_mask.astype(np.uint8))
+    # Bind contiguity copies to locals: _np_ptr returns a bare address, so a
+    # temporary would be freed before the C call runs.
+    rl = np.ascontiguousarray(reads.rlen)
+    fl = np.ascontiguousarray(reads.flag)
+    ins = np.ascontiguousarray(reads.insert_size)
+    cf = np.ascontiguousarray(reads.cigar_flat)
+    co = np.ascontiguousarray(reads.cigar_off)
     lib.ptpu_trim_reads(
         ctypes.c_int64(n), ctypes.c_int32(reads.seq.shape[1]), _np_ptr(reads.qual),
-        _np_ptr(np.ascontiguousarray(reads.rlen)),
-        _np_ptr(np.ascontiguousarray(reads.flag)),
-        _np_ptr(np.ascontiguousarray(reads.insert_size)),
-        _np_ptr(np.ascontiguousarray(reads.cigar_flat)),
-        _np_ptr(np.ascontiguousarray(reads.cigar_off)), _np_ptr(gm),
+        _np_ptr(rl), _np_ptr(fl), _np_ptr(ins), _np_ptr(cf), _np_ptr(co),
+        _np_ptr(gm),
         ctypes.c_int32(trim_read_flank), ctypes.c_int32(trim_overlapping),
         ctypes.c_int32(trim_adapter), ctypes.c_int32(trim_soft_clipped),
     )

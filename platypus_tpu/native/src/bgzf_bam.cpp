@@ -587,6 +587,8 @@ int32_t ptpu_bam_index(const char* bam_path, const char* bai_path) {
     };
     std::vector<RefIdx> refs((size_t)n_ref);
     std::vector<uint8_t> rec;
+    int32_t last_ref = -1;
+    int64_t last_pos = -1;
     while (true) {
         int64_t u = bg.virtual_offset();
         if (bg.read(buf, 4) < 4) break;
@@ -601,6 +603,11 @@ int32_t ptpu_bam_index(const char* bam_path, const char* bai_path) {
         memcpy(&ref_id, rec.data() + 0, 4);
         memcpy(&pos, rec.data() + 4, 4);
         if (ref_id < 0 || ref_id >= n_ref || pos < 0) continue;
+        // A BAI is only meaningful for a coordinate-sorted file; refuse to
+        // index disorder (the fetch early-exit would drop reads otherwise).
+        if (ref_id < last_ref || (ref_id == last_ref && pos < last_pos)) return -5;
+        last_ref = ref_id;
+        last_pos = pos;
         uint8_t l_read_name = rec[8];
         uint16_t n_cigar;
         memcpy(&n_cigar, rec.data() + 12, 2);

@@ -95,3 +95,35 @@ def test_unwritable_directory_falls_back_to_tempdir(synth_bam, tmp_path, monkeyp
     rs = bf.fetch("chr20", 29_000, 31_000)
     assert len(rs.pos) > 0
     bf.close()
+
+
+def test_unsorted_bam_is_not_indexed_and_fetch_stays_correct(tmp_path, monkeypatch):
+    """A BAM whose records are NOT coordinate-sorted (even when the header
+    claims SO:coordinate) must refuse indexing — a BAI over disorder plus
+    the sorted-scan early exit would silently drop reads — and fall back to
+    order-agnostic full scans that still return every overlapping read."""
+    from platypus_tpu.io.bam import write_bam
+
+    rng = np.random.default_rng(3)
+    reads = []
+    for i, pos in enumerate([5000, 1200, 9000, 300, 7000, 7000, 50]):
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=50))
+        reads.append(dict(name=f"r{i}", ref_id=0, pos=pos, mapq=60, flag=0,
+                          cigar=[(0, 50)], seq=seq, qual=bytes([30] * 50)))
+    bam = str(tmp_path / "unsorted.bam")
+    write_bam(bam, [("chr20", 20_000)], reads)
+
+    with pytest.raises(ValueError, match="not coordinate-sorted"):
+        build_bai(bam, str(tmp_path / "x.bai"))
+    if native_load() is not None:
+        assert not native_bam_index(bam, str(tmp_path / "y.bai"))
+
+    monkeypatch.setenv("PLATYPUS_TPU_AUTOINDEX", "1")
+    bf = BamFile(bam)
+    assert bf.index is None
+    assert not bf.coordinate_sorted  # build failed -> order-agnostic scans
+    rs = bf.fetch("chr20", 0, 20_000)
+    assert sorted(rs.pos.tolist()) == sorted(r["pos"] for r in reads)
+    rs2 = bf.fetch("chr20", 6000, 8000)
+    assert sorted(rs2.pos.tolist()) == [7000, 7000]
+    bf.close()
