@@ -223,11 +223,10 @@ def prepare_window(
 
     ref_hap = Haplotype(chrom, window.start_pos, window.end_pos, (), ref_file, rt.rlen)
 
-    n_reads_window = sum(
-        b.window_slice(window.start_pos, window.end_pos).stop
-        - b.window_slice(window.start_pos, window.end_pos).start
-        for b in buffers
-    )
+    n_reads_window = 0
+    for b in buffers:
+        sl = b.window_slice(window.start_pos, window.end_pos)
+        n_reads_window += sl.stop - sl.start
     if n_reads_window == 0 and not config.output_ref_calls:
         return None
     if n_reads_window > config.max_reads:
