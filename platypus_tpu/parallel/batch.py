@@ -159,10 +159,13 @@ def dispatch_device_inference(
             if R:
                 onehot[k, prep.reads.sample_idx, np.arange(R)] = 1.0
             hap_mask[k, :H] = True
-            hap_sets = [frozenset(h.variants) for h in prep.all_haps]
-            for vi, v in enumerate(variants):
-                for h in range(H):
-                    var_mask[k, vi, h] = v in hap_sets[h]
+            # Invert the (variant in hap) test: iterate each hap's own
+            # (small) variant set instead of V x H membership probes.
+            vidx = {v: vi for vi, v in enumerate(variants)}
+            for h, hap in enumerate(prep.all_haps):
+                rows = [vidx[v] for v in hap.variants if v in vidx]
+                if rows:
+                    var_mask[k, rows, h] = True
             n_good = np.bincount(prep.reads.sample_idx[prep.reads.is_good],
                                  minlength=I) if R else np.zeros(I, np.int64)
             has_reads[k] = n_good > 0
