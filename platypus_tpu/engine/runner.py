@@ -26,8 +26,6 @@ from ..io.bam import BamFile, open_alignment_file
 from ..io.fasta import FastaFile
 from ..utils.fileio import expand_bam_file_names, open_transparent
 from ..vcfout.writer import VCFWriter
-from .region import call_variants_in_region
-
 logger = logging.getLogger("platypus_tpu")
 
 Region = Tuple[str, int, int]
