@@ -242,3 +242,37 @@ def test_region_boundary_ownership(tmp_path):
     run_single_process(config, [("chr20", 2000, 3000), ("chr20", 3000, 4000)], out)
     recs = [r for r in _parse(out) if int(r[1]) == pos + 1]
     assert len(recs) == 1, f"boundary variant reported {len(recs)} times"
+
+
+def test_inference_thread_parity(tmp_path, monkeypatch):
+    """Forcing the dedicated inference thread (the device-backend pipeline
+    policy) on the CPU backend yields byte-identical output to the inline
+    path — CI has no TPU, so this is the thread path's only exercise."""
+    from platypus_tpu.engine.runner import run_single_process
+
+    ref_path, ref_seq = make_reference(tmp_path, length=9000, seed=71)
+    variants = []
+    for p in (1500, 2500, 4500, 6500, 7500):
+        alt = b"C" if ref_seq[p] != ord("C") else b"T"
+        variants.append((p, 1, alt))
+    reads = simulate_reads(
+        [SimHaplotype(ref_seq, []), SimHaplotype(ref_seq, variants)],
+        1000, 8500, coverage=30, seed=72)
+    bam = write_synth_bam(tmp_path, reads, ref_len=9000)
+    regions = [("chr20", 1000, 3000), ("chr20", 3000, 5000),
+               ("chr20", 5000, 8500)]
+    config = PlatypusConfig(bam_files=[bam], ref_file=ref_path,
+                            regions=["chr20:1001-8500"], buffer_size=2000)
+
+    monkeypatch.setenv("PLATYPUS_TPU_INFER_THREAD", "0")
+    inline_out = str(tmp_path / "inline.vcf")
+    run_single_process(config, regions, inline_out)
+
+    monkeypatch.setenv("PLATYPUS_TPU_INFER_THREAD", "1")
+    threaded_out = str(tmp_path / "threaded.vcf")
+    run_single_process(config, regions, threaded_out)
+
+    inline_data = [l for l in open(inline_out) if not l.startswith("##")]
+    threaded_data = [l for l in open(threaded_out) if not l.startswith("##")]
+    assert len(inline_data) > 5
+    assert threaded_data == inline_data
