@@ -135,8 +135,8 @@ def test_resume_from_partial_vcf(tmp_path):
 
 
 def test_multiprocess_run(tmp_path):
-    """--nCPU=2: spawn workers over round-robined regions, merged output
-    equals the single-process result."""
+    """--nCPU=2: spawn workers draining the shared region queue, merged
+    output equals the single-process result."""
     from platypus_tpu.engine.runner import run_variant_caller
 
     ref_path, ref_seq = make_reference(tmp_path, length=9000, seed=61)
