@@ -127,3 +127,60 @@ def test_unsorted_bam_is_not_indexed_and_fetch_stays_correct(tmp_path, monkeypat
     rs2 = bf.fetch("chr20", 6000, 8000)
     assert sorted(rs2.pos.tolist()) == [7000, 7000]
     bf.close()
+
+
+def test_indexed_fetch_fuzz_matches_full_scan(tmp_path):
+    """Randomised parity: random CIGARs (indels, clips, long deletions,
+    contig-edge reads) and random query spans — the indexed fetch must
+    return exactly the full-scan result (a bin or linear-index bug shows
+    up as silently missing reads)."""
+    from platypus_tpu.io.bam import write_bam
+
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref_len = 400_000
+    reads = []
+    positions = np.sort(rng.integers(0, ref_len - 200, size=1500))
+    for i, pos in enumerate(positions.tolist()):
+        kind = rng.random()
+        L = int(rng.integers(30, 150))
+        if kind < 0.6:
+            cigar = [(0, L)]
+        elif kind < 0.75:
+            a = L // 3
+            cigar = [(0, a), (1, int(rng.integers(1, 6))), (0, L - a)]
+            L = sum(l for op, l in cigar if op in (0, 1))
+        elif kind < 0.9:
+            a = L // 3
+            cigar = [(0, a), (2, int(rng.integers(1, 5000))), (0, L - a)]
+        else:
+            s = int(rng.integers(1, 10))
+            cigar = [(4, s), (0, L - s)]
+        seq = bytes(rng.choice(bases, size=L))
+        reads.append(dict(name=f"r{i}", ref_id=0, pos=int(pos), mapq=50,
+                          flag=0, cigar=cigar, seq=seq,
+                          qual=bytes([30] * L)))
+    bam = str(tmp_path / "fuzz.bam")
+    write_bam(bam, [("chr20", ref_len)], reads)
+
+    os.environ["PLATYPUS_TPU_AUTOINDEX"] = "0"
+    try:
+        scan = BamFile(bam)
+    finally:
+        os.environ["PLATYPUS_TPU_AUTOINDEX"] = "1"
+    indexed = BamFile(bam)
+    assert indexed.index is not None
+
+    for _ in range(40):
+        a = int(rng.integers(0, ref_len))
+        b = a + int(rng.integers(1, 60_000))
+        r_scan = scan.fetch("chr20", a, b, use_native=False)
+        r_idx = indexed.fetch("chr20", a, b, use_native=False)
+        r_nat = indexed.fetch("chr20", a, b)
+        assert np.array_equal(r_scan.pos, r_idx.pos), (a, b)
+        assert np.array_equal(r_scan.pos, r_nat.pos), (a, b)
+        assert np.array_equal(r_scan.end, r_idx.end)
+        assert np.array_equal(r_scan.seq, r_idx.seq)
+        assert np.array_equal(r_scan.seq, r_nat.seq)
+    scan.close()
+    indexed.close()
