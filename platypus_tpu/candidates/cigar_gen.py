@@ -109,8 +109,26 @@ class CandidateGenerator:
                                                   lens[batch])
             # Single-op reads that aren't plain M still walk the scalar path.
             scalar_rows = np.concatenate([scalar_rows, srows[~is_m]])
-        for i in scalar_rows:
-            self._scan_read(read_set, int(i), m_sink)
+        # Indel/clipped reads: the CIGAR walk (flank-gated I/D extraction +
+        # M-segment collection) runs in one C++ call; reads whose deletions
+        # reach outside the reference cache come back for the Python walk
+        # (it has file-backed reference access with the contig-end clamp).
+        walked = None
+        if use_native and len(scalar_rows):
+            walked = native.native_scan_indel_reads(
+                read_set, scalar_rows, self.ref_seq, self.ref_seq_start,
+                self.min_flank, self.gen_snps, self.gen_indels)
+        if walked is not None:
+            cands, (mr, ml, mo, mg), py_rows = walked
+            for pos, removed, added, count in cands:
+                self._add_platypus_candidate(pos, removed, added, count=count)
+            m_sink.extend(zip(mr.tolist(), ml.tolist(), mo.tolist(),
+                              mg.tolist()))
+            for i in py_rows:
+                self._scan_read(read_set, int(i), m_sink)
+        else:
+            for i in scalar_rows:
+                self._scan_read(read_set, int(i), m_sink)
         if use_native and (m_sink or batch_rows is not None):
             if m_sink:
                 sr, sl, so, sg = (np.array(col, np.int64)

@@ -84,6 +84,20 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
     ]
+    lib.ptpu_scan_indel_walk.restype = ctypes.c_void_p
+    lib.ptpu_scan_indel_walk.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int32]
+        + [ctypes.c_void_p] * 2
+        + [ctypes.c_void_p, ctypes.c_int64]
+        + [ctypes.c_void_p] * 2
+        + [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+        + [ctypes.c_int32] * 3
+        + [ctypes.POINTER(ctypes.c_int64)] * 4
+    )
+    lib.ptpu_indel_fill.restype = None
+    lib.ptpu_indel_fill.argtypes = [ctypes.c_void_p] * 12
+    lib.ptpu_indel_free.restype = None
+    lib.ptpu_indel_free.argtypes = [ctypes.c_void_p]
     lib.ptpu_scan_m_segments.restype = ctypes.c_void_p
     lib.ptpu_scan_m_segments.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
@@ -272,6 +286,63 @@ def native_fetch(bam_path: str, bai_path: str, ref_id: int, start: int, end: int
         )
     finally:
         lib.ptpu_batch_free(handle)
+
+
+def native_scan_indel_reads(read_set, rows: np.ndarray, ref_seq: bytes,
+                            ref_start: int, min_flank: int, gen_snps: bool,
+                            gen_indels: bool):
+    """CIGAR walk of indel/clipped reads via C++: returns
+    (candidates [(pos, removed, added, count)], m_segments (4 arrays),
+    python_fallback_rows); None when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(read_set.seq, np.uint8)
+    rows64 = np.ascontiguousarray(rows, np.int64)
+    pos = np.ascontiguousarray(read_set.pos, np.int64)
+    rlen = np.ascontiguousarray(read_set.rlen, np.int32)
+    cf = np.ascontiguousarray(read_set.cigar_flat, np.uint32)
+    co = np.ascontiguousarray(read_set.cigar_off, np.int64)
+    out_n = ctypes.c_int64()
+    out_blob = ctypes.c_int64()
+    out_msegs = ctypes.c_int64()
+    out_py = ctypes.c_int64()
+    handle = lib.ptpu_scan_indel_walk(
+        _np_ptr(seq), seq.shape[1], _np_ptr(cf), _np_ptr(co),
+        _np_ptr(rows64), len(rows64), _np_ptr(pos), _np_ptr(rlen),
+        ref_seq, len(ref_seq), ref_start,
+        min_flank, int(gen_snps), int(gen_indels),
+        ctypes.byref(out_n), ctypes.byref(out_blob),
+        ctypes.byref(out_msegs), ctypes.byref(out_py),
+    )
+    try:
+        n, n_m, n_py = out_n.value, out_msegs.value, out_py.value
+        vpos = np.zeros(n, np.int64)
+        count = np.zeros(n, np.int32)
+        n_rem = np.zeros(n, np.int32)
+        n_add = np.zeros(n, np.int32)
+        blob_off = np.zeros(n + 1, np.int64)
+        blob = ctypes.create_string_buffer(max(1, int(out_blob.value)))
+        mseg_row = np.zeros(n_m, np.int64)
+        mseg_len = np.zeros(n_m, np.int64)
+        mseg_roff = np.zeros(n_m, np.int64)
+        mseg_goff = np.zeros(n_m, np.int64)
+        py_rows = np.zeros(n_py, np.int64)
+        lib.ptpu_indel_fill(handle, _np_ptr(vpos), _np_ptr(count),
+                            _np_ptr(n_rem), _np_ptr(n_add), _np_ptr(blob_off),
+                            blob, _np_ptr(mseg_row), _np_ptr(mseg_len),
+                            _np_ptr(mseg_roff), _np_ptr(mseg_goff),
+                            _np_ptr(py_rows))
+        raw = blob.raw
+        cands = [
+            (p, raw[o : o + nr], raw[o + nr : o + nr + na], c)
+            for p, o, nr, na, c in zip(
+                vpos.tolist(), blob_off[:-1].tolist(), n_rem.tolist(),
+                n_add.tolist(), count.tolist())
+        ]
+        return cands, (mseg_row, mseg_len, mseg_roff, mseg_goff), py_rows
+    finally:
+        lib.ptpu_indel_free(handle)
 
 
 def native_scan_m_segments(read_set, rows: np.ndarray, mlens: np.ndarray,

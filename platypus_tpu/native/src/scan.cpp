@@ -140,6 +140,184 @@ void ptpu_scan_fill(void* handle, int64_t* pos, int32_t* count,
 
 void ptpu_scan_free(void* handle) { delete (ScanResult*)handle; }
 
+// ---------------------------------------------------------------------------
+// Indel-read CIGAR walk (CandidateGenerator._scan_read,
+// variant.pyx:612-717): for each given row, walk the CIGAR emitting
+// flank-gated I/D candidates (deduped like the M scan) and the list of
+// scannable M segments (fed to ptpu_scan_m_segments by the caller).
+// Rows with a deletion outside the reference cache are reported back for
+// the Python walk (it has file-backed reference access with the contig-end
+// clamp); nothing is emitted for such rows, so there is no double count.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct IndelScan {
+    ScanResult cands;
+    std::vector<int64_t> mseg_row, mseg_len, mseg_roff, mseg_goff;
+    std::vector<int64_t> py_rows;
+};
+
+}  // namespace
+
+void* ptpu_scan_indel_walk(
+    const uint8_t* seq, int32_t L,
+    const uint32_t* cigar_flat, const int64_t* cigar_off,
+    const int64_t* rows, int64_t n_rows,
+    const int64_t* pos, const int32_t* rlen,
+    const char* ref, int64_t ref_len, int64_t ref_start,
+    int32_t min_flank, int32_t gen_snps, int32_t gen_indels,
+    int64_t* out_n, int64_t* out_blob, int64_t* out_msegs, int64_t* out_py) {
+    auto* res = new IndelScan();
+    std::unordered_map<std::string, size_t> seen;
+    std::string key;
+    (void)rlen;
+
+    auto emit = [&](int64_t vpos, const char* removed, int32_t n_rem,
+                    const char* added, int32_t n_add) {
+        const int64_t cpos = vpos < 0 ? 0 : vpos;  // Variant clamps
+        key.assign((const char*)&cpos, sizeof(cpos));
+        key.append(removed, n_rem);
+        key.push_back('\xff');
+        key.append(added, n_add);
+        auto it = seen.find(key);
+        if (it != seen.end()) {
+            res->cands.count[it->second] += 1;
+            return;
+        }
+        seen.emplace(key, res->cands.pos.size());
+        res->cands.pos.push_back(cpos);
+        res->cands.count.push_back(1);
+        res->cands.n_removed.push_back(n_rem);
+        res->cands.n_added.push_back(n_add);
+        res->cands.blob_off.push_back((int64_t)res->cands.blob.size());
+        res->cands.blob.append(removed, n_rem);
+        res->cands.blob.append(added, n_add);
+    };
+
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const int64_t r = rows[i];
+        const int64_t c0 = cigar_off[r], c1 = cigar_off[r + 1];
+        const int64_t n_ops = c1 - c0;
+        const uint8_t* srow = seq + r * L;
+        const int64_t read_start = pos[r];
+
+        // Pre-pass: any flank-qualifying deletion outside the reference
+        // cache sends the whole row to the Python walk.
+        bool to_python = false;
+        if (gen_indels) {
+            int64_t roff = 0, goff = 0;
+            for (int64_t ci = 0; ci < n_ops && !to_python; ++ci) {
+                const uint32_t w = cigar_flat[c0 + ci];
+                const uint32_t op = w & 0xF;
+                const int64_t len = w >> 4;
+                if (op == 2) {
+                    const int64_t a = read_start + goff - ref_start;
+                    if (a < 0 || a + len > ref_len) to_python = true;
+                    goff += len;
+                } else if (op == 0 || op == 7 || op == 8) {
+                    roff += len; goff += len;
+                } else if (op == 1) {
+                    roff += len;
+                } else if (op == 3) {
+                    goff += len;
+                } else if (op == 4) {
+                    roff += len;
+                    if (ci == 0) goff += len;
+                }
+            }
+        }
+        if (to_python) {
+            res->py_rows.push_back(r);
+            continue;
+        }
+
+        int64_t read_off = 0, ref_off = 0;
+        for (int64_t ci = 0; ci < n_ops; ++ci) {
+            const uint32_t w = cigar_flat[c0 + ci];
+            const uint32_t op = w & 0xF;
+            const int64_t len = w >> 4;
+            if (op == 1 || op == 2) {  // I / D
+                bool flank_ok = false;
+                if (ci > 0) {
+                    const uint32_t pw = cigar_flat[c0 + ci - 1];
+                    if ((pw & 0xF) == 0 && (int64_t)(pw >> 4) >= min_flank)
+                        flank_ok = true;
+                }
+                if (!flank_ok && ci < n_ops - 1) {
+                    const uint32_t nw = cigar_flat[c0 + ci + 1];
+                    if ((nw & 0xF) == 0 && (int64_t)(nw >> 4) >= min_flank)
+                        flank_ok = true;
+                }
+                if (op == 1) {
+                    if (flank_ok && gen_indels) {
+                        bool has_n = false;
+                        for (int64_t k = 0; k < len; ++k)
+                            if (srow[read_off + k] == 'N') { has_n = true; break; }
+                        if (!has_n)
+                            emit(read_start + ref_off - 1, "", 0,
+                                 (const char*)srow + read_off, (int32_t)len);
+                    }
+                    read_off += len;
+                } else {
+                    if (flank_ok && gen_indels) {
+                        const int64_t a = read_start + ref_off - ref_start;
+                        bool has_n = false;
+                        for (int64_t k = 0; k < len; ++k)
+                            if (ref[a + k] == 'N') { has_n = true; break; }
+                        if (!has_n)
+                            emit(read_start + ref_off - 1, ref + a,
+                                 (int32_t)len, "", 0);
+                    }
+                    ref_off += len;
+                }
+            } else if (op == 0 || op == 7 || op == 8) {  // M / EQ / X
+                if (!(op == 7 || (op == 0 && len < min_flank)) && gen_snps) {
+                    res->mseg_row.push_back(r);
+                    res->mseg_len.push_back(len);
+                    res->mseg_roff.push_back(read_off);
+                    res->mseg_goff.push_back(ref_off);
+                }
+                read_off += len;
+                ref_off += len;
+            } else if (op == 3) {  // N
+                ref_off += len;
+            } else if (op == 4) {  // S: leading soft clip moved pos left
+                read_off += len;
+                if (ci == 0) ref_off += len;
+            }  // H / P: nothing
+        }
+    }
+    res->cands.blob_off.push_back((int64_t)res->cands.blob.size());
+    *out_n = (int64_t)res->cands.pos.size();
+    *out_blob = (int64_t)res->cands.blob.size();
+    *out_msegs = (int64_t)res->mseg_row.size();
+    *out_py = (int64_t)res->py_rows.size();
+    return res;
+}
+
+void ptpu_indel_fill(void* handle, int64_t* pos, int32_t* count,
+                     int32_t* n_removed, int32_t* n_added, int64_t* blob_off,
+                     char* blob, int64_t* mseg_row, int64_t* mseg_len,
+                     int64_t* mseg_roff, int64_t* mseg_goff,
+                     int64_t* py_rows) {
+    auto* res = (IndelScan*)handle;
+    const ScanResult& c = res->cands;
+    std::memcpy(pos, c.pos.data(), c.pos.size() * sizeof(int64_t));
+    std::memcpy(count, c.count.data(), c.count.size() * sizeof(int32_t));
+    std::memcpy(n_removed, c.n_removed.data(), c.n_removed.size() * sizeof(int32_t));
+    std::memcpy(n_added, c.n_added.data(), c.n_added.size() * sizeof(int32_t));
+    std::memcpy(blob_off, c.blob_off.data(), c.blob_off.size() * sizeof(int64_t));
+    std::memcpy(blob, c.blob.data(), c.blob.size());
+    std::memcpy(mseg_row, res->mseg_row.data(), res->mseg_row.size() * 8);
+    std::memcpy(mseg_len, res->mseg_len.data(), res->mseg_len.size() * 8);
+    std::memcpy(mseg_roff, res->mseg_roff.data(), res->mseg_roff.size() * 8);
+    std::memcpy(mseg_goff, res->mseg_goff.data(), res->mseg_goff.size() * 8);
+    std::memcpy(py_rows, res->py_rows.data(), res->py_rows.size() * 8);
+}
+
+void ptpu_indel_free(void* handle) { delete (IndelScan*)handle; }
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -159,3 +159,42 @@ def test_indel_read_m_segments_match_scalar(tmp_path):
             for v in gen_scalar.get_candidates()}
     assert got == want
     assert any(len(r) != len(a) for _, r, a in got)  # indels found
+
+
+def test_indel_walk_out_of_cache_deletion_falls_back(tmp_path):
+    """A deletion reaching past the reference cache sends the whole read to
+    the Python walk (file-backed access with the contig-end clamp) — the
+    native walk must emit nothing for it, so there is no double count."""
+    from platypus_tpu.io.bam import write_bam, BamFile
+    from platypus_tpu.native import load as native_load, native_scan_indel_reads
+
+    if native_load() is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seq = bytes(rng.choice(bases, size=40))
+    reads = [
+        # 20M 300D 20M: deletion fits in the 500-byte cache below.
+        dict(name="ok", ref_id=0, pos=100, mapq=60, flag=0,
+             cigar=[(0, 20), (2, 300), (0, 20)], seq=seq,
+             qual=bytes([30] * 40)),
+        # 20M 600D 20M: deletion reaches past the cache end.
+        dict(name="far", ref_id=0, pos=100, mapq=60, flag=0,
+             cigar=[(0, 20), (2, 600), (0, 20)], seq=seq,
+             qual=bytes([30] * 40)),
+    ]
+    bam = str(tmp_path / "d.bam")
+    write_bam(bam, [("chr20", 100_000)], reads)
+    rs = BamFile(bam).fetch("chr20", 0, 100_000)
+
+    ref_cache = bytes(rng.choice(bases, size=500))  # covers [0, 500)
+    cands, msegs, py_rows = native_scan_indel_reads(
+        rs, np.arange(2), ref_cache, 0, 10, True, True)
+    # The in-cache deletion is emitted; the far one defers to Python.
+    assert any(len(rem) == 300 and add == b"" for _, rem, add, _ in cands)
+    assert not any(len(rem) == 600 for _, rem, add, _ in cands)
+    assert list(py_rows) == [1]
+    # The deferred row contributed no M segments either.
+    assert set(msegs[0].tolist()) == {0}
