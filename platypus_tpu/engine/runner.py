@@ -182,15 +182,15 @@ def run_single_process(
 
     from concurrent.futures import Future, ThreadPoolExecutor
 
-    # The thread only pays off when begin/finish are await-dominated (a real
-    # device: the block releases the GIL and prepare overlaps it).  On the
-    # XLA:CPU backend those stages are host compute, and a second Python
-    # thread just adds GIL contention (~8% measured) — run them inline.
-    import jax
-
-    use_thread = os.environ.get("PLATYPUS_TPU_INFER_THREAD", "auto")
-    if use_thread == "auto":
-        use_thread = "1" if jax.default_backend() != "cpu" else "0"
+    # Optional: run begin/finish on a dedicated thread so their device
+    # awaits overlap the next region's host prep.  Interleaved A/B on the
+    # tunneled TPU measured the INLINE path consistently ~10% faster —
+    # JAX's async dispatch already keeps the device busy, the remaining
+    # blocking awaits are short, and the finish stage's host Python on a
+    # second thread steals the GIL from prepare — so inline is the default
+    # on every backend; PLATYPUS_TPU_INFER_THREAD=1 opts in (covered by a
+    # byte-parity test either way).
+    use_thread = os.environ.get("PLATYPUS_TPU_INFER_THREAD", "0")
     executor = (ThreadPoolExecutor(max_workers=1, thread_name_prefix="ptpu-infer")
                 if use_thread == "1" else None)
     stage_future = None  # in-flight (begin k-1, finish k-2) stage task
