@@ -138,6 +138,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not argv:
         print("usage: platypus-tpu {callVariants,continueCalling,somatic,denovo} [options]")
         return 2
+    if argv[0] in ("--version", "-V", "version"):
+        from . import __version__
+
+        print(f"platypus-tpu {__version__}")
+        return 0
     command, rest = argv[0], argv[1:]
     if command == "callVariants":
         config = build_config(rest)
