@@ -91,8 +91,7 @@ class CandidateGenerator:
         scalar_rows = idx[~single]
         use_native = native.load() is not None
         # M segments accumulate (row, length, read_off, ref_off) and scan in
-        # ONE native call per pile; indels stay in the Python CIGAR walk.
-        m_sink: List[tuple] = [] if use_native else None
+        # ONE native call per pile.
         batch_rows = batch_lens = None
         if single.any():
             words = read_set.cigar_flat[c_lo[single]].astype(np.int64)
@@ -119,22 +118,37 @@ class CandidateGenerator:
                 read_set, scalar_rows, self.ref_seq, self.ref_seq_start,
                 self.min_flank, self.gen_snps, self.gen_indels)
         if walked is not None:
-            cands, (mr, ml, mo, mg), py_rows = walked
+            cands, (sr, sl, so, sg), py_rows = walked
             for pos, removed, added, count in cands:
                 self._add_platypus_candidate(pos, removed, added, count=count)
-            m_sink.extend(zip(mr.tolist(), ml.tolist(), mo.tolist(),
-                              mg.tolist()))
-            for i in py_rows:
-                self._scan_read(read_set, int(i), m_sink)
-        else:
+            if len(py_rows):
+                # Rare cache-miss fallback rows: collect their segments
+                # separately and append (arrays stay arrays for the common
+                # case instead of round-tripping through Python tuples).
+                py_sink: List[tuple] = []
+                for i in py_rows:
+                    self._scan_read(read_set, int(i), py_sink)
+                if py_sink:
+                    pr_, pl_, po_, pg_ = (np.array(col, np.int64)
+                                          for col in zip(*py_sink))
+                    sr = np.concatenate([sr, pr_])
+                    sl = np.concatenate([sl, pl_])
+                    so = np.concatenate([so, po_])
+                    sg = np.concatenate([sg, pg_])
+        elif use_native:
+            m_sink: List[tuple] = []
             for i in scalar_rows:
                 self._scan_read(read_set, int(i), m_sink)
-        if use_native and (m_sink or batch_rows is not None):
             if m_sink:
                 sr, sl, so, sg = (np.array(col, np.int64)
                                   for col in zip(*m_sink))
             else:
                 sr = sl = so = sg = np.zeros(0, np.int64)
+        else:
+            for i in scalar_rows:
+                self._scan_read(read_set, int(i), None)
+            sr = None
+        if use_native and (sr is not None and (len(sr) or batch_rows is not None)):
             if batch_rows is not None:
                 z = np.zeros(len(batch_rows), np.int64)
                 sr = np.concatenate([batch_rows.astype(np.int64), sr])

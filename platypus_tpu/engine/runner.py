@@ -162,13 +162,12 @@ def run_single_process(
     # in flight for a whole iteration — is gathered and written.  Output
     # stays in region order because writes only happen in _finish.
     #
-    # begin/finish run on ONE dedicated inference thread so their device
-    # awaits (which release the GIL) overlap the next region's host prep on
-    # the main thread — on a tunneled device the awaits are the dominant
-    # non-overlapped cost.  A single worker keeps begin/finish strictly in
-    # region order; the writer and the finish-side reference reads are only
-    # touched from that thread while the loop runs (FastaFile reads are
-    # lock-protected, its region cache swap is atomic).
+    # begin/finish run inline by default (JAX async dispatch keeps the
+    # device busy; interleaved A/B measured inline ~10% faster than a
+    # dedicated thread — see the policy comment below).  With
+    # PLATYPUS_TPU_INFER_THREAD=1 they instead run on one worker thread,
+    # which keeps begin/finish strictly in region order; FastaFile reads
+    # are lock-protected and its region cache swap is atomic for that mode.
     aligning = None   # (chrom, start, end, PreparedRegion): alignments in flight
 
     def _begin(entry):

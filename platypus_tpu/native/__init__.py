@@ -42,7 +42,29 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         build()
     if not os.path.exists(_LIB_PATH):
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        _lib = _load_and_bind(_LIB_PATH)
+    except (OSError, AttributeError):
+        # A stale prebuilt library (e.g. missing newly added symbols) must
+        # degrade gracefully: rebuild once, else fall back to the Python
+        # implementations instead of raising mid-run.
+        _lib = None
+        if auto_build and build():
+            try:
+                _lib = _load_and_bind(_LIB_PATH)
+            except (OSError, AttributeError):
+                _lib = None
+        if _lib is None:
+            import logging
+
+            logging.getLogger("platypus_tpu").warning(
+                "Native library %s is unloadable or stale and could not be "
+                "rebuilt; using the pure-Python fallbacks", _LIB_PATH)
+    return _lib
+
+
+def _load_and_bind(path: str) -> ctypes.CDLL:
+    lib = ctypes.CDLL(path)
 
     lib.ptpu_bam_fetch.restype = ctypes.c_void_p
     lib.ptpu_bam_fetch.argtypes = [
@@ -128,7 +150,6 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         + [ctypes.c_int32] * 5
         + [ctypes.c_void_p] * 6
     )
-    _lib = lib
     return lib
 
 

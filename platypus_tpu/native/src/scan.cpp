@@ -202,11 +202,12 @@ void* ptpu_scan_indel_walk(
         const uint8_t* srow = seq + r * L;
         const int64_t read_start = pos[r];
 
-        // Pre-pass: any flank-qualifying deletion outside the reference
-        // cache sends the whole row to the Python walk.
+        // Pre-pass: ANY deletion outside the reference cache (flank-gated
+        // or not — deliberately conservative) sends the whole row to the
+        // Python walk before anything is emitted.
         bool to_python = false;
         if (gen_indels) {
-            int64_t roff = 0, goff = 0;
+            int64_t goff = 0;
             for (int64_t ci = 0; ci < n_ops && !to_python; ++ci) {
                 const uint32_t w = cigar_flat[c0 + ci];
                 const uint32_t op = w & 0xF;
@@ -215,15 +216,10 @@ void* ptpu_scan_indel_walk(
                     const int64_t a = read_start + goff - ref_start;
                     if (a < 0 || a + len > ref_len) to_python = true;
                     goff += len;
-                } else if (op == 0 || op == 7 || op == 8) {
-                    roff += len; goff += len;
-                } else if (op == 1) {
-                    roff += len;
-                } else if (op == 3) {
+                } else if (op == 0 || op == 7 || op == 8 || op == 3) {
                     goff += len;
-                } else if (op == 4) {
-                    roff += len;
-                    if (ci == 0) goff += len;
+                } else if (op == 4 && ci == 0) {
+                    goff += len;
                 }
             }
         }

@@ -129,7 +129,7 @@ def test_unsorted_bam_is_not_indexed_and_fetch_stays_correct(tmp_path, monkeypat
     bf.close()
 
 
-def test_indexed_fetch_fuzz_matches_full_scan(tmp_path):
+def test_indexed_fetch_fuzz_matches_full_scan(tmp_path, monkeypatch):
     """Randomised parity: random CIGARs (indels, clips, long deletions,
     contig-edge reads) and random query spans — the indexed fetch must
     return exactly the full-scan result (a bin or linear-index bug shows
@@ -163,11 +163,9 @@ def test_indexed_fetch_fuzz_matches_full_scan(tmp_path):
     bam = str(tmp_path / "fuzz.bam")
     write_bam(bam, [("chr20", ref_len)], reads)
 
-    os.environ["PLATYPUS_TPU_AUTOINDEX"] = "0"
-    try:
-        scan = BamFile(bam)
-    finally:
-        os.environ["PLATYPUS_TPU_AUTOINDEX"] = "1"
+    monkeypatch.setenv("PLATYPUS_TPU_AUTOINDEX", "0")
+    scan = BamFile(bam)
+    monkeypatch.setenv("PLATYPUS_TPU_AUTOINDEX", "1")
     indexed = BamFile(bam)
     assert indexed.index is not None
 

@@ -289,25 +289,3 @@ def test_cram_end_to_end_calls_match_bam(synth_pair):
             return [l for l in fh if not l.startswith("#")]
 
     assert data_lines(out_b) == data_lines(out_c)
-
-
-def test_cram_end_to_end_calling_matches_bam(synth_pair):
-    """Full caller parity: callVariants on the .cram produces the same data
-    lines as on the .bam (the reference opens either transparently through
-    htslib, htslibWrapper.pyx:143-173)."""
-    from platypus_tpu.config import PlatypusConfig
-    from platypus_tpu.engine.runner import get_regions, run_single_process
-
-    outs = {}
-    for key in ("bam", "cram"):
-        cfg = PlatypusConfig(bam_files=[synth_pair[key]],
-                             ref_file=synth_pair["ref"],
-                             regions=["chr20:500-5500"])
-        out = os.path.join(str(synth_pair["tmp"]), f"out_{key}.vcf")
-        run_single_process(cfg, get_regions(cfg), out)
-        outs[key] = [l for l in open(out)
-                     if not l.startswith("##platypusOptions")
-                     and not l.startswith("##source")]
-    data = [l for l in outs["bam"] if not l.startswith("#")]
-    assert len(data) >= 3  # the SNP, insertion and deletion all called
-    assert outs["cram"] == outs["bam"]
