@@ -25,7 +25,8 @@ import numpy as np
 
 
 def build_dataset(workdir: str, length: int, coverage: int = 30, seed: int = 7):
-    from synth import SimHaplotype, make_reference, simulate_reads, write_synth_bam
+    from synth import (SimHaplotype, make_reference, simulate_reads,
+                       simulate_reads_bulk, write_bam_bulk, write_synth_bam)
 
     os.makedirs(workdir, exist_ok=True)
     bam = os.path.join(workdir, "reads.bam")
@@ -47,11 +48,23 @@ def build_dataset(workdir: str, length: int, coverage: int = 30, seed: int = 7):
         else:
             variants.append((pos, int(rng.integers(1, 8)), b""))
     hap = SimHaplotype(ref_seq, variants)
-    reads = simulate_reads([hap, SimHaplotype(ref_seq, [])], 1000, length + 1000,
-                           coverage=coverage, error_rate=0.003, seed=seed + 2,
-                           fast_errors=True)
-    write_synth_bam(workdir, reads, ref_len=length + 4000)
-    info = dict(bam=bam, ref=ref_path, length=length, n_reads=len(reads))
+    if length > 10_000_000:
+        # The per-read Python generator runs ~60-200us/read; beyond ~10 Mb
+        # the vectorised bulk path (same content model, different RNG
+        # stream) keeps dataset builds to minutes.
+        pos_a, seq_a, special = simulate_reads_bulk(
+            [hap, SimHaplotype(ref_seq, [])], 1000, length + 1000,
+            coverage=coverage, error_rate=0.003, seed=seed + 2)
+        write_bam_bulk(bam, [("chr20", length + 4000)], pos_a, seq_a, special)
+        n_reads = len(pos_a)
+    else:
+        reads = simulate_reads([hap, SimHaplotype(ref_seq, [])], 1000,
+                               length + 1000, coverage=coverage,
+                               error_rate=0.003, seed=seed + 2,
+                               fast_errors=True)
+        write_synth_bam(workdir, reads, ref_len=length + 4000)
+        n_reads = len(reads)
+    info = dict(bam=bam, ref=ref_path, length=length, n_reads=n_reads)
     json.dump(info, open(meta, "w"))
     return info
 
