@@ -182,3 +182,43 @@ def test_indexed_fetch_fuzz_matches_full_scan(tmp_path, monkeypatch):
         assert np.array_equal(r_scan.seq, r_nat.seq)
     scan.close()
     indexed.close()
+
+
+def test_multi_chromosome_index_and_fetch(tmp_path, monkeypatch):
+    """Two-contig BAM: the built BAI keeps per-reference bins/linear
+    sections separate, fetches stay per-chromosome, and the sorted-scan
+    early exit doesn't leak across contigs."""
+    from platypus_tpu.io.bam import write_bam
+
+    rng = np.random.default_rng(17)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    reads = []
+    k = 0
+    for ref_id, positions in ((0, [100, 5000, 30_000]),
+                              (1, [50, 200, 40_000, 40_050])):
+        for pos in positions:
+            seq = bytes(rng.choice(bases, size=60))
+            reads.append(dict(name=f"r{k}", ref_id=ref_id, pos=pos, mapq=60,
+                              flag=0, cigar=[(0, 60)], seq=seq,
+                              qual=bytes([30] * 60)))
+            k += 1
+    bam = str(tmp_path / "two.bam")
+    write_bam(bam, [("chrA", 50_000), ("chrB", 50_000)], reads)
+
+    monkeypatch.setenv("PLATYPUS_TPU_AUTOINDEX", "1")
+    bf = BamFile(bam)
+    assert bf.index is not None
+    assert sorted(bf.fetch("chrA", 0, 50_000).pos.tolist()) == [100, 5000, 30_000]
+    assert sorted(bf.fetch("chrB", 0, 50_000).pos.tolist()) == [50, 200, 40_000, 40_050]
+    assert bf.fetch("chrB", 150, 250, use_native=False).pos.tolist() == [200]
+    assert bf.fetch("chrB", 150, 250).pos.tolist() == [200]
+    # Unindexed full scan of the LATER chromosome must skip chrA records
+    # (continue) and stop before the end of file only past the query.
+    monkeypatch.setenv("PLATYPUS_TPU_AUTOINDEX", "0")
+    os.unlink(bam + ".bai")
+    scan = BamFile(bam)
+    assert scan.index is None
+    assert sorted(scan.fetch("chrB", 0, 50_000).pos.tolist()) == [50, 200, 40_000, 40_050]
+    assert scan.fetch("chrA", 4000, 6000).pos.tolist() == [5000]
+    bf.close()
+    scan.close()
