@@ -245,14 +245,18 @@ def simulate_reads_bulk(haps, region_start, region_end, read_len=100,
         all_hap = np.concatenate([all_hap, np.full(len(h), k, np.int64)])
         all_single = np.concatenate([all_single, single])
 
-    # Sequences: one gather per haplotype.
+    # Sequences: gathers per haplotype, chunked — the fancy-index offset
+    # matrix is int64 [chunk, L], so unchunked it would transiently cost
+    # 8*L bytes per read (12 GB at 15M reads).
     n = len(all_h)
     seq = np.empty((n, L), np.uint8)
+    col = np.arange(L)[None, :]
     for k, hap in enumerate(haps):
-        m = all_hap == k
-        if m.any():
-            arr = np.frombuffer(hap.seq, np.uint8)
-            seq[m] = arr[all_h[m][:, None] + np.arange(L)[None, :]]
+        rows = np.nonzero(all_hap == k)[0]
+        arr = np.frombuffer(hap.seq, np.uint8)
+        for lo in range(0, len(rows), 1 << 20):
+            r = rows[lo:lo + (1 << 20)]
+            seq[r] = arr[all_h[r][:, None] + col]
 
     # Multi-M rows: scalar cigar_for (few per cent of reads).
     special = {}
