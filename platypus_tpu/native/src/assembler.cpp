@@ -64,8 +64,27 @@ struct Graph {
 
     void add_edge(const char* k1, const char* k2, int colours, int64_t p1,
                   int64_t p2, double weight) {
-        int32_t a = insert_or_update(k1, colours, p1, weight);
+        int32_t prev = -1;
+        add_edge_chained(prev, k1, k2, colours, p1, p2, weight);
+    }
+
+    // Consecutive k-mers of one sequence share node b(i) == a(i+1): the
+    // caller threads `prev` through and the left endpoint skips its hash
+    // lookup, applying the same colour/weight accumulation directly
+    // (position is only set at node creation, so nothing else differs).
+    void add_edge_chained(int32_t& prev, const char* k1, const char* k2,
+                          int colours, int64_t p1, int64_t p2, double weight) {
+        int32_t a;
+        if (prev >= 0) {
+            Node& pn = nodes[prev];
+            pn.colours |= colours;
+            pn.weight += weight;
+            a = prev;
+        } else {
+            a = insert_or_update(k1, colours, p1, weight);
+        }
         int32_t b = insert_or_update(k2, colours, p2, weight);
+        prev = b;
         Node& n = nodes[a];
         for (int i = 0; i < n.n_edges; i++) {
             if (n.edge_to[i] == b) {
@@ -184,9 +203,10 @@ void ptpu_asm_free(AsmHandle* h) { delete h; }
 void ptpu_asm_load_reference(AsmHandle* h, const char* ref_seq, int64_t len,
                              int64_t ref_start) {
     int k = h->graph.kmer_size;
+    int32_t prev = -1;
     for (int64_t i = 0; i < len - k - 1; i++) {
-        h->graph.add_edge(ref_seq + i, ref_seq + i + 1, REF, ref_start + i,
-                          ref_start + i + 1, 1.0);
+        h->graph.add_edge_chained(prev, ref_seq + i, ref_seq + i + 1, REF,
+                                  ref_start + i, ref_start + i + 1, 1.0);
     }
 }
 
@@ -196,6 +216,7 @@ void ptpu_asm_load_read(AsmHandle* h, const uint8_t* seq, const uint8_t* qual,
     int64_t n = (int64_t)rlen - k - 1;
     if (n <= 0) return;
     // Sliding min quality and N check over windows of k+1 bases.
+    int32_t prev = -1;
     for (int64_t i = 0; i < n; i++) {
         int min_q = 1 << 30;
         bool has_n = false;
@@ -204,8 +225,11 @@ void ptpu_asm_load_read(AsmHandle* h, const uint8_t* seq, const uint8_t* qual,
             if (seq[i + j] == 'N') has_n = true;
         }
         if (min_q >= min_qual && !has_n) {
-            h->graph.add_edge((const char*)seq + i, (const char*)seq + i + 1,
-                              READ, -1, -1, (double)min_q);
+            h->graph.add_edge_chained(prev, (const char*)seq + i,
+                                      (const char*)seq + i + 1,
+                                      READ, -1, -1, (double)min_q);
+        } else {
+            prev = -1;  // window gap: the chain is broken
         }
     }
 }
