@@ -280,15 +280,72 @@ def need_to_assemble(buffers, assem_start: int, assem_end: int,
     return False
 
 
+def _native_region_tiles(chrom: str, tiles, buffers, config: PlatypusConfig,
+                         n_threads: int) -> Optional[List[Variant]]:
+    """One native call for the whole tile loop; None → use the Python path.
+
+    Matches the sequential path exactly: same per-(tile, pile) read-row
+    slices, same per-tile variant discovery order, same per-tile sort."""
+    from ..native import NativeAssembler, native_assemble_region
+
+    if not NativeAssembler.available():
+        return None
+
+    piles = []
+    slice_fns = []
+    for buf in buffers:
+        piles.append(buf.good)
+        slice_fns.append(buf.window_slice)
+        if config.assemble_bad_reads:
+            piles.append(buf.bad)
+            slice_fns.append(buf.bad_window_slice)
+        if config.assemble_broken_pairs:
+            piles.append(buf.broken)
+            slice_fns.append(buf.broken_window_slice)
+    for rs in piles:
+        if rs.seq.ndim != 2 or rs.seq.shape[0] and not rs.seq.flags["C_CONTIGUOUS"]:
+            return None
+
+    n_tiles = len(tiles)
+    slices = np.zeros((n_tiles, len(piles), 2), np.int64)
+    tile_meta = []
+    ref_parts = []
+    off = 0
+    for t, (assem_start, assem_end, ref_start, ref_seq) in enumerate(tiles):
+        for p, fn in enumerate(slice_fns):
+            sl = fn(assem_start, assem_end)
+            slices[t, p, 0] = sl.start
+            slices[t, p, 1] = sl.stop
+        tile_meta.append((assem_start, assem_end, ref_start, off, len(ref_seq)))
+        ref_parts.append(ref_seq)
+        off += len(ref_seq)
+
+    raw = native_assemble_region(
+        tile_meta, piles, config.assembler_kmer_size, config.min_base_qual,
+        float(config.min_reads * config.min_base_qual), config.no_cycles,
+        n_threads, b"".join(ref_parts), slices,
+    )
+    if raw is None:
+        return None
+    out: List[Variant] = []
+    for tile_vars in raw:
+        vs = [Variant(chrom, pos, removed, added, 0, ASSEMBLER_VAR)
+              for pos, removed, added in tile_vars]
+        out.extend(sorted(vs, key=lambda v: v.sort_key()))
+    return out
+
+
 def assemble_region_variants(chrom: str, start: int, end: int, ref_file,
                              buffers, config: PlatypusConfig) -> List[Variant]:
     """Tile loop over a region (variantcaller.pyx:496-519).
 
-    Tiles are independent de Bruijn graphs, so the graph work runs on a
-    small thread pool — the native assembler releases the GIL inside its
-    ctypes calls.  Reference-sequence fetches and the assembly gate stay
-    on the calling thread (the FASTA cache is not thread-safe), and
-    results are concatenated in tile order, so output is deterministic.
+    Tiles are independent de Bruijn graphs.  When the native library is
+    built, the WHOLE tile loop runs in one ctypes call — C++ fans tiles
+    out over its own thread pool with zero per-tile Python glue.  The
+    Python path keeps a small thread pool as fallback.  Reference-sequence
+    fetches and the assembly gate stay on the calling thread (the FASTA
+    cache is not thread-safe), and results are concatenated in tile order,
+    so output is deterministic either way.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -305,6 +362,13 @@ def assemble_region_variants(chrom: str, start: int, end: int, ref_file,
     if not tiles:
         return []
 
+    budget = int(os.environ.get("PLATYPUS_TPU_WORKER_THREADS", "0")) or (os.cpu_count() or 1)
+    n_workers = min(4, len(tiles), budget)
+
+    native_out = _native_region_tiles(chrom, tiles, buffers, config, n_workers)
+    if native_out is not None:
+        return native_out
+
     def run_tile(t):
         assem_start, assem_end, ref_start, ref_seq = t
         return assemble_reads_and_detect_variants(
@@ -312,8 +376,6 @@ def assemble_region_variants(chrom: str, start: int, end: int, ref_file,
         )
 
     out: List[Variant] = []
-    budget = int(os.environ.get("PLATYPUS_TPU_WORKER_THREADS", "0")) or (os.cpu_count() or 1)
-    n_workers = min(4, len(tiles), budget)
     if n_workers <= 1:
         for t in tiles:
             out.extend(run_tile(t))

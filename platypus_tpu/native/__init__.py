@@ -562,7 +562,94 @@ def _setup_asm(lib) -> None:
     lib.ptpu_asm_results.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.ptpu_asm_region.restype = ctypes.c_void_p
+    lib.ptpu_asm_region.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    lib.ptpu_asm_region_packed_size.restype = ctypes.c_int64
+    lib.ptpu_asm_region_packed_size.argtypes = [ctypes.c_void_p]
+    lib.ptpu_asm_region_results.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.ptpu_asm_region_free.argtypes = [ctypes.c_void_p]
     lib._asm_setup = True
+
+
+def native_assemble_region(tiles, piles, kmer_size: int, min_qual: int,
+                           min_weight: float, no_cycles: int, n_threads: int,
+                           region_ref: bytes, slices: np.ndarray):
+    """Run the whole assembly tile loop in one native call.
+
+    tiles: list of (assem_start, assem_end, ref_start_coord, ref_off, ref_len)
+    piles: list of ReadSet-like objects (seq [N,L] u8, qual [N,L] u8,
+           rlen i32-able, qc_fail bool [N])
+    slices: int64 [n_tiles, n_piles, 2] row bounds per (tile, pile)
+    Returns a list of per-tile lists of (pos, removed, added), in tile order
+    (discovery order within a tile), or None when the native lib is absent.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    _setup_asm(lib)
+    n_tiles = len(tiles)
+    n_piles = len(piles)
+    ta = np.asarray([t[0] for t in tiles], np.int64)
+    tb = np.asarray([t[1] for t in tiles], np.int64)
+    trs = np.asarray([t[2] for t in tiles], np.int64)
+    toff = np.asarray([t[3] for t in tiles], np.int64)
+    tlen = np.asarray([t[4] for t in tiles], np.int64)
+    keep = []  # pin array lifetimes across the call
+    seq_ptrs = np.zeros(n_piles, np.uint64)
+    qual_ptrs = np.zeros(n_piles, np.uint64)
+    strides = np.zeros(n_piles, np.int64)
+    rlen_ptrs = np.zeros(n_piles, np.uint64)
+    qc_ptrs = np.zeros(n_piles, np.uint64)
+    for p, rs in enumerate(piles):
+        seq = np.ascontiguousarray(rs.seq)
+        qual = np.ascontiguousarray(rs.qual)
+        rlen = np.ascontiguousarray(rs.rlen, dtype=np.int32)
+        qc = np.ascontiguousarray(rs.qc_fail, dtype=np.uint8)
+        keep.extend((seq, qual, rlen, qc))
+        seq_ptrs[p] = seq.ctypes.data
+        qual_ptrs[p] = qual.ctypes.data
+        strides[p] = seq.shape[1] if seq.ndim == 2 else 0
+        rlen_ptrs[p] = rlen.ctypes.data
+        qc_ptrs[p] = qc.ctypes.data
+    slices = np.ascontiguousarray(slices, dtype=np.int64)
+    counts = np.zeros(n_tiles, np.int64)
+    h = lib.ptpu_asm_region(
+        kmer_size, min_qual, ctypes.c_double(min_weight), no_cycles,
+        n_threads, region_ref, n_tiles,
+        _np_ptr(ta), _np_ptr(tb), _np_ptr(trs), _np_ptr(toff), _np_ptr(tlen),
+        n_piles, _np_ptr(seq_ptrs), _np_ptr(qual_ptrs), _np_ptr(strides),
+        _np_ptr(rlen_ptrs), _np_ptr(qc_ptrs), _np_ptr(slices), _np_ptr(counts),
+    )
+    del keep
+    try:
+        total = int(counts.sum())
+        out = [[] for _ in range(n_tiles)]
+        if total:
+            packed_size = lib.ptpu_asm_region_packed_size(h)
+            pos = np.zeros(total, np.int64)
+            offsets = np.zeros(total + 1, np.int64)
+            packed = ctypes.create_string_buffer(int(packed_size))
+            lib.ptpu_asm_region_results(h, _np_ptr(pos), _np_ptr(offsets), packed)
+            raw = packed.raw
+            i = 0
+            for t in range(n_tiles):
+                for _ in range(int(counts[t])):
+                    blob = raw[offsets[i] : offsets[i + 1]]
+                    removed, added = blob.split(b"\x00")[:2]
+                    out[t].append((int(pos[i]), removed, added))
+                    i += 1
+        return out
+    finally:
+        lib.ptpu_asm_region_free(h)
 
 
 class NativeAssembler:

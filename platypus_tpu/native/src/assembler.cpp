@@ -331,3 +331,146 @@ void ptpu_asm_load_reads(AsmHandle* h, const uint8_t* seq, const uint8_t* qual,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Whole-region assembly: the tile loop of
+// candidates/assembly.py::assemble_region_variants runs here in ONE ctypes
+// call — tile graphs are independent, so tiles fan out over a small native
+// thread pool, and the Python<->C crossing cost drops from ~5 calls/tile to
+// 1 call/region.  Per-tile results are emitted in tile order (discovery
+// order within a tile), matching the sequential path exactly.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+namespace {
+
+struct RegionHandle {
+    std::vector<int64_t> tile_counts;
+    std::vector<int64_t> pos_out;
+    std::vector<int64_t> off_out;
+    std::string packed;
+};
+
+struct PileView {
+    const uint8_t* seq;
+    const uint8_t* qual;
+    int64_t stride;
+    const int32_t* rlen;
+    const uint8_t* qc_fail;
+};
+
+// One tile: build graph (with cycle k-escalation), find bubbles.
+// Mirrors assembly.py::assemble_reads_and_detect_variants.
+std::vector<VariantOut> run_region_tile(
+    int kmer_size, int32_t min_qual, double min_weight, int32_t no_cycles,
+    const char* ref_seq, int64_t ref_len, int64_t ref_start,
+    int64_t assem_start, int64_t assem_end,
+    const std::vector<PileView>& piles, const int64_t* slice_bounds) {
+    int k = kmer_size;
+    for (;;) {
+        AsmHandle h;
+        h.graph.kmer_size = k;
+        ptpu_asm_load_reference(&h, ref_seq, ref_len, ref_start);
+        for (size_t p = 0; p < piles.size(); p++) {
+            const PileView& pv = piles[p];
+            int64_t lo = slice_bounds[2 * p], hi = slice_bounds[2 * p + 1];
+            for (int64_t i = lo; i < hi; i++) {
+                if (pv.qc_fail[i]) continue;
+                ptpu_asm_load_read(&h, pv.seq + i * pv.stride,
+                                   pv.qual + i * pv.stride, pv.rlen[i],
+                                   min_qual);
+            }
+        }
+        if (no_cycles && ptpu_asm_detect_cycles(&h)) {
+            if (k > 50) return {};
+            k += 5;
+            continue;
+        }
+        ptpu_asm_find_bubbles(&h, min_weight, ref_seq, ref_len, ref_start,
+                              assem_start, assem_end);
+        return std::move(h.variants);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// slices layout: [n_tiles][n_piles][2] (start, stop) row bounds per pile.
+// Pointer arrays are passed as uint64 addresses (one per pile).
+RegionHandle* ptpu_asm_region(
+    int32_t kmer_size, int32_t min_qual, double min_weight, int32_t no_cycles,
+    int32_t n_threads, const char* region_ref, int64_t n_tiles,
+    const int64_t* assem_start, const int64_t* assem_end,
+    const int64_t* ref_start_coord, const int64_t* ref_off,
+    const int64_t* ref_len, int64_t n_piles, const uint64_t* seq_ptrs,
+    const uint64_t* qual_ptrs, const int64_t* seq_strides,
+    const uint64_t* rlen_ptrs, const uint64_t* qcfail_ptrs,
+    const int64_t* slices, int64_t* tile_counts_out) {
+    std::vector<PileView> piles((size_t)n_piles);
+    for (int64_t p = 0; p < n_piles; p++) {
+        piles[p] = PileView{
+            (const uint8_t*)(uintptr_t)seq_ptrs[p],
+            (const uint8_t*)(uintptr_t)qual_ptrs[p],
+            seq_strides[p],
+            (const int32_t*)(uintptr_t)rlen_ptrs[p],
+            (const uint8_t*)(uintptr_t)qcfail_ptrs[p],
+        };
+    }
+
+    std::vector<std::vector<VariantOut>> per_tile((size_t)n_tiles);
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            int64_t t = next.fetch_add(1);
+            if (t >= n_tiles) return;
+            per_tile[t] = run_region_tile(
+                kmer_size, min_qual, min_weight, no_cycles,
+                region_ref + ref_off[t], ref_len[t], ref_start_coord[t],
+                assem_start[t], assem_end[t], piles,
+                slices + t * n_piles * 2);
+        }
+    };
+    int nt = std::max(1, std::min<int>(n_threads, (int)n_tiles));
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> threads;
+        threads.reserve(nt);
+        for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+        for (auto& th : threads) th.join();
+    }
+
+    auto* rh = new RegionHandle();
+    rh->off_out.push_back(0);
+    for (int64_t t = 0; t < n_tiles; t++) {
+        tile_counts_out[t] = (int64_t)per_tile[t].size();
+        rh->tile_counts.push_back(tile_counts_out[t]);
+        for (const auto& v : per_tile[t]) {
+            rh->pos_out.push_back(v.pos);
+            rh->packed += v.removed;
+            rh->packed.push_back('\0');
+            rh->packed += v.added;
+            rh->packed.push_back('\0');
+            rh->off_out.push_back((int64_t)rh->packed.size());
+        }
+    }
+    return rh;
+}
+
+int64_t ptpu_asm_region_packed_size(RegionHandle* h) {
+    return (int64_t)h->packed.size();
+}
+
+void ptpu_asm_region_results(RegionHandle* h, int64_t* pos, int64_t* offsets,
+                             char* packed) {
+    memcpy(pos, h->pos_out.data(), h->pos_out.size() * sizeof(int64_t));
+    memcpy(offsets, h->off_out.data(), h->off_out.size() * sizeof(int64_t));
+    memcpy(packed, h->packed.data(), h->packed.size());
+}
+
+void ptpu_asm_region_free(RegionHandle* h) { delete h; }
+
+}  // extern "C"
