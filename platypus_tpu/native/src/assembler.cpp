@@ -12,8 +12,8 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <string>
-#include <unordered_map>
 #include <unordered_set>
 #include <vector>
 
@@ -26,7 +26,7 @@ constexpr int MAX_EDGES = 4;
 constexpr int MAX_PATHS = 20;
 
 struct Node {
-    std::string kmer;
+    const char* kmer;  // points into the owning Graph's arena
     int colours;
     int64_t position;
     double weight;
@@ -36,36 +36,76 @@ struct Node {
     double edge_w[MAX_EDGES];
 };
 
+// Open-addressing node index keyed by raw k-mer bytes.  Sequences are
+// interned into an arena once per load call, so node keys are pointers —
+// no per-insert string allocation, equality is one memcmp, and the table
+// is a flat power-of-two vector with linear probing.
 struct Graph {
     int kmer_size;
-    std::vector<Node> nodes;                      // insertion order
-    std::unordered_map<std::string, int32_t> index;
+    std::vector<Node> nodes;  // insertion order (bubble scan relies on it)
+    std::vector<int32_t> table = std::vector<int32_t>(16384, -1);
+    uint64_t mask = 16383;
+    std::deque<std::string> arena;
 
-    int32_t insert_or_update(const char* kmer, int colours, int64_t position,
-                             double weight) {
-        std::string key(kmer, kmer_size);
-        auto it = index.find(key);
-        if (it == index.end()) {
-            int32_t id = (int32_t)nodes.size();
-            Node n;
-            n.kmer = std::move(key);
-            n.colours = colours;
-            n.position = position;
-            n.weight = weight;
-            nodes.push_back(std::move(n));
-            index.emplace(nodes.back().kmer, id);
-            return id;
-        }
-        Node& n = nodes[it->second];
-        n.colours |= colours;
-        n.weight += weight;
-        return it->second;
+    const char* intern(const char* seq, int64_t len) {
+        arena.emplace_back(seq, seq + len);
+        return arena.back().data();
     }
 
-    void add_edge(const char* k1, const char* k2, int colours, int64_t p1,
-                  int64_t p2, double weight) {
-        int32_t prev = -1;
-        add_edge_chained(prev, k1, k2, colours, p1, p2, weight);
+    uint64_t hash_kmer(const char* p) const {
+        uint64_t h = 1469598103934665603ULL;
+        int i = 0;
+        for (; i + 8 <= kmer_size; i += 8) {
+            uint64_t v;
+            memcpy(&v, p + i, 8);
+            h = (h ^ v) * 1099511628211ULL;
+        }
+        if (i < kmer_size) {
+            uint64_t v = 0;
+            memcpy(&v, p + i, kmer_size - i);
+            h = (h ^ v) * 1099511628211ULL;
+        }
+        h ^= h >> 29;
+        return h;
+    }
+
+    void grow() {
+        size_t cap = table.size() * 2;
+        table.assign(cap, -1);
+        mask = cap - 1;
+        for (int32_t id = 0; id < (int32_t)nodes.size(); id++) {
+            uint64_t h = hash_kmer(nodes[id].kmer) & mask;
+            while (table[h] != -1) h = (h + 1) & mask;
+            table[h] = id;
+        }
+    }
+
+    // `kmer` MUST point into this graph's arena (interned by the caller).
+    int32_t insert_or_update(const char* kmer, int colours, int64_t position,
+                             double weight) {
+        if ((nodes.size() + 1) * 10 >= table.size() * 7) grow();
+        uint64_t h = hash_kmer(kmer) & mask;
+        for (;;) {
+            int32_t id = table[h];
+            if (id == -1) {
+                id = (int32_t)nodes.size();
+                Node n;
+                n.kmer = kmer;
+                n.colours = colours;
+                n.position = position;
+                n.weight = weight;
+                nodes.push_back(n);
+                table[h] = id;
+                return id;
+            }
+            if (memcmp(nodes[id].kmer, kmer, kmer_size) == 0) {
+                Node& n = nodes[id];
+                n.colours |= colours;
+                n.weight += weight;
+                return id;
+            }
+            h = (h + 1) & mask;
+        }
     }
 
     // Consecutive k-mers of one sequence share node b(i) == a(i+1): the
@@ -203,9 +243,11 @@ void ptpu_asm_free(AsmHandle* h) { delete h; }
 void ptpu_asm_load_reference(AsmHandle* h, const char* ref_seq, int64_t len,
                              int64_t ref_start) {
     int k = h->graph.kmer_size;
+    if (len < k + 2) return;
+    const char* base = h->graph.intern(ref_seq, len);
     int32_t prev = -1;
     for (int64_t i = 0; i < len - k - 1; i++) {
-        h->graph.add_edge_chained(prev, ref_seq + i, ref_seq + i + 1, REF,
+        h->graph.add_edge_chained(prev, base + i, base + i + 1, REF,
                                   ref_start + i, ref_start + i + 1, 1.0);
     }
 }
@@ -213,23 +255,47 @@ void ptpu_asm_load_reference(AsmHandle* h, const char* ref_seq, int64_t len,
 void ptpu_asm_load_read(AsmHandle* h, const uint8_t* seq, const uint8_t* qual,
                         int32_t rlen, int32_t min_qual) {
     int k = h->graph.kmer_size;
+    int w = k + 1;  // window [i, i+k] gates the edge's two k-mers
     int64_t n = (int64_t)rlen - k - 1;
     if (n <= 0) return;
-    // Sliding min quality and N check over windows of k+1 bases.
-    int32_t prev = -1;
-    for (int64_t i = 0; i < n; i++) {
-        int min_q = 1 << 30;
-        bool has_n = false;
-        for (int j = 0; j <= k; j++) {
-            min_q = std::min(min_q, (int)qual[i + j]);
-            if (seq[i + j] == 'N') has_n = true;
+    int64_t m = n + k;  // qual indices touched by any window
+
+    // Sliding-window minimum via per-block suffix mins + running prefix min
+    // (O(1) per position instead of O(k)).
+    thread_local std::vector<uint8_t> sufmin;
+    sufmin.resize((size_t)m);
+    for (int64_t bstart = 0; bstart < m; bstart += w) {
+        int64_t bend = std::min<int64_t>(bstart + w, m);
+        uint8_t mn = qual[bend - 1];
+        sufmin[bend - 1] = mn;
+        for (int64_t j = bend - 2; j >= bstart; j--) {
+            mn = std::min(mn, qual[j]);
+            sufmin[j] = mn;
         }
-        if (min_q >= min_qual && !has_n) {
-            h->graph.add_edge_chained(prev, (const char*)seq + i,
-                                      (const char*)seq + i + 1,
-                                      READ, -1, -1, (double)min_q);
+    }
+
+    const bool any_n = memchr(seq, 'N', (size_t)m) != nullptr;
+    int ncnt = 0;
+    if (any_n) {
+        for (int j = 0; j <= k; j++) ncnt += (seq[j] == 'N');
+    }
+
+    const char* base = h->graph.intern((const char*)seq, (int64_t)rlen);
+    int32_t prev = -1;
+    uint8_t pre = 255;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t r = i + k;
+        pre = (r % w == 0) ? qual[r] : std::min(pre, qual[r]);
+        int min_q = std::min(sufmin[i], pre);
+        if (min_q >= min_qual && ncnt == 0) {
+            h->graph.add_edge_chained(prev, base + i, base + i + 1, READ, -1,
+                                      -1, (double)min_q);
         } else {
             prev = -1;  // window gap: the chain is broken
+        }
+        if (any_n && i + 1 < n) {
+            ncnt -= (seq[i] == 'N');
+            ncnt += (seq[i + w] == 'N');
         }
     }
 }
