@@ -172,3 +172,62 @@ def test_native_assembler_matches_python(tmp_path):
         (v.ref_pos, v.removed, v.added) for v in nat
     ]
     assert py, "expected assembler variants"
+
+
+def test_native_region_path_matches_python_fuzz(tmp_path):
+    """The one-call native region tile loop (C++ thread pool) matches the
+    sequential Python per-tile path across randomized configs: noisy reads,
+    N bases, low-qual gates, bad-read piles, and no_cycles k-escalation."""
+    from platypus_tpu import native
+    from platypus_tpu.candidates import assembly as A
+    from platypus_tpu.io.bam import BamFile
+    from platypus_tpu.io.fasta import FastaFile
+
+    if not native.NativeAssembler.available():
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(77)
+    ref_path, ref_seq = make_reference(tmp_path, length=6000, seed=55)
+    raw = ref_seq.tobytes()
+    # Two haplotype edits + a tandem duplication (cycle bait for small k).
+    mutated = (raw[:2000] + b"TCGATCGATCGATCGA" * 3 + raw[2000:3500]
+               + raw[3490:3500] + raw[3500:])
+
+    reads = []
+    for i in range(300):
+        start = int(rng.integers(1500, 4500))
+        seq = bytearray(mutated[start : start + 120])
+        if len(seq) < 120:
+            continue
+        qual = rng.integers(8, 40, size=120).tolist()
+        # sequencing errors + occasional Ns
+        for _ in range(int(rng.integers(0, 4))):
+            seq[int(rng.integers(0, 120))] = ord(rng.choice(list("ACGTN")))
+        reads.append(dict(name=f"r{i}", ref_id=0, pos=start, mapq=60, flag=0,
+                          cigar=[(0, 120)], seq=bytes(seq), qual=qual))
+    reads.sort(key=lambda r: r["pos"])
+    bam_path = write_synth_bam(tmp_path, reads, ref_len=6000)
+
+    with BamFile(bam_path) as bf:
+        stream = bf.fetch("chr20", 1000, 5000)
+    buf = build_sample_buffer("s", stream, QCOptions(
+        filter_read_pairs_with_small_inserts=0, filter_reads_with_distant_mates=0,
+        filter_reads_with_unmapped_mates=0))
+
+    orig = A._native_region_tiles
+    any_found = False
+    for no_cycles, bad_reads, min_bq in [(0, 1, 20), (1, 1, 20), (0, 0, 12), (1, 0, 30)]:
+        config = PlatypusConfig(assemble=1, assemble_all=1, no_cycles=no_cycles,
+                                assemble_bad_reads=bad_reads, min_base_qual=min_bq)
+        with FastaFile(ref_path) as ref_file:
+            nat = A.assemble_region_variants("chr20", 1000, 5000, ref_file, [buf], config)
+            try:
+                A._native_region_tiles = lambda *a, **k: None
+                py = A.assemble_region_variants("chr20", 1000, 5000, ref_file, [buf], config)
+            finally:
+                A._native_region_tiles = orig
+        key = lambda v: (v.ref_pos, v.removed, v.added)
+        assert [key(v) for v in nat] == [key(v) for v in py], (
+            f"mismatch at no_cycles={no_cycles} bad={bad_reads} minbq={min_bq}")
+        any_found = any_found or bool(nat)
+    assert any_found, "expected assembler variants in at least one config"
