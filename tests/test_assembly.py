@@ -199,7 +199,12 @@ def test_native_region_path_matches_python_fuzz(tmp_path):
         seq = bytearray(mutated[start : start + 120])
         if len(seq) < 120:
             continue
-        qual = rng.integers(8, 40, size=120).tolist()
+        # mostly high quality with sparse low-qual dips (so the per-window
+        # min-qual gate passes most k-mers but breaks chains at dips)
+        qual = np.full(120, 35, np.int64)
+        dips = rng.integers(0, 120, size=int(rng.integers(0, 5)))
+        qual[dips] = 12
+        qual = qual.tolist()
         # sequencing errors + occasional Ns
         for _ in range(int(rng.integers(0, 4))):
             seq[int(rng.integers(0, 120))] = ord(rng.choice(list("ACGTN")))
