@@ -299,16 +299,17 @@ def finish_window(
         gof[:] = (-10.0 * inference.gof_sum / nz[:, None]).T
         gof[:, n_reads == 0] = 0.0
     else:
-        gl_by_ind = np.zeros((I, G))
+        # One pass over all samples' reads (sample_idx is sorted by
+        # construction in gather_window_reads); bit-identical to the
+        # per-sample genotype_log_likelihoods calls.
+        bounds = np.searchsorted(reads.sample_idx, np.arange(I + 1))
+        gl_seg, gof_seg = lk.genotype_log_likelihoods_segments(
+            loglik, hap1_idx, hap2_idx, bounds)
+        has_reads = n_reads > 0
+        gl_by_ind = np.where(has_reads[:, None], gl_seg, 0.0)
         gof = np.zeros((G, I))
-        for i in range(I):
-            if n_reads[i] == 0:
-                gl_by_ind[i] = 0.0  # rescales to 1.0 below
-                continue
-            all_rows = np.nonzero(reads.sample_idx == i)[0]
-            gl, gof_sum = lk.genotype_log_likelihoods(loglik[:, all_rows], hap1_idx, hap2_idx)
-            gl_by_ind[i] = gl
-            gof[:, i] = -10.0 * gof_sum / n_reads[i]
+        gof[:, has_reads] = (
+            -10.0 * gof_seg[has_reads] / n_reads[has_reads, None]).T
 
         likelihoods = lk.rescale_likelihoods(gl_by_ind, n_reads)
         frequencies, em_lik, _iters = lk.em_haplotype_frequencies(

@@ -83,6 +83,47 @@ def genotype_log_likelihoods(
     return gl, gof_sum
 
 
+def genotype_log_likelihoods_segments(
+    loglik: np.ndarray,        # [H, R] per-(hap, read) ln-likelihood, reads
+                               # ordered by sample (contiguous segments)
+    hap1_idx: np.ndarray,      # [G]
+    hap2_idx: np.ndarray,      # [G]
+    bounds: np.ndarray,        # [I+1] segment bounds into the read axis
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-sample genotype GLs in one pass.
+
+    The per-read mixture term of `genotype_log_likelihoods` depends only on
+    the read column, so it is computed ONCE over all samples' reads; each
+    sample then sums its contiguous column range.  Bit-identical to calling
+    `genotype_log_likelihoods` per sample (same elementwise values, same
+    pairwise summation over the same column order).
+
+    Returns (gl [I, G], gof_sum [I, G])."""
+    l1 = loglik[hap1_idx]      # [G, R]
+    l2 = loglik[hap2_idx]
+    same = (hap1_idx == hap2_idx)[:, None]
+    diff = np.abs(l1 - l2)
+    mx = np.maximum(l1, l2)
+    with np.errstate(over="ignore"):
+        exact = np.log(0.5 * (np.exp(l1) + np.exp(l2)))
+    per_read = np.where(
+        same,
+        l1,
+        np.where(diff >= 3.0, LOG_HALF + mx, np.where(diff <= 1e-3, l1, exact)),
+    )
+    log10_mx = LOG10E * mx
+    I = len(bounds) - 1
+    G = len(hap1_idx)
+    gl = np.zeros((I, G))
+    gof_sum = np.zeros((I, G))
+    for i in range(I):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if hi > lo:
+            gl[i] = per_read[:, lo:hi].sum(axis=1)
+            gof_sum[i] = log10_mx[:, lo:hi].sum(axis=1)
+    return gl, gof_sum
+
+
 def rescale_likelihoods(gl_by_ind: np.ndarray, n_reads: np.ndarray) -> np.ndarray:
     """[I, G] log-likelihoods -> relative likelihoods exp(ll-max) clipped at
     1e-300; individuals with no reads get all-1 (cpopulation.pyx:290-309)."""
