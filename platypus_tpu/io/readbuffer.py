@@ -276,21 +276,39 @@ class SampleReadBuffer:
         self._longest_broken = (
             int((self.broken.end - self.broken.pos).max()) if len(self.broken) else 0
         )
+        self._slice_cache: Dict[tuple, slice] = {}
 
     # -- slicing -----------------------------------------------------------
+    # Each window's slice is requested several times per pile (count gate,
+    # read gather, assembly tiles), so results are memoized; the pos/end
+    # arrays are immutable after buffer construction.
     def window_slice(self, start: int, end: int) -> slice:
-        return _window_slice(self.good, self._longest_good, start, end)
+        key = ("g", start, end)
+        s = self._slice_cache.get(key)
+        if s is None:
+            s = _window_slice(self.good, self._longest_good, start, end)
+            self._slice_cache[key] = s
+        return s
 
     def bad_window_slice(self, start: int, end: int) -> slice:
-        return _window_slice(self.bad, self._longest_bad, start, end)
+        key = ("b", start, end)
+        s = self._slice_cache.get(key)
+        if s is None:
+            s = _window_slice(self.bad, self._longest_bad, start, end)
+            self._slice_cache[key] = s
+        return s
 
     def broken_window_slice(self, start: int, end: int) -> slice:
         if len(self.broken) == 0:
             return slice(0, 0)
-        first = max(1, start - self._longest_broken)
-        lo = int(np.searchsorted(self.broken.mate_pos, first, side="left"))
-        hi = int(np.searchsorted(self.broken.mate_pos, end, side="left"))
-        return slice(lo, max(lo, hi))
+        key = ("k", start, end)
+        s = self._slice_cache.get(key)
+        if s is None:
+            first = max(1, start - self._longest_broken)
+            lo, hi = np.searchsorted(self.broken.mate_pos, (first, end), side="left")
+            s = slice(int(lo), max(int(lo), int(hi)))
+            self._slice_cache[key] = s
+        return s
 
     def count_reads_covering_region(self, start: int, end: int) -> int:
         s = self.window_slice(start, end)
@@ -350,8 +368,8 @@ def _window_slice(rs: ReadSet, longest: int, start: int, end: int) -> slice:
     if len(rs) == 0:
         return slice(0, 0)
     first = max(1, start - longest)
-    lo = int(np.searchsorted(rs.pos, first, side="left"))
-    hi = int(np.searchsorted(rs.pos, end, side="left"))
+    lo, hi = np.searchsorted(rs.pos, (first, end), side="left")
+    lo, hi = int(lo), int(hi)
     while lo < len(rs) and rs.end[lo] <= start:
         lo += 1
     hi = min(hi, len(rs))
