@@ -212,6 +212,7 @@ def prepare_window(
     ref_file,
     config: PlatypusConfig,
     rt: RuntimeState,
+    region_reads=None,
 ) -> Optional[PreparedWindow]:
     """Everything before device alignment: read gathering, haplotype
     enumeration/merging, pair construction.  Returns None for skipped
@@ -239,7 +240,10 @@ def prepare_window(
             variants = filter_variants_by_coverage(variants, config.max_variants)
             window.variants = variants
 
-    reads = gather_window_reads(buffers, window.start_pos, window.end_pos)
+    if region_reads is not None:
+        reads = region_reads.gather(window.start_pos, window.end_pos)
+    else:
+        reads = gather_window_reads(buffers, window.start_pos, window.end_pos)
 
     if n_reads_window == 0:
         var_haps: List[Haplotype] = []

@@ -424,6 +424,9 @@ def prepare_region_call(
     ))
 
     # Phase 1 (host): haplotype enumeration + pair construction per window.
+    from .score import RegionReadMatrix
+
+    region_reads = None if config.compress_reads else RegionReadMatrix.build(buffers)
     prepared = {}
     for w_idx, window in enumerate(windows):
         if not window.variants:
@@ -435,7 +438,8 @@ def prepare_region_call(
             prepared[w_idx] = "skip"
             continue
         try:
-            prepared[w_idx] = prepare_window(window, buffers, ref_file, config, rt)
+            prepared[w_idx] = prepare_window(window, buffers, ref_file, config, rt,
+                                             region_reads=region_reads)
         except Exception:  # noqa: BLE001 — window crash containment
             logger.exception(
                 "Exception preparing window %s:%s-%s", chrom, window.start_pos, window.end_pos

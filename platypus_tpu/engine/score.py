@@ -139,6 +139,100 @@ class CigarRefs:
         return out
 
 
+class RegionReadMatrix:
+    """Region-level concatenation of every buffer's piles in (sample;
+    good, bad, broken) order, with per-read tails pre-zeroed.
+
+    A window's reads are then 3·I contiguous row ranges, so the per-window
+    gather is ONE fancy-index per field instead of ~10 numpy block copies
+    per (sample, pile) — the fixed numpy overhead dominated
+    gather_window_reads on cohort runs.  Not used under --compressReads
+    (the memory mode must not keep dense region-wide columns)."""
+
+    def __init__(self, buffers: Sequence[SampleReadBuffer]):
+        from ..io.bam import FLAG_REVERSE
+
+        self.buffers = buffers
+        self.segs = []  # (s_idx, pile_tag, rs, base_row)
+        base = 0
+        widths = []
+        for s_idx, buf in enumerate(buffers):
+            for tag, rs in (("good", buf.good), ("bad", buf.bad), ("broken", buf.broken)):
+                self.segs.append((s_idx, tag, rs, base))
+                base += len(rs)
+                if len(rs):
+                    widths.append(rs.width)
+        N = base
+        L = max(widths, default=0)
+        self.seq = np.zeros((N, L), np.uint8)
+        self.qual = np.zeros((N, L), np.uint8)
+        self.rlen = np.zeros(N, np.int32)
+        self.pos = np.zeros(N, np.int64)
+        self.end = np.zeros(N, np.int64)
+        self.mapq = np.zeros(N, np.int32)
+        self.rev = np.zeros(N, bool)
+        self.qc = np.zeros(N, bool)
+        self.broken = np.zeros(N, bool)
+        self.good = np.zeros(N, bool)
+        self.sample_idx = np.zeros(N, np.int32)
+        col = np.arange(L, dtype=np.int32)
+        for s_idx, tag, rs, base in self.segs:
+            n = len(rs)
+            if n == 0:
+                continue
+            k = min(L, rs.width)
+            sl = slice(base, base + n)
+            self.seq[sl, :k] = rs.seq[:, :k]
+            self.qual[sl, :k] = rs.qual[:, :k]
+            tail = col[None, :] >= rs.rlen[:, None]
+            self.seq[sl][tail] = 0
+            self.qual[sl][tail] = 0
+            self.rlen[sl] = rs.rlen
+            self.pos[sl] = rs.pos
+            self.end[sl] = rs.end
+            self.mapq[sl] = rs.mapq
+            self.rev[sl] = (rs.flag & FLAG_REVERSE) != 0
+            self.qc[sl] = rs.qc_fail
+            self.broken[sl] = tag == "broken"
+            self.good[sl] = tag == "good"
+            self.sample_idx[sl] = s_idx
+
+    @staticmethod
+    def build(buffers: Sequence[SampleReadBuffer]) -> Optional["RegionReadMatrix"]:
+        for buf in buffers:
+            for rs in (buf.good, buf.bad, buf.broken):
+                if getattr(rs, "is_compressed", False):
+                    return None
+        return RegionReadMatrix(buffers)
+
+    def gather(self, window_start: int, window_end: int) -> WindowReads:
+        slice_of = {"good": lambda b: b.window_slice(window_start, window_end),
+                    "bad": lambda b: b.bad_window_slice(window_start, window_end),
+                    "broken": lambda b: b.broken_window_slice(window_start, window_end)}
+        live = []
+        parts = []
+        for s_idx, tag, rs, base in self.segs:
+            sl = slice_of[tag](self.buffers[s_idx])
+            if sl.stop > sl.start:
+                live.append((rs, sl))
+                parts.append(np.arange(base + sl.start, base + sl.stop))
+        if not parts:
+            rows = np.zeros(0, np.int64)
+        elif len(parts) == 1:
+            rows = parts[0]
+        else:
+            rows = np.concatenate(parts)
+        rlen = self.rlen[rows]
+        L = int(rlen.max()) if len(rlen) else 0
+        seq = self.seq[:, :L].take(rows, axis=0)
+        qual = self.qual[:, :L].take(rows, axis=0)
+        cigar_refs = CigarRefs([(rs, sl.start, sl.stop) for rs, sl in live])
+        return WindowReads(seq, qual, rlen, self.pos[rows], self.end[rows],
+                           self.mapq[rows], self.rev[rows], self.qc[rows],
+                           self.broken[rows], self.sample_idx[rows],
+                           self.good[rows], cigar_refs)
+
+
 def gather_window_reads(
     buffers: Sequence[SampleReadBuffer], window_start: int, window_end: int
 ) -> WindowReads:
