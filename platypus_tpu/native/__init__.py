@@ -533,6 +533,50 @@ def native_trim_reads(reads, good_mask: np.ndarray, trim_read_flank: int,
 # Assembler bindings
 # ---------------------------------------------------------------------------
 
+def _setup_align(lib) -> None:
+    if getattr(lib, "_align_setup", False):
+        return
+    lib.ptpu_band_align_pairs.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p,
+    ]
+    lib._align_setup = True
+
+
+def native_band_align_pairs(hap_mat: np.ndarray, go_mat: np.ndarray,
+                            seq_mat: np.ndarray, qual_mat: np.ndarray,
+                            pair_hap: np.ndarray, pair_read: np.ndarray,
+                            pair_seg: np.ndarray, rlen: np.ndarray,
+                            gapextend: int, nucprior: int,
+                            n_threads: int) -> Optional[np.ndarray]:
+    """Score every (hap row, read row, segment) pair with the C++ banded
+    kernel (bit-identical to ops/align_core.band_align_single).  Returns
+    int64 [n_pairs] scores, or None when the native lib is absent."""
+    lib = load()
+    if lib is None:
+        return None
+    _setup_align(lib)
+    hap_mat = np.ascontiguousarray(hap_mat, np.uint8)
+    go_mat = np.ascontiguousarray(go_mat, np.uint8)
+    seq_mat = np.ascontiguousarray(seq_mat, np.uint8)
+    qual_mat = np.ascontiguousarray(qual_mat, np.uint8)
+    ph = np.ascontiguousarray(pair_hap, np.int64)
+    pr = np.ascontiguousarray(pair_read, np.int64)
+    ps = np.ascontiguousarray(pair_seg, np.int64)
+    rl = np.ascontiguousarray(rlen, np.int32)
+    out = np.zeros(len(ph), np.int64)
+    lib.ptpu_band_align_pairs(
+        _np_ptr(hap_mat), _np_ptr(go_mat), hap_mat.shape[1],
+        _np_ptr(seq_mat), _np_ptr(qual_mat), seq_mat.shape[1],
+        _np_ptr(ph), _np_ptr(pr), _np_ptr(ps), _np_ptr(rl),
+        len(ph), gapextend, nucprior, n_threads, _np_ptr(out),
+    )
+    return out
+
+
 def _setup_asm(lib) -> None:
     if getattr(lib, "_asm_setup", False):
         return

@@ -195,3 +195,48 @@ def test_native_variant_supported_matches_python():
                 var.n_removed, exact)
             assert got is not None and bool(got[0]) == bool(want), (
                 trial, words, pos, vpos, removed, added, exact)
+
+
+def test_native_band_align_matches_scalar_oracle():
+    """C++ (AVX2/scalar) banded kernel vs ops/align_core.band_align_single:
+    random cases incl. Ns, short reads, segment offsets, mismatches."""
+    import numpy as np
+    from platypus_tpu import native
+    from platypus_tpu.native import native_band_align_pairs
+    from platypus_tpu.ops.align_core import band_align_single
+
+    if native.load() is None:
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    N, L2max = 200, 120
+    hap_mat = np.full((N, L2max + 40), ord("N"), np.uint8)
+    go_mat = np.zeros((N, L2max + 40), np.uint8)
+    seq_mat = np.zeros((N, L2max), np.uint8)
+    qual_mat = np.zeros((N, L2max), np.uint8)
+    ph = np.arange(N, dtype=np.int64)
+    ps = np.zeros(N, np.int64)
+    rl = np.zeros(N, np.int32)
+    exp = np.zeros(N, np.int64)
+    for k in range(N):
+        n = int(rng.integers(10, L2max + 1))
+        rl[k] = n
+        hap = rng.choice(bases, size=n + 15, p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+        go = rng.integers(1, 79, size=n + 15).astype(np.uint8)
+        off = int(rng.integers(0, 16))
+        read = hap[off : off + n].copy()
+        mut = rng.integers(0, n, size=int(rng.integers(0, 6)))
+        read[mut] = rng.choice(bases[:4], size=len(mut))
+        qual = rng.integers(1, 45, size=n).astype(np.uint8)
+        seg = int(rng.integers(0, 20))
+        hap_mat[k, seg : seg + n + 15] = hap
+        go_mat[k, seg : seg + n + 15] = go
+        ps[k] = seg
+        seq_mat[k, :n] = read
+        qual_mat[k, :n] = qual
+        exp[k] = band_align_single(hap.tobytes(), read.tobytes(),
+                                   qual.astype(np.int32), 3, 2, go.astype(np.int32))
+    got = native_band_align_pairs(hap_mat, go_mat, seq_mat, qual_mat,
+                                  ph, ph, ps, rl, 3, 2, 4)
+    assert np.array_equal(got, exp)
