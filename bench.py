@@ -289,6 +289,37 @@ def bench_reference_cpu(hap, go, read, qual, rl, budget_s=20.0):
         return n_done / dt, scores
 
 
+def _bench_native_cpu(hap, go, read, qual, rl, ref_scores):
+    """Single-core rate of the host AVX2 kernel + score cross-check."""
+    try:
+        from platypus_tpu.native import native_band_align_pairs
+    except Exception:
+        return 0.0, False
+    n = 16384
+    hap_mat = hap[:n].astype(np.uint8)
+    go_mat = go[:n].astype(np.uint8)
+    seq_mat = read[:n].astype(np.uint8)
+    qual_mat = qual[:n].astype(np.uint8)
+    idx = np.arange(n, dtype=np.int64)
+    ps = np.zeros(n, np.int64)
+    rlen = rl[:n].astype(np.int32)
+    try:
+        scores = native_band_align_pairs(hap_mat, go_mat, seq_mat, qual_mat,
+                                         idx, idx, ps, rlen, 3, 2, 1)
+        if scores is None:
+            return 0.0, False
+        t0 = time.perf_counter()
+        native_band_align_pairs(hap_mat, go_mat, seq_mat, qual_mat,
+                                idx, idx, ps, rlen, 3, 2, 1)
+        dt = time.perf_counter() - t0
+    except Exception:
+        return 0.0, False
+    ok = bool(ref_scores is not None
+              and np.array_equal(np.asarray(scores[:256]),
+                                 np.asarray(ref_scores[:256])))
+    return (n / dt if dt > 0 else 0.0), ok
+
+
 def main():
     # Export the malloc tuning before any child starts: on lazily-paged VMs
     # fresh-mmap'd NumPy buffers pay first-touch faults on every allocation
@@ -345,6 +376,11 @@ def main():
     ref_rate, ref_scores = bench_reference_cpu(hap, go, read, qual, rl)
     vs_baseline = rate / ref_rate if ref_rate else 1.0
 
+    # Host AVX2 kernel (the --nCPU worker path) — measured inline, no
+    # tunnel dependency; cross-checked against the compiled reference
+    # kernel's scores on the same inputs.
+    native_rate, native_ok = _bench_native_cpu(hap, go, read, qual, rl, ref_scores)
+
     # Sanity: device scores must match the reference kernel where computed.
     if ref_scores is not None:
         for kernel in best:
@@ -369,6 +405,9 @@ def main():
         out[f"rate_{k}"] = round(v, 1)
     if ref_rate:
         out["baseline_ref_sse2_1core"] = round(ref_rate, 1)
+    if native_rate:
+        out["rate_native_avx2_1core"] = round(native_rate, 1)
+        out["native_avx2_scores_match_reference"] = native_ok
     for r in rows:
         if r.get("event") == "e2e":
             out["e2e_caller_reads_per_second"] = round(r["reads_per_second"], 1)
