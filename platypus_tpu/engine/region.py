@@ -427,6 +427,10 @@ def prepare_region_call(
     from .score import RegionReadMatrix
 
     region_reads = None if config.compress_reads else RegionReadMatrix.build(buffers)
+    win_bounds = [(w.start_pos, w.end_pos) for w in windows
+                  if w.variants and w.end_pos - w.start_pos <= config.max_size]
+    for buf in buffers:
+        buf.precompute_window_slices(win_bounds)
     prepared = {}
     for w_idx, window in enumerate(windows):
         if not window.variants:

@@ -310,6 +310,42 @@ class SampleReadBuffer:
             self._slice_cache[key] = s
         return s
 
+    def precompute_window_slices(self, bounds) -> None:
+        """Bulk-fill the slice memo for many (start, end) windows: two
+        vectorized searchsorted probes per pile instead of two numpy calls
+        per (window, pile)."""
+        if not bounds:
+            return
+        starts = np.fromiter((b[0] for b in bounds), np.int64, len(bounds))
+        ends = np.fromiter((b[1] for b in bounds), np.int64, len(bounds))
+        for tag, rs, longest in (("g", self.good, self._longest_good),
+                                 ("b", self.bad, self._longest_bad)):
+            cache = self._slice_cache
+            n = len(rs)
+            if n == 0:
+                empty = slice(0, 0)
+                for st, en in bounds:
+                    cache[(tag, int(st), int(en))] = empty
+                continue
+            firsts = np.maximum(1, starts - longest)
+            los = np.searchsorted(rs.pos, firsts, side="left")
+            his = np.minimum(np.searchsorted(rs.pos, ends, side="left"), n)
+            end_arr = rs.end
+            for k in range(len(bounds)):
+                lo = int(los[k])
+                st = int(starts[k])
+                while lo < n and end_arr[lo] <= st:
+                    lo += 1
+                cache[(tag, st, int(ends[k]))] = slice(lo, max(lo, int(his[k])))
+        if len(self.broken):
+            firsts = np.maximum(1, starts - self._longest_broken)
+            los = np.searchsorted(self.broken.mate_pos, firsts, side="left")
+            his = np.searchsorted(self.broken.mate_pos, ends, side="left")
+            for k in range(len(bounds)):
+                lo = int(los[k])
+                self._slice_cache[("k", int(starts[k]), int(ends[k]))] = (
+                    slice(lo, max(lo, int(his[k]))))
+
     def count_reads_covering_region(self, start: int, end: int) -> int:
         s = self.window_slice(start, end)
         return s.stop - s.start
