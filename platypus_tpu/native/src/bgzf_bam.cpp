@@ -371,6 +371,14 @@ const Nib2Table NIB2;
 constexpr uint32_t kConsumesRef = (1u << 0) | (1u << 2) | (1u << 3) | (1u << 7) | (1u << 8);
 
 // Standard BAI bin for an alignment spanning [beg, end) (SAM spec §5.3).
+// Alignment-safe u32 read: BAM record fields are byte-packed, so the
+// cigar array is not necessarily 4-aligned within the record buffer.
+inline uint32_t load_u32(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+
 inline uint32_t reg2bin(int64_t beg, int64_t end) {
     --end;
     if (beg >> 14 == end >> 14) return (uint32_t)(((1 << 15) - 1) / 7 + (beg >> 14));
@@ -469,7 +477,7 @@ PtpuBamBatch* ptpu_bam_fetch(const char* bam_path, const char* bai_path,
             }
             if (ref_id < want_ref || l_seq == 0) continue;
             size_t off = 32 + l_read_name;
-            const uint32_t* cigar = (const uint32_t*)(rec.data() + off);
+            const uint8_t* cigar_bytes = rec.data() + off;
             off += 4 * (size_t)n_cigar;
             const uint8_t* packed = rec.data() + off;
             off += (l_seq + 1) / 2;
@@ -478,8 +486,8 @@ PtpuBamBatch* ptpu_bam_fetch(const char* bam_path, const char* bai_path,
 
             int64_t ref_span = 0;
             for (int c = 0; c < n_cigar; c++) {
-                uint32_t op = cigar[c] & 0xF;
-                if (kConsumesRef & (1u << op)) ref_span += cigar[c] >> 4;
+                uint32_t cv = load_u32(cigar_bytes + 4 * c);
+                if (kConsumesRef & (1u << (cv & 0xF))) ref_span += cv >> 4;
             }
             int64_t rec_end = (int64_t)pos + ref_span;
             if (rec_end <= start || pos >= end) continue;
@@ -498,10 +506,19 @@ PtpuBamBatch* ptpu_bam_fetch(const char* bam_path, const char* bai_path,
             }
             store->qual_flat.insert(store->qual_flat.end(), qual, qual + l_seq);
             store->rq_off.push_back((int64_t)store->seq_flat.size());
-            store->cigar_flat.insert(store->cigar_flat.end(), cigar, cigar + n_cigar);
+            {
+                size_t co = store->cigar_flat.size();
+                store->cigar_flat.resize(co + n_cigar);
+                if (n_cigar)
+                    memcpy(store->cigar_flat.data() + co, cigar_bytes,
+                           4 * (size_t)n_cigar);
+            }
             store->cigar_off.push_back((int64_t)store->cigar_flat.size());
             int64_t adj_pos = pos;
-            if (n_cigar > 0 && (cigar[0] & 0xF) == 4) adj_pos -= cigar[0] >> 4;
+            if (n_cigar > 0) {
+                uint32_t c0 = load_u32(cigar_bytes);
+                if ((c0 & 0xF) == 4) adj_pos -= c0 >> 4;
+            }
             store->pos.push_back(adj_pos);
             store->end.push_back(rec_end);
             store->rlen.push_back(l_seq);
@@ -611,11 +628,11 @@ int32_t ptpu_bam_index(const char* bam_path, const char* bai_path) {
         uint8_t l_read_name = rec[8];
         uint16_t n_cigar;
         memcpy(&n_cigar, rec.data() + 12, 2);
-        const uint32_t* cigar = (const uint32_t*)(rec.data() + 32 + l_read_name);
+        const uint8_t* cigar_bytes = rec.data() + 32 + l_read_name;
         int64_t span = 0;
         for (int c = 0; c < n_cigar; c++) {
-            uint32_t op = cigar[c] & 0xF;
-            if (kConsumesRef & (1u << op)) span += cigar[c] >> 4;
+            uint32_t cv = load_u32(cigar_bytes + 4 * c);
+            if (kConsumesRef & (1u << (cv & 0xF))) span += cv >> 4;
         }
         int64_t rend = pos + (span > 0 ? span : 1);
 

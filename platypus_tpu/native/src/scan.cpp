@@ -299,17 +299,21 @@ void ptpu_indel_fill(void* handle, int64_t* pos, int32_t* count,
                      int64_t* py_rows) {
     auto* res = (IndelScan*)handle;
     const ScanResult& c = res->cands;
-    std::memcpy(pos, c.pos.data(), c.pos.size() * sizeof(int64_t));
-    std::memcpy(count, c.count.data(), c.count.size() * sizeof(int32_t));
-    std::memcpy(n_removed, c.n_removed.data(), c.n_removed.size() * sizeof(int32_t));
-    std::memcpy(n_added, c.n_added.data(), c.n_added.size() * sizeof(int32_t));
-    std::memcpy(blob_off, c.blob_off.data(), c.blob_off.size() * sizeof(int64_t));
-    std::memcpy(blob, c.blob.data(), c.blob.size());
-    std::memcpy(mseg_row, res->mseg_row.data(), res->mseg_row.size() * 8);
-    std::memcpy(mseg_len, res->mseg_len.data(), res->mseg_len.size() * 8);
-    std::memcpy(mseg_roff, res->mseg_roff.data(), res->mseg_roff.size() * 8);
-    std::memcpy(mseg_goff, res->mseg_goff.data(), res->mseg_goff.size() * 8);
-    std::memcpy(py_rows, res->py_rows.data(), res->py_rows.size() * 8);
+    // Guarded copies: memcpy from an empty vector's null data() is UB.
+    auto copy = [](void* dst, const void* src, size_t n) {
+        if (n) std::memcpy(dst, src, n);
+    };
+    copy(pos, c.pos.data(), c.pos.size() * sizeof(int64_t));
+    copy(count, c.count.data(), c.count.size() * sizeof(int32_t));
+    copy(n_removed, c.n_removed.data(), c.n_removed.size() * sizeof(int32_t));
+    copy(n_added, c.n_added.data(), c.n_added.size() * sizeof(int32_t));
+    copy(blob_off, c.blob_off.data(), c.blob_off.size() * sizeof(int64_t));
+    copy(blob, c.blob.data(), c.blob.size());
+    copy(mseg_row, res->mseg_row.data(), res->mseg_row.size() * 8);
+    copy(mseg_len, res->mseg_len.data(), res->mseg_len.size() * 8);
+    copy(mseg_roff, res->mseg_roff.data(), res->mseg_roff.size() * 8);
+    copy(mseg_goff, res->mseg_goff.data(), res->mseg_goff.size() * 8);
+    copy(py_rows, res->py_rows.data(), res->py_rows.size() * 8);
 }
 
 void ptpu_indel_free(void* handle) { delete (IndelScan*)handle; }
