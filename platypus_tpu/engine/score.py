@@ -55,15 +55,19 @@ def _kernel_fn():
 
 def _use_native_cpu_align() -> bool:
     """On the CPU backend the C++ 8-lane wavefront (bit-identical scores)
-    beats the XLA:CPU scan by ~25x; the device path stays for TPU."""
+    beats the XLA:CPU scan by ~25x; the device path stays for TPU.
+    PLATYPUS_TPU_NATIVE_ALIGN: 0 = never, 1 (default) = CPU backend only,
+    force = even on device backends (e.g. a degraded TPU tunnel)."""
     import os
 
-    if os.environ.get("PLATYPUS_TPU_NATIVE_ALIGN", "1") == "0":
+    mode = os.environ.get("PLATYPUS_TPU_NATIVE_ALIGN", "1")
+    if mode == "0":
         return False
-    import jax
+    if mode != "force":
+        import jax
 
-    if jax.default_backend() != "cpu":
-        return False
+        if jax.default_backend() != "cpu":
+            return False
     return native.load() is not None
 
 
