@@ -294,28 +294,28 @@ def finish_window(
     for i in range(I):
         n_reads[i] = int(((reads.sample_idx == i) & reads.is_good).sum())
 
+    # GL/GOF always come from the float64 host oracle (one pass over all
+    # samples' reads; sample_idx is sorted by construction in
+    # gather_window_reads; bit-identical to per-sample
+    # genotype_log_likelihoods calls) so VCF emission is byte-stable
+    # across backends — the f32 device-inference GLs rounded differently
+    # in ~1/10k records.  Device inference still supplies the EM
+    # frequencies and the per-variant posterior ratios (the expensive
+    # batched parts).
+    bounds = np.searchsorted(reads.sample_idx, np.arange(I + 1))
+    gl_seg, gof_seg = lk.genotype_log_likelihoods_segments(
+        loglik, hap1_idx, hap2_idx, bounds)
+    has_reads = n_reads > 0
+    gl_by_ind = np.where(has_reads[:, None], gl_seg, 0.0)
+    gof = np.zeros((G, I))
+    gof[:, has_reads] = (
+        -10.0 * gof_seg[has_reads] / n_reads[has_reads, None]).T
+    likelihoods = lk.rescale_likelihoods(gl_by_ind, n_reads)
+
     if inference is not None:
-        likelihoods = inference.likelihoods
         em_lik = inference.em
         frequencies = inference.frequencies
-        gof = np.zeros((G, I))
-        nz = np.maximum(1, n_reads)
-        gof[:] = (-10.0 * inference.gof_sum / nz[:, None]).T
-        gof[:, n_reads == 0] = 0.0
     else:
-        # One pass over all samples' reads (sample_idx is sorted by
-        # construction in gather_window_reads); bit-identical to the
-        # per-sample genotype_log_likelihoods calls.
-        bounds = np.searchsorted(reads.sample_idx, np.arange(I + 1))
-        gl_seg, gof_seg = lk.genotype_log_likelihoods_segments(
-            loglik, hap1_idx, hap2_idx, bounds)
-        has_reads = n_reads > 0
-        gl_by_ind = np.where(has_reads[:, None], gl_seg, 0.0)
-        gof = np.zeros((G, I))
-        gof[:, has_reads] = (
-            -10.0 * gof_seg[has_reads] / n_reads[has_reads, None]).T
-
-        likelihoods = lk.rescale_likelihoods(gl_by_ind, n_reads)
         frequencies, em_lik, _iters = lk.em_haplotype_frequencies(
             likelihoods, hap1_idx, hap2_idx, H, n_reads, max_iters=100
         )
