@@ -150,11 +150,13 @@ def test_device_inference_e2e_matches_host_path(tmp_path):
                 continue
             f = line.split("\t")
             recs.append((f[0], int(f[1]), f[3], f[4], float(f[5]),
-                         f[9].split(":")[0]))
+                         f[9].strip()))
         outs[dev] = recs
 
     assert len(outs[0]) == len(outs[1]) > 0
     for a, b in zip(outs[0], outs[1]):
         assert a[:4] == b[:4]          # site + alleles identical
-        assert a[5] == b[5]            # genotype identical
+        # sample column (GT:GL:GOF:GQ:NR:NV) byte-equal: GL/GOF always come
+        # from the f64 host oracle regardless of inference path
+        assert a[5] == b[5]
         assert abs(a[4] - b[4]) <= 1.0 + 0.001 * max(a[4], b[4])
