@@ -303,7 +303,7 @@ def _native_region_tiles(chrom: str, tiles, buffers, config: PlatypusConfig,
             piles.append(buf.broken)
             slice_fns.append(buf.broken_window_slice)
     for rs in piles:
-        if rs.seq.ndim != 2 or rs.seq.shape[0] and not rs.seq.flags["C_CONTIGUOUS"]:
+        if rs.seq.ndim != 2:  # dense [N, L] payloads required
             return None
 
     n_tiles = len(tiles)

@@ -352,9 +352,8 @@ def finish_window(
                         float(frequencies[h_idx]),
                         [str(v) for v in hap.variants] or "<ref>")
         if config.verbosity >= 4:
-            # Device inference returns relative likelihoods, not raw GLs;
-            # rank by whichever table this window was called from.
-            gl_by_ind = likelihoods if inference is not None else gl_by_ind
+            # gl_by_ind is always the f64 host table now, so the dump is
+            # backend-independent.
             for i in range(I):
                 top = np.argsort(gl_by_ind[i])[::-1][:10]
                 logger.info(

@@ -426,9 +426,10 @@ def prepare_region_call(
     # Phase 1 (host): haplotype enumeration + pair construction per window.
     from .score import RegionReadMatrix
 
-    region_reads = None if config.compress_reads else RegionReadMatrix.build(buffers)
     win_bounds = [(w.start_pos, w.end_pos) for w in windows
                   if w.variants and w.end_pos - w.start_pos <= config.max_size]
+    region_reads = (RegionReadMatrix.build(buffers)
+                    if win_bounds and not config.compress_reads else None)
     for buf in buffers:
         buf.precompute_window_slices(win_bounds)
     prepared = {}

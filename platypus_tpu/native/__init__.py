@@ -533,10 +533,17 @@ def native_trim_reads(reads, good_mask: np.ndarray, trim_read_flank: int,
 # Assembler bindings
 # ---------------------------------------------------------------------------
 
-def _setup_align(lib) -> None:
-    if getattr(lib, "_align_setup", False):
-        return
-    lib.ptpu_band_align_pairs.argtypes = [
+def _setup_align(lib) -> bool:
+    """Bind the alignment-kernel symbols; False when the loaded library
+    predates them (stale .so) so callers fall back to the device path."""
+    if getattr(lib, "_align_setup", None) is not None:
+        return lib._align_setup
+    try:
+        fn = lib.ptpu_band_align_pairs
+    except AttributeError:
+        lib._align_setup = False
+        return False
+    fn.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -544,6 +551,7 @@ def _setup_align(lib) -> None:
         ctypes.c_void_p,
     ]
     lib._align_setup = True
+    return True
 
 
 def native_band_align_pairs(hap_mat: np.ndarray, go_mat: np.ndarray,
@@ -554,11 +562,11 @@ def native_band_align_pairs(hap_mat: np.ndarray, go_mat: np.ndarray,
                             n_threads: int) -> Optional[np.ndarray]:
     """Score every (hap row, read row, segment) pair with the C++ banded
     kernel (bit-identical to ops/align_core.band_align_single).  Returns
-    int64 [n_pairs] scores, or None when the native lib is absent."""
+    int64 [n_pairs] scores, or None when the native lib is absent or
+    predates the kernel."""
     lib = load()
-    if lib is None:
+    if lib is None or not _setup_align(lib):
         return None
-    _setup_align(lib)
     hap_mat = np.ascontiguousarray(hap_mat, np.uint8)
     go_mat = np.ascontiguousarray(go_mat, np.uint8)
     seq_mat = np.ascontiguousarray(seq_mat, np.uint8)
@@ -606,8 +614,21 @@ def _setup_asm(lib) -> None:
     lib.ptpu_asm_results.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
-    lib.ptpu_asm_region.restype = ctypes.c_void_p
-    lib.ptpu_asm_region.argtypes = [
+    lib._asm_setup = True
+
+
+def _setup_asm_region(lib) -> bool:
+    """Bind the one-call region symbols; False on a stale .so that
+    predates them (callers fall back to the per-tile path)."""
+    if getattr(lib, "_asm_region_setup", None) is not None:
+        return lib._asm_region_setup
+    try:
+        region_fn = lib.ptpu_asm_region
+    except AttributeError:
+        lib._asm_region_setup = False
+        return False
+    region_fn.restype = ctypes.c_void_p
+    region_fn.argtypes = [
         ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -621,7 +642,8 @@ def _setup_asm(lib) -> None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.ptpu_asm_region_free.argtypes = [ctypes.c_void_p]
-    lib._asm_setup = True
+    lib._asm_region_setup = True
+    return True
 
 
 def native_assemble_region(tiles, piles, kmer_size: int, min_qual: int,
@@ -634,12 +656,12 @@ def native_assemble_region(tiles, piles, kmer_size: int, min_qual: int,
            rlen i32-able, qc_fail bool [N])
     slices: int64 [n_tiles, n_piles, 2] row bounds per (tile, pile)
     Returns a list of per-tile lists of (pos, removed, added), in tile order
-    (discovery order within a tile), or None when the native lib is absent.
+    (discovery order within a tile), or None when the native lib is absent
+    or predates the region entry (stale .so).
     """
     lib = load()
-    if lib is None:
+    if lib is None or not _setup_asm_region(lib):
         return None
-    _setup_asm(lib)
     n_tiles = len(tiles)
     n_piles = len(piles)
     ta = np.asarray([t[0] for t in tiles], np.int64)

@@ -49,12 +49,14 @@ def enumerate_window_variants(all_haps) -> List[Variant]:
 
 @dataclass
 class WindowInference:
-    """Device inference results for one window, gathered back to host."""
+    """Device inference results for one window, gathered back to host.
 
-    likelihoods: np.ndarray    # [I, G_w] relative genotype likelihoods
+    GL/GOF emission always comes from the f64 host oracle
+    (engine/caller.finish_window), so only the EM tables and posterior
+    ratios are transferred from the device."""
+
     em: np.ndarray             # [I, G_w] EM responsibilities
     frequencies: np.ndarray    # [H_w]
-    gof_sum: np.ndarray        # [I, G_w] sum_r log10lik max (pre -10/nReads)
     ratios: Dict[Variant, float]  # ln P(no var) - ln P(var)
 
 
@@ -73,32 +75,26 @@ class PendingInference:
     def gather(self) -> Dict[int, WindowInference]:
         out: Dict[int, WindowInference] = {}
         if self.buckets:
-            # One batched transfer for every bucket's outputs: per-array
-            # fetches each pay the full device round trip (~45ms over the
-            # tunnel), device_get overlaps them all.
+            # One batched transfer for the CONSUMED outputs only (EM
+            # tables, frequencies, ratios): per-array fetches each pay the
+            # full device round trip (~45ms over the tunnel), device_get
+            # overlaps them all, and the device GL/GOF tables never ship.
             import jax
 
-            fetched = jax.device_get([dev for _, _, _, dev in self.buckets])
+            fetched = jax.device_get(
+                [(dev[1], dev[2], dev[4]) for _, _, _, dev in self.buckets])
             self.buckets = [(items, h1, h2, dev) for (items, h1, h2, _), dev
                             in zip(self.buckets, fetched)]
-        for items, h1, h2, dev in self.buckets:
-            _lik_d, em_d, freq_d, gof_d, ratio_d, glrel_d = dev
-            # Linear relative likelihoods via float64 exp of the log table —
-            # the f32 linear values saturate below ~1e-38, the host floor is
-            # 1e-300.
-            lik_h = np.exp(np.asarray(glrel_d, np.float64))
+        for items, h1, h2, (em_d, freq_d, ratio_d) in self.buckets:
             em_h = np.asarray(em_d, np.float64)
             freq_h = np.asarray(freq_d, np.float64)
-            gof_h = np.asarray(gof_d, np.float64)
             ratio_h = np.asarray(ratio_d, np.float64)
             for k, (w_idx, prep, ll, variants) in enumerate(items):
                 H, R = ll.shape
                 cols = np.nonzero((h1 < H) & (h2 < H))[0]
                 out[w_idx] = WindowInference(
-                    likelihoods=lik_h[k][:, cols],
                     em=em_h[k][:, cols],
                     frequencies=freq_h[k][:H],
-                    gof_sum=gof_h[k][:, cols],
                     ratios={v: float(ratio_h[k, vi])
                             for vi, v in enumerate(variants)},
                 )
@@ -176,9 +172,9 @@ def dispatch_device_inference(
             jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
             jnp.asarray(var_mask), jnp.asarray(has_reads), em_iters=em_iters,
         )
-        # Start the device->host copies now; they stream behind the
-        # compute while the next region does its host work.
-        for arr in dev:
+        # Start the device->host copies now (consumed outputs only); they
+        # stream behind the compute while the next region does host work.
+        for arr in (dev[1], dev[2], dev[4]):
             try:
                 arr.copy_to_host_async()
             except AttributeError:

@@ -322,10 +322,8 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
                 jnp.asarray(var_mask), jnp.asarray(has_reads),
             )
         ll_h = np.asarray(ll_d, np.float64)
-        lik_h = np.exp(np.asarray(glrel_d, np.float64))
         em_h = np.asarray(em_d, np.float64)
         freq_h = np.asarray(freq_d, np.float64)
-        gof_h = np.asarray(gof_d, np.float64)
         ratio_h = np.asarray(ratio_d, np.float64)
 
         for k, (w_idx, prep) in enumerate(items):
@@ -334,10 +332,8 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
             cols = np.nonzero((h1 < H) & (h2 < H))[0]
             loglik_by_idx[w_idx] = ll_h[k, :H, :R]
             inference_by_idx[w_idx] = WindowInference(
-                likelihoods=lik_h[k][:, cols],
                 em=em_h[k][:, cols],
                 frequencies=freq_h[k][:H],
-                gof_sum=gof_h[k][:, cols],
                 ratios={v: float(ratio_h[k, vi])
                         for vi, v in enumerate(variants_by_item[k])},
             )
