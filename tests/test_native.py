@@ -240,3 +240,16 @@ def test_native_band_align_matches_scalar_oracle():
     got = native_band_align_pairs(hap_mat, go_mat, seq_mat, qual_mat,
                                   ph, ph, ps, rl, 3, 2, 4)
     assert np.array_equal(got, exp)
+
+
+def test_stale_library_symbol_fallback():
+    """A loaded library that predates the newer entry points must make the
+    Python wrappers return None (fall back) instead of raising."""
+    from platypus_tpu import native as N
+
+    class FakeLib:
+        def __getattr__(self, name):  # no ptpu_asm_region / band_align
+            raise AttributeError(name)
+
+    assert N._setup_asm_region(FakeLib()) is False
+    assert N._setup_align(FakeLib()) is False
