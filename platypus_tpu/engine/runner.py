@@ -43,7 +43,10 @@ def get_regions(config: PlatypusConfig) -> List[Region]:
                 for line in fh:
                     chrom, span = line.strip().rsplit(":", 1)
                     s, e = span.split("-")
-                    regions.append((chrom, int(s) - 1, int(e)))
+                    # 1-based inclusive region strings; clamp "chr:0-..."
+                    # (technically out of contract) to the contig start
+                    # instead of producing a negative fetch start.
+                    regions.append((chrom, max(0, int(s) - 1), int(e)))
         elif path.endswith((".bed", ".bed.gz")):
             with open_transparent(path) as fh:
                 for line in fh:
@@ -64,7 +67,7 @@ def get_regions(config: PlatypusConfig) -> List[Region]:
             chrom = split[0]
             if len(split) == 2 and "-" in split[1]:
                 s, e = split[1].split("-")
-                regions.append((chrom, int(s) - 1, int(e)))
+                regions.append((chrom, max(0, int(s) - 1), int(e)))
             else:
                 if chrom in ref.refs:
                     regions.append((chrom, 0, ref.refs[chrom].length))

@@ -559,6 +559,10 @@ class BamFile:
         ref_id = self.ref_id.get(chrom)
         if ref_id is None:
             return empty_read_set()
+        # A negative start (e.g. from an out-of-contract "chr:0-..." region
+        # string) breaks the BAI bin computation and returns nothing;
+        # clamp like htslib does.
+        start = max(0, start)
         if use_native and not store_rg and self.coordinate_sorted:
             from ..native import native_fetch
 

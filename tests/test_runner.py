@@ -276,3 +276,42 @@ def test_inference_thread_parity(tmp_path, monkeypatch):
     threaded_data = [l for l in open(threaded_out) if not l.startswith("##")]
     assert len(inline_data) > 5
     assert threaded_data == inline_data
+
+
+def test_region_string_zero_start_clamped(tmp_path):
+    """'chr:0-END' (out of the 1-based contract) must clamp to contig start,
+    not produce a negative fetch start that silently empties the first
+    shard (regression: chr20:0-10000000 lost all calls in [0, bufferSize))."""
+    from synth import make_reference, simulate_reads, SimHaplotype, write_synth_bam
+
+    from platypus_tpu.config import PlatypusConfig
+    from platypus_tpu.engine.runner import get_regions
+
+    workdir = str(tmp_path)
+    ref_path, ref_seq = make_reference(workdir, length=3000, seed=3)
+    reads = simulate_reads([SimHaplotype(ref_seq, [])], 0, 3000, coverage=5,
+                           error_rate=0.0, seed=1, fast_errors=True)
+    bam = write_synth_bam(workdir, reads, ref_len=3000)
+
+    cfg = PlatypusConfig(bam_files=[bam], ref_file=ref_path,
+                         regions=["chr20:0-3000"])
+    regions = get_regions(cfg)
+    assert regions[0][1] == 0        # clamped, not -1
+    cfg2 = PlatypusConfig(bam_files=[bam], ref_file=ref_path,
+                          regions=["chr20:1-3000"])
+    assert get_regions(cfg2)[0][1] == 0
+
+
+def test_bam_fetch_negative_start_clamped(tmp_path):
+    from synth import make_reference, simulate_reads, SimHaplotype, write_synth_bam
+    from platypus_tpu.io.bam import BamFile
+
+    workdir = str(tmp_path)
+    ref_path, ref_seq = make_reference(workdir, length=3000, seed=4)
+    reads = simulate_reads([SimHaplotype(ref_seq, [])], 0, 3000, coverage=5,
+                           error_rate=0.0, seed=1, fast_errors=True)
+    bam = write_synth_bam(workdir, reads, ref_len=3000)
+    with BamFile(bam) as bf:
+        neg = bf.fetch("chr20", -1, 1000)
+        zero = bf.fetch("chr20", 0, 1000)
+    assert len(neg) == len(zero) > 0
