@@ -135,9 +135,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
-    if not argv:
+    if not argv or argv[0] in ("--help", "-h", "help"):
         print("usage: platypus-tpu {callVariants,continueCalling,somatic,denovo} [options]")
-        return 2
+        return 0 if argv else 2
     if argv[0] in ("--version", "-V", "version"):
         from . import __version__
 
