@@ -315,3 +315,34 @@ def test_bam_fetch_negative_start_clamped(tmp_path):
         neg = bf.fetch("chr20", -1, 1000)
         zero = bf.fetch("chr20", 0, 1000)
     assert len(neg) == len(zero) > 0
+
+
+def test_buffer_size_invariant_output(tmp_path):
+    """Region shard size must not change the calls (halo + window-ownership
+    design): same data lines at bufferSize=30kb and 200kb."""
+    from synth import SimHaplotype, make_reference, simulate_reads, write_synth_bam
+
+    from platypus_tpu.cli import main as cli_main
+
+    workdir = str(tmp_path)
+    ref_path, ref_seq = make_reference(workdir, length=60000, seed=17)
+    variants = [(p, 1, b"A" if ref_seq[p] != ord("A") else b"C")
+                for p in range(2500, 58000, 3100)]
+    hap = SimHaplotype(ref_seq, variants)
+    reads = simulate_reads([hap, SimHaplotype(ref_seq, [])], 1000, 59000,
+                           coverage=25, error_rate=0.002, seed=9,
+                           fast_errors=True)
+    write_synth_bam(workdir, reads, ref_len=60000)
+
+    outs = {}
+    for bs in (30000, 200000):
+        out = f"{workdir}/out_bs{bs}.vcf"
+        rc = cli_main([
+            "callVariants", f"--bamFiles={workdir}/reads.bam",
+            f"--refFile={ref_path}", "--regions=chr20:1-59000",
+            f"--bufferSize={bs}", "-o", out,
+        ])
+        assert rc == 0
+        outs[bs] = [l for l in open(out) if not l.startswith("##")]
+    assert len(outs[30000]) > 5
+    assert outs[30000] == outs[200000]
