@@ -82,8 +82,14 @@ def main() -> int:
                          "cannot back multiple worker processes (measured 16x "
                          "dispatch collapse), so host scaling is a CPU-backend "
                          "property; the TPU point is reported separately.")
+    ap.add_argument("--workerThreads", type=int, default=0,
+                    help="pin PLATYPUS_TPU_WORKER_THREADS (0 = default "
+                         "budget). --workerThreads=1 --ncpus=1 measures the "
+                         "single-core ceiling.")
     args = ap.parse_args()
 
+    if args.workerThreads:
+        os.environ["PLATYPUS_TPU_WORKER_THREADS"] = str(args.workerThreads)
     if args.platform == "cpu":
         os.environ["PLATYPUS_TPU_PLATFORM"] = "cpu"
         import jax
