@@ -112,15 +112,18 @@ def _e2e_child_main():
     from platypus_tpu.config import PlatypusConfig
     from platypus_tpu.engine.runner import run_single_process
 
-    workdir = "/tmp/platypus_tpu_bench_e2e/mb0.3"
-    info = build_dataset(workdir, 300_000)
-    regions = [("chr20", s, min(s + 100_000, 301_000))
-               for s in range(1000, 301_000, 100_000)]
+    # 1 Mb amortises the fixed costs (pipeline fill, first-shape dispatch)
+    # that dominate smaller sets; a cold dataset build is ~15 s, well inside
+    # the child's deadline, and the dataset caches across runs.
+    workdir = "/tmp/platypus_tpu_bench_e2e/mb1"
+    info = build_dataset(workdir, 1_000_000)
+    regions = [("chr20", s, min(s + 100_000, 1_001_000))
+               for s in range(1000, 1_001_000, 100_000)]
     cfg = PlatypusConfig(bam_files=[info["bam"]], ref_file=info["ref"],
-                         regions=["chr20:1000-301000"], assemble=0)
+                         regions=["chr20:1000-1001000"], assemble=0)
     run_single_process(cfg, regions, os.path.join(workdir, "warm.vcf"))
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         run_single_process(cfg, regions, os.path.join(workdir, "out.vcf"))
         best = min(best, time.perf_counter() - t0)
@@ -411,7 +414,7 @@ def main():
     for r in rows:
         if r.get("event") == "e2e":
             out["e2e_caller_reads_per_second"] = round(r["reads_per_second"], 1)
-            out["e2e_unit"] = (f"reads/s (0.3Mb 30x synthetic, nCPU=1, "
+            out["e2e_unit"] = (f"reads/s (1Mb 30x synthetic, nCPU=1, "
                                f"{r['backend']} backend)")
     print(json.dumps(out))
     try:
