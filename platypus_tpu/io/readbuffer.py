@@ -261,6 +261,7 @@ class SampleReadBuffer:
         bad: ReadSet,
         broken: Optional[ReadSet] = None,
         filter_counts: Optional[Dict[str, int]] = None,
+        presorted: bool = False,
     ):
         self.sample = sample
         self.good = good
@@ -268,8 +269,11 @@ class SampleReadBuffer:
         self.broken = broken if broken is not None else empty_read_set()
         self.filter_counts = filter_counts or {}
         # Sort by adjusted pos (stable keeps stream order for ties).
-        self.good = _sort_by(self.good, self.good.pos)
-        self.bad = _sort_by(self.bad, self.bad.pos)
+        # presorted=True: good/bad already arrive pos-sorted (the fused
+        # split+sort gather in build_sample_buffer) — skip the re-argsort.
+        if not presorted:
+            self.good = _sort_by(self.good, self.good.pos)
+            self.bad = _sort_by(self.bad, self.bad.pos)
         self.broken = _sort_by(self.broken, self.broken.mate_pos)
         self._longest_good = int((self.good.end - self.good.pos).max()) if len(self.good) else 0
         self._longest_bad = int((self.bad.end - self.bad.pos).max()) if len(self.bad) else 0
@@ -416,6 +420,12 @@ def build_sample_buffer(sample: str, stream: ReadSet, opts: QCOptions,
                         broken: Optional[ReadSet] = None) -> SampleReadBuffer:
     """QC a stream-ordered ReadSet and triage it into a SampleReadBuffer."""
     good_mask, counts = check_and_trim_reads(stream, opts)
-    good = stream.take(np.nonzero(good_mask)[0])
-    bad = stream.take(np.nonzero(~good_mask)[0])
-    return SampleReadBuffer(sample, good, bad, broken, counts)
+    # Fused split+sort: gather each pile once, already in adjusted-pos order
+    # (a stable argsort of the subset equals the subset of the stable overall
+    # order, so this is row-identical to split-then-sort — but reads whose
+    # leading soft clips de-sorted `pos` no longer pay a second full gather).
+    good_idx = np.nonzero(good_mask)[0]
+    bad_idx = np.nonzero(~good_mask)[0]
+    good = stream.take(good_idx[np.argsort(stream.pos[good_idx], kind="stable")])
+    bad = stream.take(bad_idx[np.argsort(stream.pos[bad_idx], kind="stable")])
+    return SampleReadBuffer(sample, good, bad, broken, counts, presorted=True)
