@@ -277,3 +277,40 @@ def test_worker_platform_flag_plumbed():
     from platypus_tpu.config import PlatypusConfig
 
     assert PlatypusConfig.from_json(cfg.to_json()).worker_platform == "cpu"
+
+
+def test_fused_split_sort_matches_split_then_sort():
+    """build_sample_buffer's fused split+sort gather must be row-identical
+    to the naive split-then-stable-sort composition, including when leading
+    soft clips de-sort the adjusted positions (readbuffer.py)."""
+    rng = __import__("numpy").random.default_rng(11)
+    specs = []
+    for i in range(60):
+        pos = int(rng.integers(100, 2000))
+        clip = int(rng.integers(0, 12))
+        cigar = ([(4, clip)] if clip else []) + [(0, 50 - clip)]
+        mapq = 60 if rng.random() > 0.2 else 5   # ~20% fail QC
+        specs.append(dict(name=f"r{i}", ref_id=0, pos=pos, mapq=mapq,
+                          flag=0, cigar=cigar, seq=b"A" * 50,
+                          qual=[30] * 50))
+    specs.sort(key=lambda s: s["pos"])  # BAM coordinate order (raw pos)
+    rs = _mk_readset(specs)
+    import numpy as np
+
+    from platypus_tpu.io.readbuffer import (SampleReadBuffer,
+                                            build_sample_buffer,
+                                            check_and_trim_reads)
+
+    rs2 = _mk_readset(specs)
+    buf = build_sample_buffer("s", rs, QCOptions())
+    good_mask, counts = check_and_trim_reads(rs2, QCOptions())
+    naive = SampleReadBuffer("s", rs2.take(np.nonzero(good_mask)[0]),
+                             rs2.take(np.nonzero(~good_mask)[0]),
+                             None, counts)
+    for mine, ref in ((buf.good, naive.good), (buf.bad, naive.bad)):
+        assert np.array_equal(mine.pos, ref.pos)
+        assert np.array_equal(mine.seq, ref.seq)
+        assert np.array_equal(mine.qual, ref.qual)
+        assert np.array_equal(mine.flag, ref.flag)
+        assert np.array_equal(mine.cigar_flat, ref.cigar_flat)
+        assert np.array_equal(mine.cigar_off, ref.cigar_off)
