@@ -93,7 +93,6 @@ def check_and_trim_reads(reads: ReadSet, opts: QCOptions) -> Tuple[np.ndarray, D
 
     flag = reads.flag
     rlen = reads.rlen.astype(np.int64)
-    valid = _valid_mask(reads)  # [N, L] within-read-length mask
 
     bad = np.zeros(n, bool)
     qc_fail = np.zeros(n, bool)
@@ -109,8 +108,14 @@ def check_and_trim_reads(reads: ReadSet, opts: QCOptions) -> Tuple[np.ndarray, D
     qc_fail |= low_mapq
     bad |= low_mapq
 
-    # 3. too few bases with qual >= min_base_qual.
-    n_good_bases = ((reads.qual >= opts.min_base_qual) & valid).sum(axis=1)
+    # 3. too few bases with qual >= min_base_qual.  Every ReadSet producer
+    # zero-pads qual beyond rlen (bam.py:653, native batch_fill into zeroed
+    # buffers, _concat_read_sets), so for minq >= 1 the padding can't count
+    # and the [N, L] valid-mask temporaries are unnecessary.
+    if opts.min_base_qual >= 1:
+        n_good_bases = (reads.qual >= opts.min_base_qual).sum(axis=1)
+    else:
+        n_good_bases = ((reads.qual >= opts.min_base_qual) & _valid_mask(reads)).sum(axis=1)
     low_qual = ~bad & (n_good_bases < opts.min_good_qual_bases)
     counts["low_qual_bases"] = int(low_qual.sum())
     qc_fail |= low_qual
