@@ -134,21 +134,27 @@ def main() -> int:
                  + ru1_c.ru_utime - ru0_c.ru_utime + ru1_c.ru_stime - ru0_c.ru_stime)
         rps = info["n_reads"] / dt
         cores_used = cpu_s / dt
-        if base is None:
+        if base is None and ncpu == 1:
+            # Efficiency is only meaningful against a measured single-worker
+            # baseline from the SAME sweep; a sweep that starts above nCPU=1
+            # reports raw throughput without the (self-normalised, hence
+            # meaningless) efficiency fields.
             base = rps
             base_cores = max(1e-9, cores_used)
         # Each worker overlaps host Python with XLA:CPU compute (the two-deep
         # pipeline), so one worker legitimately burns ~2 cores; efficiency is
         # reported per worker AND per core consumed so a core-bound host
         # reads as saturated, not inefficient.
-        print(json.dumps({
+        row = {
             "metric": "caller_reads_per_second", "value": round(rps, 1),
             "unit": f"reads/s (nCPU={ncpu}, {args.mb}Mb, 30x, {args.platform})",
             "n_cpu": ncpu, "wall_s": round(dt, 2),
-            "efficiency": round(rps / (base * ncpu), 3),
             "cores_used": round(cores_used, 2),
-            "core_efficiency": round((rps / base) / (cores_used / base_cores), 3),
-        }), flush=True)
+        }
+        if base is not None:
+            row["efficiency"] = round(rps / (base * ncpu), 3)
+            row["core_efficiency"] = round((rps / base) / (cores_used / base_cores), 3)
+        print(json.dumps(row), flush=True)
     return 0
 
 
