@@ -100,8 +100,8 @@ def _make_repeat(fn):
 
 
 def _e2e_child_main():
-    """Bounded end-to-end caller benchmark: 0.3Mb/30x synthetic dataset,
-    full warm pass (compiles), then best-of-2 timed runs.  Appends an
+    """Bounded end-to-end caller benchmark: 1Mb/30x synthetic dataset,
+    full warm pass (compiles), then best-of-3 timed runs.  Appends an
     'e2e' event; any failure just leaves the event absent."""
     results_path = os.environ["PLATYPUS_BENCH_RESULTS"]
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))

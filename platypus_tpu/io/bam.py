@@ -55,7 +55,18 @@ _CONSUMES_REF = {CIGAR_M, CIGAR_D, CIGAR_N, CIGAR_EQ, CIGAR_X}
 
 @dataclass
 class ReadSet:
-    """Structure-of-arrays read batch for one (sample, region)."""
+    """Structure-of-arrays read batch for one (sample, region).
+
+    CONTRACT — zero padding: ``seq[i, rlen[i]:]`` and ``qual[i, rlen[i]:]``
+    MUST be zero for every row.  Hot paths rely on it: the
+    ``minBaseQual >= 1`` fast path in ``readbuffer.apply_read_qc`` counts
+    good bases as ``(qual >= t).sum(axis=1)`` with NO ``j < rlen`` mask,
+    so any nonzero byte past ``rlen`` would silently inflate the count
+    and change QC triage.  Every producer (BAM python/native decoders,
+    CRAM, synth) zero-fills; anything that writes quals in place (trims,
+    decompression) must preserve zeros past ``rlen``.  Call
+    ``check_padding()`` (debug) to assert it.
+    """
 
     seq: np.ndarray          # uint8 [N, L] ASCII bases, zero-padded
     qual: np.ndarray         # uint8 [N, L] phred (0..93), zero-padded
@@ -75,6 +86,21 @@ class ReadSet:
 
     def __len__(self) -> int:
         return int(self.rlen.shape[0])
+
+    def check_padding(self) -> None:
+        """Assert the zero-padding contract (see class docstring).
+
+        Debug aid — O(N*L); not called on the hot path.  Used by the
+        producer-side tests in tests/test_io.py.
+        """
+        if len(self) == 0:
+            return
+        L = self.qual.shape[1]
+        cols = np.arange(L, dtype=np.int32)[None, :]
+        pad = cols >= self.rlen[:, None]
+        if self.qual[pad].any() or self.seq[pad].any():
+            raise AssertionError("ReadSet padding contract violated: "
+                                 "nonzero seq/qual bytes past rlen")
 
     # -- in-memory compressed mode (--compressReads) ---------------------
     # The reference keeps reads compressed between windows and lazily

@@ -314,3 +314,32 @@ def test_fused_split_sort_matches_split_then_sort():
         assert np.array_equal(mine.flag, ref.flag)
         assert np.array_equal(mine.cigar_flat, ref.cigar_flat)
         assert np.array_equal(mine.cigar_off, ref.cigar_off)
+
+
+def test_readset_padding_contract_producers_and_trims():
+    """The ReadSet zero-padding contract (bam.py ReadSet docstring) must
+    hold for every producer and survive in-place quality trims — the
+    minBaseQual>=1 QC fast path counts good bases with no rlen mask."""
+    # Both BAM decode paths on real data.
+    with BamFile(S55) as bf:
+        chrom, length = bf.references[0]
+        for use_native in (False, True):
+            rs = bf.fetch(chrom, 0, length, use_native=use_native)
+            rs.check_padding()
+            # After full QC + trimming the contract must still hold.
+            check_and_trim_reads(rs, QCOptions())
+            rs.check_padding()
+    # Compressed-mode lazy materialisation preserves it too.
+    with BamFile(S55) as bf:
+        rs = bf.fetch(chrom, 0, length)
+    ref = b"A" * (int(rs.end.max()) + 1)
+    rs2 = rs.take(np.arange(min(len(rs), 64)))
+    rs2.compress_in_memory(ref, 0)
+    seq, qual = rs2.seq_qual_rows(np.arange(len(rs2)))
+    cols = np.arange(seq.shape[1])[None, :]
+    pad = cols >= rs2.rlen[:, None]
+    assert not seq[pad].any() and not qual[pad].any()
+    # And the checker actually detects a violation.
+    rs.qual[0, int(rs.rlen[0]):] = 1
+    with pytest.raises(AssertionError):
+        rs.check_padding()
