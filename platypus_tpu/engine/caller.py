@@ -262,6 +262,58 @@ def prepare_window(
     return PreparedWindow(window, buffers, all_haps, ref_idx, reads, request)
 
 
+# --- f64-exactness guard thresholds (docs/PARITY.md §15) -------------------
+# Away from EM stopping-point ambiguity (covered by _EM_MARGIN_EPS), the f32
+# device values deviate from the f64 host oracle only by accumulated
+# rounding: measured <= ~1e-3 phred on posterior ratios and <= ~1e-6 on EM
+# frequencies (tests/test_device_inference.py::test_f64_guard_margins).
+# The bands below give >=10x margin while tripping on only a few % of
+# windows; tripped windows recompute on the host oracle, so emitted bytes
+# are identical across backends by construction.
+_PP_BOUNDARY_EPS = 0.02   # phred distance to the integer-rounding step
+_FR_BOUNDARY_EPS = 1e-5   # frequency distance to a %1.4f rounding step
+_EM_MARGIN_EPS = 1e-5     # |max_freq_change - tol| ambiguity band
+
+
+def _device_window_needs_host(inference, all_haps, hap_var_sets, n_ind,
+                              config, ref_file,
+                              priors: Dict[Variant, float]) -> bool:
+    """Decide whether a device-inferred window must be host-recomputed for
+    byte-exactness (PARITY §15).
+
+    Device results feed three emitted quantities: QUAL/PP (integer-rounded
+    phred posterior, also the min_posterior record cut), FR (%1.4f sum of
+    carrier-hap EM frequencies) and — for nInd>25 or --useEMLikelihoods —
+    GL marginalisation / genotype calls.  Trips when (a) those flows are
+    active, (b) the device EM's convergence test was marginal (the f64 host
+    EM could stop at a different iteration and land up to tol away), or
+    (c) any emitted value sits within its epsilon band of a rounding
+    boundary.  Populates `priors` as a side effect for reuse."""
+    if n_ind > 25 or config.use_em_likelihoods:
+        return True
+    if inference.em_margin < _EM_MARGIN_EPS:
+        return True
+    from ..parallel.batch import enumerate_window_variants
+
+    freqs = np.asarray(inference.frequencies, np.float64)
+    for v in enumerate_window_variants(all_haps):
+        ratio = inference.ratios.get(v)
+        if ratio is None:
+            return True
+        prior = priors.get(v)
+        if prior is None:
+            priors[v] = prior = v.calculate_prior(ref_file)
+        raw = lk.posterior_phred_unrounded(ratio, prior)
+        if abs(raw - math.floor(raw) - 0.5) < _PP_BOUNDARY_EPS:
+            return True
+        fr = sum(float(freqs[h]) for h in range(len(all_haps))
+                 if v in hap_var_sets[h])
+        frac = fr * 1e4
+        if abs(frac - math.floor(frac) - 0.5) < _FR_BOUNDARY_EPS * 1e4:
+            return True
+    return False
+
+
 def finish_window(
     prep: PreparedWindow,
     loglik: np.ndarray,
@@ -312,6 +364,11 @@ def finish_window(
         -10.0 * gof_seg[has_reads] / n_reads[has_reads, None]).T
     likelihoods = lk.rescale_likelihoods(gl_by_ind, n_reads)
 
+    hap_var_sets = [set(h.variants) for h in all_haps]
+    priors: Dict[Variant, float] = {}
+    if inference is not None and _device_window_needs_host(
+            inference, all_haps, hap_var_sets, I, config, ref_file, priors):
+        inference = None
     if inference is not None:
         em_lik = inference.em
         frequencies = inference.frequencies
@@ -324,11 +381,12 @@ def finish_window(
     )
 
     # ---- variant posteriors --------------------------------------------
-    hap_var_sets = [set(h.variants) for h in all_haps]
     posteriors: Dict[Variant, float] = {}
     vars_by_pos: Dict[int, List[Variant]] = {}
     for v in enumerate_window_variants(all_haps):
-        prior = v.calculate_prior(ref_file)
+        prior = priors.get(v)
+        if prior is None:
+            prior = v.calculate_prior(ref_file)
         if inference is not None and v in inference.ratios:
             post = lk.posterior_phred_from_log_ratio(inference.ratios[v], prior)
         else:

@@ -13,6 +13,7 @@ and skipped, mirroring the reference's crash containment
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -365,11 +366,12 @@ def prepare_region_call(
     max_contig_pos = contig_len - 1
 
     try:
-        if preloaded is not None and preloaded.matches(chrom, start, end):
-            buffers = preloaded.result()
-        else:
-            buffers = load_region_buffers(bam_files, samples_by_bam, chrom,
-                                          start, end, config)
+        with metrics.timer("region_load"):
+            if preloaded is not None and preloaded.matches(chrom, start, end):
+                buffers = preloaded.result()
+            else:
+                buffers = load_region_buffers(bam_files, samples_by_bam, chrom,
+                                              start, end, config)
     except Exception as exc:  # noqa: BLE001 — region-level crash containment
         logger.exception("Exception loading region %s:%s-%s: %s", chrom, start, end, exc)
         return None
@@ -433,6 +435,7 @@ def prepare_region_call(
     for buf in buffers:
         buf.precompute_window_slices(win_bounds)
     prepared = {}
+    prep_t0 = __import__("time").perf_counter()
     for w_idx, window in enumerate(windows):
         if not window.variants:
             continue
@@ -450,6 +453,8 @@ def prepare_region_call(
                 "Exception preparing window %s:%s-%s", chrom, window.start_pos, window.end_pos
             )
             prepared[w_idx] = "skip"
+
+    metrics.timers["window_prepare"] += __import__("time").perf_counter() - prep_t0
 
     # Phase 2 (device): dispatch every window's alignments in a few big
     # batched calls; results are awaited in finish_region_call.
@@ -566,11 +571,13 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
             result = None
             if window.variants:
                 if prep is not None:
-                    result = finish_window(prep, loglik_by_idx[w_idx], ref_file,
-                                           config,
-                                           inference=inference_by_idx.get(w_idx))
+                    with metrics.timer("window_finish"):
+                        result = finish_window(prep, loglik_by_idx[w_idx], ref_file,
+                                               config,
+                                               inference=inference_by_idx.get(w_idx))
                 if result is not None and result.variant_posteriors:
-                    n_written += output_call_to_vcf(result, buffers, ref_file, config, writer)
+                    with metrics.timer("vcf_output"):
+                        n_written += output_call_to_vcf(result, buffers, ref_file, config, writer)
                     if config.output_ref_calls and len(result.vars_by_pos) > 1:
                         # REFCALL blocks between called positions inside the
                         # window (variantcaller.pyx:585-607).
@@ -612,6 +619,6 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
                 "Exception in window %s:%s-%s: %s", chrom, window.start_pos, window.end_pos, exc
             )
     metrics.timers["region_total"] += __import__("time").perf_counter() - state.region_t0
-    if config.verbosity >= 3:
+    if config.verbosity >= 3 or os.environ.get("PLATYPUS_TPU_METRICS"):
         metrics.log_summary(f"region {chrom}:{start}-{end} cumulative: ")
     return n_written

@@ -212,8 +212,15 @@ def variant_posterior_phred(
 def posterior_phred_from_log_ratio(log_ratio: float, prior: float) -> float:
     """phred posterior from ln(P(no var)/P(var)) and the variant prior
     (cpopulation.pyx:586-594); shared by the host and device paths."""
+    return round(posterior_phred_unrounded(log_ratio, prior))
+
+
+def posterior_phred_unrounded(log_ratio: float, prior: float) -> float:
+    """The pre-round phred posterior — exposed so the device-inference
+    consumer can test how close a value sits to the integer rounding
+    boundary (engine/caller.finish_window's f64-exactness guard)."""
     ratio = max(1e-300, math.exp(min(700.0, log_ratio)))
-    return round(
+    return (
         -10.0 * (math.log10(ratio * (1.0 - prior)) - math.log10(prior + ratio * (1.0 - prior)))
     )
 

@@ -170,7 +170,17 @@ def em_frequencies_log_jax(log_lik, hap1_idx, hap2_idx, n_haps_max: int,
 
     log_lik [I, G]: relative genotype log-likelihoods (ln of the host
     path's floored values; -inf for masked genotypes).
-    Returns (log_freq [Hmax], responsibilities [I, G] linear).
+    Returns (log_freq [Hmax], responsibilities [I, G] linear,
+    convergence_margin scalar).
+
+    `convergence_margin` is min over executed iterations of
+    |max_freq_change - tol|: how close the reference's stopping test
+    (cpopulation.pyx:705-716) came to flipping.  The f64 host EM and this
+    f32 EM track each other within rounding error, so they stop at the
+    SAME iteration — hence land within f32 error of each other — unless
+    some iteration's change sat within that rounding error of tol.  The
+    engine host-recomputes windows whose margin is small (the f64
+    byte-exactness guard in engine/caller.finish_window).
     """
     log_het = jnp.where(hap1_idx != hap2_idx, LOG2, 0.0)
     ll = jnp.where(has_reads[:, None], log_lik, -jnp.inf)
@@ -195,23 +205,25 @@ def em_frequencies_log_jax(log_lik, hap1_idx, hap2_idx, n_haps_max: int,
         return jnp.where(hap_mask, log_new, -jnp.inf), log_wn
 
     def cond(carry):
-        it, _lf, _w, done = carry
+        it, _lf, _w, done, _margin = carry
         return (it < n_iters) & ~done
 
     def body(carry):
-        it, log_freq, w, done = carry
+        it, log_freq, w, done, margin = carry
         new, new_w = update(log_freq)
         # Convergence is the reference's LINEAR max-change test.
         max_change = jnp.abs(jnp.exp(new) - jnp.exp(log_freq)).max()
+        margin = jnp.minimum(margin, jnp.abs(max_change - tol))
         new_done = done | (max_change <= tol)
         log_freq = jnp.where(done, log_freq, new)
         w = jnp.where(done, w, new_w)
-        return it + 1, log_freq, w, new_done
+        return it + 1, log_freq, w, new_done, margin
 
-    _, log_freq, log_wn, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), log_freq0, w0, jnp.bool_(False)))
+    _, log_freq, log_wn, _, margin = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), log_freq0, w0, jnp.bool_(False),
+                     jnp.asarray(jnp.inf, log_lik.dtype)))
     resp = jnp.where(has_reads[:, None], jnp.exp(log_wn), 0.0)
-    return log_freq, resp
+    return log_freq, resp, margin
 
 
 def genotype_gl_gof_jax(loglik, hap1_idx, hap2_idx, sample_onehot):
@@ -259,8 +271,8 @@ def infer_window_batch_core(loglik, sample_onehot, hap_mask, h1, h2,
         gl_rel = jnp.maximum(gl - jnp.where(jnp.isfinite(mx), mx, 0.0), -690.77552)
         gl_rel = jnp.where(gm[None, :], gl_rel, -jnp.inf)
         gl_rel = jnp.where(hr[:, None], gl_rel, jnp.where(gm[None, :], 0.0, -jnp.inf))
-        log_freq, em = em_frequencies_log_jax(gl_rel, h1, h2, Hmax, hm, hr,
-                                              em_iters, tol=tol)
+        log_freq, em, em_margin = em_frequencies_log_jax(
+            gl_rel, h1, h2, Hmax, hm, hr, em_iters, tol=tol)
         freq = jnp.exp(log_freq)
         ratios = jax.vmap(
             lambda hv: variant_posterior_logratio_jax(gl_rel, log_freq, hv,
@@ -270,7 +282,7 @@ def infer_window_batch_core(loglik, sample_onehot, hap_mask, h1, h2,
         # on host it reaches the reference's 1e-300 floor, which f32 linear
         # space cannot (GL entries between -38 and -300 log10 would
         # saturate otherwise).
-        return lik, em, freq, gof, ratios, gl_rel
+        return lik, em, freq, gof, ratios, gl_rel, em_margin
 
     return jax.vmap(per_window)(loglik, sample_onehot, hap_mask, var_hap_mask,
                                 has_reads)
@@ -291,10 +303,14 @@ def infer_window_batch(loglik, sample_onehot, hap_mask, h1, h2, var_hap_mask,
     has_reads [W, I].
 
     Returns (lik [W, I, G], em_resp [W, I, G], freq [W, Hmax],
-    gof_sum [W, I, G], ratios [W, Vmax], gl_rel [W, I, G]) where ratios is
-    sum_i (ln P(data_i|no var) - ln P(data_i|var)) and gl_rel are the
+    gof_sum [W, I, G], ratios [W, Vmax], gl_rel [W, I, G],
+    em_margin [W]) where ratios is
+    sum_i (ln P(data_i|no var) - ln P(data_i|var)), gl_rel are the
     relative genotype LOG likelihoods (floored at ln 1e-300; -inf for
-    masked genotypes) — exp() them in float64 for full-range linear values.
+    masked genotypes) — exp() them in float64 for full-range linear values
+    — and em_margin is each window's EM convergence-test margin (see
+    em_frequencies_log_jax; small margin => the engine must host-recompute
+    the window for byte-exactness).
     """
     return infer_window_batch_core(loglik, sample_onehot, hap_mask, h1, h2,
                                    var_hap_mask, has_reads, em_iters)

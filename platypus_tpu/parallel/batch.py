@@ -58,6 +58,12 @@ class WindowInference:
     em: np.ndarray             # [I, G_w] EM responsibilities
     frequencies: np.ndarray    # [H_w]
     ratios: Dict[Variant, float]  # ln P(no var) - ln P(var)
+    # EM convergence-test margin (ops/likelihood_jax.em_frequencies_log_jax):
+    # min over iterations of |max_freq_change - tol|.  inf when the loop
+    # never ran.  finish_window's f64-exactness guard host-recomputes the
+    # window when this is small (the f32/f64 EMs may have stopped at
+    # different iterations).
+    em_margin: float = float("inf")
 
 
 class PendingInference:
@@ -82,13 +88,14 @@ class PendingInference:
             import jax
 
             fetched = jax.device_get(
-                [(dev[1], dev[2], dev[4]) for _, _, _, dev in self.buckets])
+                [(dev[1], dev[2], dev[4], dev[6]) for _, _, _, dev in self.buckets])
             self.buckets = [(items, h1, h2, dev) for (items, h1, h2, _), dev
                             in zip(self.buckets, fetched)]
-        for items, h1, h2, (em_d, freq_d, ratio_d) in self.buckets:
+        for items, h1, h2, (em_d, freq_d, ratio_d, margin_d) in self.buckets:
             em_h = np.asarray(em_d, np.float64)
             freq_h = np.asarray(freq_d, np.float64)
             ratio_h = np.asarray(ratio_d, np.float64)
+            margin_h = np.asarray(margin_d, np.float64)
             for k, (w_idx, prep, ll, variants) in enumerate(items):
                 H, R = ll.shape
                 cols = np.nonzero((h1 < H) & (h2 < H))[0]
@@ -97,6 +104,7 @@ class PendingInference:
                     frequencies=freq_h[k][:H],
                     ratios={v: float(ratio_h[k, vi])
                             for vi, v in enumerate(variants)},
+                    em_margin=float(margin_h[k]),
                 )
         self.buckets = []
         return out
@@ -174,7 +182,7 @@ def dispatch_device_inference(
         )
         # Start the device->host copies now (consumed outputs only); they
         # stream behind the compute while the next region does host work.
-        for arr in (dev[1], dev[2], dev[4]):
+        for arr in (dev[1], dev[2], dev[4], dev[6]):
             try:
                 arr.copy_to_host_async()
             except AttributeError:

@@ -164,9 +164,9 @@ def _region_call_step(mesh: Mesh, gapextend: int, nucprior: int, em_iters: int):
                                    mapq[:, None, :].astype(jnp.float32))
         ll = jnp.where(aligned[:, None, :], ll, 0.0)
         ll = jnp.where(hap_mask[:, :, None], ll, 0.0)
-        _lik, em, freq, gof, ratios, gl_rel = infer_window_batch_core(
+        _lik, em, freq, gof, ratios, gl_rel, em_margin = infer_window_batch_core(
             ll, onehot, hap_mask, h1, h2, var_mask, has_reads, em_iters)
-        return ll, gl_rel, em, freq, gof, ratios
+        return ll, gl_rel, em, freq, gof, ratios, em_margin
 
     s = lambda *spec: NamedSharding(mesh, P(*spec))
     pair_s = s(("win", "lane"))   # flat data-parallel axis over all devices
@@ -184,7 +184,7 @@ def _region_call_step(mesh: Mesh, gapextend: int, nucprior: int, em_iters: int):
     )
     out_shardings = (
         s("win", None, None), s("win", None, None), s("win", None, None),
-        s("win", None), s("win", None, None), s("win", None),
+        s("win", None), s("win", None, None), s("win", None), s("win"),
     )
     return jax.jit(step, in_shardings=in_shardings,
                    out_shardings=out_shardings)
@@ -309,7 +309,7 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
         h1, h2 = genotype_index_pairs(Hmax)
         step = _region_call_step(mesh, gapextend, nucprior, em_iters)
         with mesh:
-            ll_d, glrel_d, em_d, freq_d, gof_d, ratio_d = step(
+            ll_d, glrel_d, em_d, freq_d, gof_d, ratio_d, margin_d = step(
                 jnp.asarray(hap_mat), jnp.asarray(go_mat),
                 jnp.asarray(seq_mat), jnp.asarray(qual_mat),
                 jnp.asarray(pair_hap), jnp.asarray(pair_read),
@@ -325,6 +325,7 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
         em_h = np.asarray(em_d, np.float64)
         freq_h = np.asarray(freq_d, np.float64)
         ratio_h = np.asarray(ratio_d, np.float64)
+        margin_h = np.asarray(margin_d, np.float64)
 
         for k, (w_idx, prep) in enumerate(items):
             H = len(prep.all_haps)
@@ -336,6 +337,7 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
                 frequencies=freq_h[k][:H],
                 ratios={v: float(ratio_h[k, vi])
                         for vi, v in enumerate(variants_by_item[k])},
+                em_margin=float(margin_h[k]),
             )
     return loglik_by_idx, inference_by_idx, leftover
 

@@ -87,10 +87,12 @@ def test_infer_window_batch_matches_host(H, R, I):
     hr[0] = n_reads > 0
 
     h1b, h2b = lk.genotype_index_pairs(Hb)
-    lik_d, em_d, freq_d, gof_d, ratio_d, glrel_d = infer_window_batch(
+    lik_d, em_d, freq_d, gof_d, ratio_d, glrel_d, margin_d = infer_window_batch(
         jnp.asarray(ll), jnp.asarray(oh), jnp.asarray(hm),
         jnp.asarray(h1b, jnp.int32), jnp.asarray(h2b, jnp.int32),
         jnp.asarray(vm), jnp.asarray(hr), em_iters=100)
+    assert np.asarray(margin_d).shape == (Wb,)
+    assert float(np.asarray(margin_d)[0]) >= 0.0
 
     cols = np.nonzero((h1b < H) & (h2b < H))[0]
     np.testing.assert_allclose(np.asarray(lik_d)[0][:, cols], host_lik,
@@ -144,19 +146,75 @@ def test_device_inference_e2e_matches_host_path(tmp_path):
             "-o", out,
         ])
         assert rc == 0
-        recs = []
-        for line in open(out):
-            if line.startswith("#"):
-                continue
-            f = line.split("\t")
-            recs.append((f[0], int(f[1]), f[3], f[4], float(f[5]),
-                         f[9].strip()))
-        outs[dev] = recs
+        outs[dev] = [line for line in open(out) if not line.startswith("#")]
 
     assert len(outs[0]) == len(outs[1]) > 0
-    for a, b in zip(outs[0], outs[1]):
-        assert a[:4] == b[:4]          # site + alleles identical
-        # sample column (GT:GL:GOF:GQ:NR:NV) byte-equal: GL/GOF always come
-        # from the f64 host oracle regardless of inference path
-        assert a[5] == b[5]
-        assert abs(a[4] - b[4]) <= 1.0 + 0.001 * max(a[4], b[4])
+    # Full byte equality across inference backends: QUAL/PP/FR come from
+    # the device f32 path only when the f64-exactness guard proves the
+    # rounding cannot differ (engine/caller._device_window_needs_host);
+    # otherwise the window recomputes on the host oracle.  PARITY §15.
+    assert outs[0] == outs[1]
+
+
+def test_f64_guard_margins():
+    """Empirical basis for the f64-exactness guard bands
+    (engine/caller._PP_BOUNDARY_EPS / _FR_BOUNDARY_EPS): over many random
+    windows whose EM convergence margin is comfortable, the f32 device
+    deviations from the f64 host oracle must stay below HALF each band —
+    i.e. the bands carry >=2x measured worst case (in practice >=10x; the
+    assertion is deliberately loose so tunnel-sized batches stay cheap)."""
+    import jax.numpy as jnp
+
+    from platypus_tpu.engine.caller import (_EM_MARGIN_EPS, _FR_BOUNDARY_EPS,
+                                            _PP_BOUNDARY_EPS)
+    from platypus_tpu.ops.likelihood_jax import infer_window_batch
+
+    rng = np.random.default_rng(123)
+    max_ratio_phred_dev = 0.0
+    max_freq_dev = 0.0
+    n_checked = 0
+    for trial in range(60):
+        H = int(rng.integers(2, 6))
+        R = int(rng.integers(8, 60))
+        I = int(rng.integers(1, 4))
+        loglik, sample_idx, is_good = _random_window(rng, H, R, I)
+        V = int(rng.integers(1, 3))
+        var_masks = [rng.random(H) < 0.5 for _ in range(V)]
+        for m in var_masks:
+            m[0] = False
+        host_lik, _em, host_freq, _gof, n_reads, host_ratio = _host_reference(
+            loglik, sample_idx, is_good, I, var_masks)
+
+        Hb, Rb, Vb = H + 1, R + 4, V
+        ll = np.zeros((1, Hb, Rb), np.float32)
+        oh = np.zeros((1, I, Rb), np.float32)
+        hm = np.zeros((1, Hb), bool)
+        vm = np.zeros((1, Vb, Hb), bool)
+        hr = np.zeros((1, I), bool)
+        ll[0, :H, :R] = loglik
+        oh[0, sample_idx, np.arange(R)] = 1.0
+        hm[0, :H] = True
+        for vi, m in enumerate(var_masks):
+            vm[0, vi, :H] = m
+        hr[0] = n_reads > 0
+        h1b, h2b = lk.genotype_index_pairs(Hb)
+        out = infer_window_batch(
+            jnp.asarray(ll), jnp.asarray(oh), jnp.asarray(hm),
+            jnp.asarray(h1b, jnp.int32), jnp.asarray(h2b, jnp.int32),
+            jnp.asarray(vm), jnp.asarray(hr), em_iters=100)
+        freq_d = np.asarray(out[2], np.float64)[0][:H]
+        ratio_d = np.asarray(out[4], np.float64)[0][:V]
+        margin = float(np.asarray(out[6])[0])
+        if margin < _EM_MARGIN_EPS:
+            continue  # the guard would host-recompute this window anyway
+        n_checked += 1
+        # Phred-scale deviation of the posterior (prior factors cancel in
+        # the derivative bound; 10/ln10 converts ln-ratio error to phred).
+        max_ratio_phred_dev = max(
+            max_ratio_phred_dev,
+            float(np.max(np.abs(ratio_d - host_ratio))) * 10.0 / math.log(10.0))
+        max_freq_dev = max(max_freq_dev,
+                           float(np.max(np.abs(freq_d - host_freq))))
+    assert n_checked >= 30
+    assert max_ratio_phred_dev < _PP_BOUNDARY_EPS / 2, max_ratio_phred_dev
+    assert max_freq_dev < _FR_BOUNDARY_EPS / 2, max_freq_dev
