@@ -92,6 +92,8 @@ _FLAG_MAP = {
     "refCallBlockSize": "ref_call_block_size",
     "usePallas": "use_pallas",
     "deviceInference": "device_inference",
+    "inferenceService": "inference_service",
+    "tpuWorkers": "tpu_workers",
     "meshDevices": "mesh_devices",
     "distributed": "distributed",
 }

@@ -121,6 +121,21 @@ class PlatypusConfig:
     # Fused device GL/EM/posterior inference (parallel/batch.py): -1 = auto
     # (on when the backend is TPU), 0 = host float64 path, 1 = force on.
     device_inference: int = -1
+    # Device-owner inference service for multi-worker runs
+    # (engine/device_service.py): one spawned process owns the TPU and
+    # serves fused inference to the nCPU workers.  0 = off, 1 = on.
+    # Opt-in: measured on a 4-core host the per-region EM/posterior work
+    # is smaller than the IPC cost; the hybrid pool (tpu_workers) is the
+    # default way to use the chip.  PLATYPUS_TPU_INFERENCE_SERVICE
+    # overrides.
+    inference_service: int = 0
+    # Hybrid worker pool (engine/runner.py): add ONE device-owner worker
+    # to the nCPU host workers; it steals whole regions from the shared
+    # queue and calls them end-to-end on the TPU (in-process pipelined
+    # alignment + fused inference).  -1 = auto (on unless the run is
+    # pinned to a non-TPU backend), 0 = off, 1 = force.
+    # PLATYPUS_TPU_HYBRID_WORKER overrides.
+    tpu_workers: int = -1
     # Device-mesh calling path (parallel/mesh.mesh_call_region): alignment +
     # inference for a region's windows run as ONE sharded program over an
     # n-device mesh.  0 = off (single-device async dispatch), -1 = all local

@@ -538,6 +538,25 @@ def begin_region_inference(state, config: PlatypusConfig) -> None:
         except Exception:  # noqa: BLE001 — fall back to the host path
             logger.exception("device inference failed; using host path")
             state.pending_inference = None
+    elif (not inference_by_idx and state.pending_inference is None
+          and config.device_inference != 0):
+        # Multi-worker runs: this worker has no device, but the parent's
+        # device-owner service (engine/device_service.py) may be serving
+        # the fused inference on the real TPU.  Non-blocking submit here;
+        # the response hides behind the next region's host work.
+        from .device_service import get_inference_client
+
+        client = get_inference_client()
+        if client is not None and client.available():
+            from .device_service import dispatch_service_inference
+
+            try:
+                with metrics.timer("device_inference"):
+                    state.pending_inference = dispatch_service_inference(
+                        state.live, loglik_by_idx, len(buffers), client)
+            except Exception:  # noqa: BLE001 — fall back to the host path
+                logger.exception("service inference failed; using host path")
+                state.pending_inference = None
 
 
 def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:

@@ -126,8 +126,13 @@ def run_single_process(
     regions: Sequence[Region],
     output_path: str,
     append: bool = False,
+    on_region_done=None,
 ) -> int:
-    """One worker: call all given regions into one VCF file."""
+    """One worker: call all given regions into one VCF file.
+
+    `on_region_done(region)` is invoked once per region after its output
+    is durably written (flushed) OR it was abandoned by crash containment
+    — the hybrid pool's rescue protocol keys off it (RegionClaimSource)."""
     from ..ops.align_jax import configure_compilation_cache
 
     configure_compilation_cache()
@@ -210,9 +215,17 @@ def run_single_process(
             n_written += finish_region_call(state, finish_ref, config, writer)
         except Exception:  # noqa: BLE001 — region crash containment
             logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
+        if on_region_done is not None:
+            try:
+                out.flush()  # make the region's lines durable first
+            except Exception:  # noqa: BLE001
+                pass
+            on_region_done((chrom, start, end))
 
     def _stage(entry, prev_begun):
         begun = _begin(entry) if entry is not None else None
+        if begun is None and entry is not None and on_region_done is not None:
+            on_region_done(tuple(entry[:3]))  # crashed in begin: done (skipped)
         if prev_begun is not None:
             _finish(prev_begun)
         return begun
@@ -265,6 +278,12 @@ def run_single_process(
             except Exception:  # noqa: BLE001 — region crash containment
                 logger.exception("Region %s:%s-%s will be skipped",
                                  chrom, start, end)
+            if on_region_done is not None:
+                try:
+                    out.flush()
+                except Exception:  # noqa: BLE001
+                    pass
+                on_region_done((chrom, start, end))
             cur = next(region_iter, None)
             index += 1
             continue
@@ -276,6 +295,8 @@ def run_single_process(
         except Exception:  # noqa: BLE001 — region crash containment
             logger.exception("Region %s:%s-%s will be skipped", chrom, start, end)
             state = None
+        if state is None and on_region_done is not None:
+            on_region_done((chrom, start, end))  # skipped: no output will come
         if prefetch is not None:
             prefetch.join()  # never leave the helper running into a fetch
             prefetch = None
@@ -330,6 +351,31 @@ def _cap_worker_threads(n_workers: int) -> None:
         os.environ["XLA_FLAGS"] = f"{existing} {extra}".strip()
 
 
+def _n_device_workers(config: PlatypusConfig, n_host: int) -> int:
+    """How many device-owner workers to add to the pool (0 or 1 — a single
+    TPU collapses under concurrent clients, so never more than one).
+
+    Auto (-1): one device worker when the run is not pinned to a non-TPU
+    backend.  The worker itself checks its backend at startup and simply
+    behaves as a normal CPU worker when no TPU is attached, so auto is
+    safe on CPU-only hosts — but we skip it there to avoid oversubscribing
+    the host by one process for nothing."""
+    mode = getattr(config, "tpu_workers", -1)
+    env = os.environ.get("PLATYPUS_TPU_HYBRID_WORKER")
+    if env is not None:
+        mode = int(env)
+    if mode == 0:
+        return 0
+    if n_host < 1:
+        return 0
+    pinned = os.environ.get("PLATYPUS_TPU_PLATFORM")
+    if mode == -1 and pinned and pinned != "tpu":
+        return 0
+    if mode == -1 and config.worker_platform not in ("auto", "default"):
+        return 0
+    return 1
+
+
 def _queue_regions(q):
     """Drain a pre-filled region queue lazily (work stealing: the region is
     claimed at next() time, not at worker launch).  The parent enqueues one
@@ -342,11 +388,131 @@ def _queue_regions(q):
         yield region
 
 
+class RegionClaimSource:
+    """Work-stealing region source over shared claim state, with RESCUE.
+
+    Every worker holds the same position-sorted region list; claiming is
+    one shared index += 1 under its lock, so each worker's claimed regions
+    are position-sorted (its temp VCF stays sorted for the k-way merge)
+    and regions are processed FIFO exactly like a queue design.
+
+    Hybrid-pool hazard: a device worker's per-region wall over a tunneled
+    TPU can degrade 10x+ under congestion, and a claimed-but-unfinished
+    region would stall the whole run (measured 20x wall blow-up).  Two
+    defences:
+
+    * BOW-OUT — a device worker only claims while the rest of the pool
+      has comfortably more queued work than one of its regions takes
+      (remaining > n_host, and its EMA region time <= 0.8 x the time the
+      others need to drain what remains, their rate observed from the
+      shared index: self-tuning, no cross-process telemetry);
+    * RESCUE — once the index is exhausted, host workers re-claim any
+      device-claimed-but-uncompleted region (claim_rescue) and call it
+      themselves into a dedicated `<output>_rescue_<i>` temp file.
+      Output stays byte-identical because every backend produces
+      identical data lines (PARITY §15); if the straggler also finishes,
+      merge_vcf_files drops the exact-duplicate lines.  The parent
+      terminates device workers once every region is completed
+      (all_done), so a straggler never extends the run.
+
+    Shared state per region: state 0=unclaimed, 1=host, 2=device,
+    3=rescued; completed 0/1 set by mark_done after the region's output
+    has been written AND flushed."""
+
+    HOST, DEVICE, RESCUED = 1, 2, 3
+
+    def __init__(self, regions, index, state, completed, n_host: int,
+                 is_device: bool = False):
+        self.regions = list(regions)
+        self.index = index          # multiprocessing.Value('i')
+        self.state = state          # multiprocessing.Array('b', N)
+        self.completed = completed  # multiprocessing.Array('b', N)
+        self.n_host = max(1, n_host)
+        self.is_device = is_device
+        self._by_region = {tuple(r): i for i, r in enumerate(self.regions)}
+        self._ema = None            # my seconds/region
+        self._last_claim = None     # (time, index) at my previous claim
+
+    def __iter__(self):
+        import time as _time
+
+        while True:
+            now = _time.monotonic()
+            with self.index.get_lock():
+                i = self.index.value
+                remaining = len(self.regions) - i
+                if remaining <= 0:
+                    return
+                if self.is_device and not self._device_should_claim(
+                        i, remaining, now):
+                    return
+                self.index.value = i + 1
+                self.state[i] = self.DEVICE if self.is_device else self.HOST
+            if self._last_claim is not None:
+                dt = now - self._last_claim[0]
+                self._ema = dt if self._ema is None else 0.6 * self._ema + 0.4 * dt
+            self._last_claim = (now, i)
+            yield self.regions[i]
+
+    def _device_should_claim(self, i: int, remaining: int, now) -> bool:
+        if remaining <= self.n_host:
+            return False
+        if self._ema is None or self._last_claim is None:
+            return True
+        dt = now - self._last_claim[0]
+        claims_by_others = (i - self._last_claim[1]) - 1
+        if dt <= 0 or claims_by_others <= 0:
+            return True
+        others_rate = claims_by_others / dt
+        return self._ema <= 0.8 * remaining / others_rate
+
+    def mark_done(self, region) -> None:
+        """Record that a region's output is durably written (flushed)."""
+        i = self._by_region.get(tuple(region))
+        if i is not None:
+            self.completed[i] = 1
+
+    def claim_rescue(self):
+        """Claim one device-claimed-but-uncompleted region for re-calling
+        (host workers, after the main index is exhausted).  Returns
+        (region, index) or None."""
+        with self.index.get_lock():
+            if self.index.value < len(self.regions):
+                return None  # mainline work still available
+            for i in range(len(self.regions)):
+                if self.state[i] == self.DEVICE and not self.completed[i]:
+                    self.state[i] = self.RESCUED
+                    return self.regions[i], i
+        return None
+
+    def all_done(self) -> bool:
+        with self.index.get_lock():
+            if self.index.value < len(self.regions):
+                return False
+            return all(self.completed[i] for i in range(len(self.regions)))
+
+
 def _worker_entry(args):
-    config_json, regions, path = args
+    config_json, regions, path = args[:3]
+    service_handle = args[3] if len(args) > 3 else None
+    platform_override = args[4] if len(args) > 4 else None
     config = PlatypusConfig.from_json(config_json)
-    if not isinstance(regions, (list, tuple)):
-        regions = _queue_regions(regions)  # multiprocessing queue
+    if service_handle is not None:
+        from .device_service import set_service_handle
+
+        set_service_handle(service_handle)
+    if platform_override is not None:
+        # Hybrid pool: this worker is the device owner — it runs the
+        # in-process TPU path (async-pipelined alignment + fused
+        # inference) on regions it steals from the shared queue, while
+        # its CPU siblings run the native host kernels.
+        config.worker_platform = platform_override
+    source = None
+    if isinstance(regions, RegionClaimSource):
+        source = regions
+        regions = iter(source)  # shared-index work stealing
+    elif not isinstance(regions, (list, tuple)):
+        regions = _queue_regions(regions)  # multiprocessing queue (legacy)
     # Honour a platform override in spawned workers (the axon TPU plugin
     # ignores JAX_PLATFORMS; tests set PLATYPUS_TPU_PLATFORM=cpu).  With no
     # env override, config.worker_platform applies — "auto" resolves to
@@ -361,11 +527,106 @@ def _worker_entry(args):
         jax.config.update("jax_platforms", platform)
     if platform == "cpu":
         _cap_worker_threads(config.n_cpu)
+    elif platform_override is not None:
+        # Device worker: cap its HOST-side pools (BGZF inflate, BLAS) to
+        # the same per-worker share — its compute rides the TPU, but its
+        # host stages share cores with the CPU siblings.  If no TPU is
+        # actually attached it degrades to one more CPU worker.
+        _cap_worker_threads(config.n_cpu)
     # Spawned workers start with a fresh root logger; re-apply the
     # verbosity mapping (the reference's fork model inherited it).
     # continuing=True so a shared log file is appended, not truncated.
     setup_logging(config, continuing=True)
-    return run_single_process(config, regions, path)
+
+    # Test hook: make the device worker artificially slow per region so the
+    # rescue protocol is exercised deterministically without a congested
+    # tunnel (tests/test_device_service.py).
+    delay = float(os.environ.get("PLATYPUS_TPU_TEST_DEVICE_DELAY", "0") or 0)
+    if delay and platform_override is not None:
+        regions = _delayed_regions(regions, delay)
+
+    if platform_override is not None and not _device_worker_healthy():
+        # Tunnel/device too degraded to contribute (a region needs ~8 MB of
+        # uploads; a congested tunnel was measured below 10 KB/s while RTT
+        # stayed normal).  Exit before claiming anything — the host workers
+        # run exactly as a plain pool.
+        logger.warning("device worker: health probe failed; standing down")
+        open(path, "w").close()  # empty temp file so the merge k-way opens
+        return 0
+
+    on_done = source.mark_done if source is not None else None
+    n = run_single_process(config, regions, path, on_region_done=on_done)
+
+    # Rescue pass (host workers): re-call any device-claimed region whose
+    # output never became durable, each into its own `<output>_rescue_<i>`
+    # file (trivially sorted; the parent merges them in).  Duplicate lines
+    # from a straggler that finished anyway are dropped at merge time.
+    if source is not None and not source.is_device:
+        while True:
+            rescue = source.claim_rescue()
+            if rescue is None:
+                break
+            region, r_idx = rescue
+            logger.info("Rescuing region %s:%s-%s from the device worker",
+                        *region)
+            rescue_path = f"{config.output}_rescue_{r_idx}"
+            n += run_single_process(config, [region], rescue_path,
+                                    on_region_done=on_done)
+    return n
+
+
+def _delayed_regions(regions, delay: float):
+    import time as _time
+
+    for region in regions:
+        _time.sleep(delay)
+        yield region
+
+
+def _device_worker_healthy() -> bool:
+    """Startup probe for the hybrid device worker: a 1 MB upload (the
+    scale one region actually ships) must complete within
+    PLATYPUS_TPU_HYBRID_PROBE seconds (default 2 — a healthy tunnel does
+    it in well under 0.5 s; a congested one was measured taking minutes
+    while small transfers still looked normal, so the probe MUST use a
+    realistic payload).  The upload runs on a daemon thread so a hung
+    tunnel cannot stall the worker past the limit.  Only gates the TPU
+    backend; a CPU-degraded device worker is just one more host worker
+    and always passes.  0 disables the probe."""
+    limit = float(os.environ.get("PLATYPUS_TPU_HYBRID_PROBE", "2.0") or 0)
+    if limit <= 0:
+        return True
+    try:
+        import threading
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        if jax.default_backend() != "tpu":
+            return True
+        # Warm the transfer path once (backend setup, first-op overheads).
+        jnp.asarray(np.zeros(256, np.uint8)).block_until_ready()
+        done = threading.Event()
+
+        def _upload():
+            try:
+                jnp.asarray(np.zeros(1024 * 1024, np.uint8)).block_until_ready()
+                done.set()
+            except Exception:  # noqa: BLE001 — treated as unhealthy
+                pass
+
+        t0 = _time.perf_counter()
+        threading.Thread(target=_upload, daemon=True).start()
+        ok = done.wait(timeout=limit)
+        logger.info("device worker probe: 1MB upload %s in %.0f ms",
+                    "done" if ok else "NOT done",
+                    (_time.perf_counter() - t0) * 1e3)
+        return ok
+    except Exception:  # noqa: BLE001 — any probe failure means stand down
+        logger.exception("device worker probe failed")
+        return False
 
 
 def _chrom_sort_key(chrom: str):
@@ -377,7 +638,13 @@ def _chrom_sort_key(chrom: str):
 
 
 def merge_vcf_files(temp_files: Sequence[str], final_name: str) -> None:
-    """k-way merge of sorted temp VCFs (runner.py:301-352)."""
+    """k-way merge of sorted temp VCFs (runner.py:301-352).
+
+    Hybrid-pool hardening: (a) a line without a trailing newline (a device
+    straggler terminated mid-write) is dropped — its region has a complete
+    rescue copy; (b) an exact-duplicate line at the same (chrom, pos) is
+    emitted once (the straggler finished AND the rescuer re-called the
+    region; both copies are byte-identical by the determinism contract)."""
     out = sys.stdout if final_name == "-" else open(final_name, "w")
     heap = []
     iters = []
@@ -405,9 +672,17 @@ def merge_vcf_files(temp_files: Sequence[str], final_name: str) -> None:
         next(g)  # consume first (already captured)
         heapq.heappush(heap, (_line_key(first_data), index, first_data, g, fh, name))
 
+    cur_key = None
+    cur_lines: set = set()
     while heap:
         _key, index, line, g, fh, name = heapq.heappop(heap)
-        out.write(line)
+        pos_key = _key[:2]
+        if pos_key != cur_key:
+            cur_key = pos_key
+            cur_lines.clear()
+        if line.endswith("\n") and line not in cur_lines:
+            cur_lines.add(line)
+            out.write(line)
         try:
             nxt = next(g)
             heapq.heappush(heap, (_line_key(nxt), index, nxt, g, fh, name))
@@ -491,32 +766,85 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
     # Output is byte-identical to any static assignment — the queue is FIFO
     # so each worker's regions (hence its temp VCF) stay position-sorted,
     # regions are disjoint, and the k-way merge orders by (chrom, pos).
-    n_workers = min(config.n_cpu, max(1, len(regions)))
+    n_host = min(config.n_cpu, max(1, len(regions)))
+    # Hybrid pool: one additional worker owns the TPU and calls whole
+    # regions end-to-end on-device (in-process async-pipelined alignment +
+    # fused inference — the proven single-process TPU path, no IPC), while
+    # the host workers run the native CPU kernels.  All pull from the same
+    # work-stealing queue, so load balance is automatic and output is
+    # byte-identical across backends (PARITY §15).
+    n_device = _n_device_workers(config, n_host)
+    n_workers = n_host + n_device
     temp_files = [f"{config.output}_temp_{i}" for i in range(n_workers)]
     ctx = multiprocessing.get_context("spawn")
-    queue = ctx.Queue()
-    for region in regions:
-        queue.put(region)
-    for _ in range(n_workers):
-        queue.put(None)  # one end-of-work sentinel per worker
+
+    # Device-owner service: one extra process owns the TPU and serves the
+    # fused GL/EM/posterior batches to every worker (the workers themselves
+    # stay on the CPU backend — a single TPU collapses under concurrent
+    # clients).  The server detects at startup whether a TPU is actually
+    # attached and stands down otherwise.  Opt-in (--inferenceService=1):
+    # measured on this class of host the per-region EM/posterior work is
+    # smaller than the IPC+latency cost, so the hybrid pool above is the
+    # default way to use the chip.  engine/device_service.py.
+    from .device_service import DeviceService, should_start_service
+
+    service = (DeviceService(ctx, n_workers)
+               if n_device == 0 and should_start_service(config, n_workers)
+               else None)
+
+    import glob as _glob
+
+    for stale in _glob.glob(f"{config.output}_rescue_*"):
+        os.remove(stale)  # a crashed previous run must not leak into merge
+
+    claim_index = ctx.Value("i", 0)
+    claim_state = ctx.Array("b", len(regions))
+    claim_completed = ctx.Array("b", len(regions))
+    parent_source = RegionClaimSource(regions, claim_index, claim_state,
+                                      claim_completed, n_host)
     workers = [
         ctx.Process(target=_worker_entry,
-                    args=((config.to_json(), queue, temp_files[i]),))
+                    args=((config.to_json(),
+                           RegionClaimSource(regions, claim_index,
+                                             claim_state, claim_completed,
+                                             n_host, is_device=i >= n_host),
+                           temp_files[i],
+                           service.handle_for(i) if service else None,
+                           "default" if i >= n_host else None),))
         for i in range(n_workers)
     ]
     for p in workers:
         p.start()
+    terminated_stragglers: List[int] = []
     try:
+        while any(p.is_alive() for p in workers):
+            for p in workers:
+                p.join(timeout=0.5)
+            if service is not None:
+                service.check_alive()  # a dead server must not hang workers
+            if n_device and parent_source.all_done():
+                # Every region's output is durable (rescues included); a
+                # device worker still chewing on a straggler region must
+                # not extend the run — its duplicate lines are dropped at
+                # merge time.
+                for i in range(n_host, n_workers):
+                    if workers[i].is_alive():
+                        logger.info("Terminating device worker %d "
+                                    "(all regions complete)", i)
+                        workers[i].terminate()
+                        terminated_stragglers.append(i)
         for p in workers:
             p.join()
     except KeyboardInterrupt:
         for p in workers:
             p.terminate()
-        # The feeder thread blocks on the pipe if regions are still queued;
-        # without this the interpreter can hang at exit joining it.
-        queue.cancel_join_thread()
+        if service is not None:
+            service.stop()
         raise
-    failed = [i for i, p in enumerate(workers) if p.exitcode != 0]
+    if service is not None:
+        service.stop()
+    failed = [i for i, p in enumerate(workers)
+              if p.exitcode != 0 and i not in terminated_stragglers]
     if failed:
         # A dead worker's claimed regions are simply gone — merging the
         # survivors would silently emit a VCF with holes (the reference's
@@ -527,7 +855,10 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
             f"{[workers[i].exitcode for i in failed]}; output would be "
             f"incomplete. Temp files kept: {[temp_files[i] for i in failed]}"
         )
-    merge_vcf_files(temp_files, config.output)
+    import glob as _glob
+
+    rescue_files = sorted(_glob.glob(f"{config.output}_rescue_*"))
+    merge_vcf_files(temp_files + rescue_files, config.output)
 
 
 def continue_calling(vcf_path: str) -> None:

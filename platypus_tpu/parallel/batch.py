@@ -92,20 +92,11 @@ class PendingInference:
             self.buckets = [(items, h1, h2, dev) for (items, h1, h2, _), dev
                             in zip(self.buckets, fetched)]
         for items, h1, h2, (em_d, freq_d, ratio_d, margin_d) in self.buckets:
-            em_h = np.asarray(em_d, np.float64)
-            freq_h = np.asarray(freq_d, np.float64)
-            ratio_h = np.asarray(ratio_d, np.float64)
-            margin_h = np.asarray(margin_d, np.float64)
-            for k, (w_idx, prep, ll, variants) in enumerate(items):
-                H, R = ll.shape
-                cols = np.nonzero((h1 < H) & (h2 < H))[0]
-                out[w_idx] = WindowInference(
-                    em=em_h[k][:, cols],
-                    frequencies=freq_h[k][:H],
-                    ratios={v: float(ratio_h[k, vi])
-                            for vi, v in enumerate(variants)},
-                    em_margin=float(margin_h[k]),
-                )
+            out.update(inference_results_to_windows(
+                items, h1, h2,
+                np.asarray(em_d, np.float64), np.asarray(freq_d, np.float64),
+                np.asarray(ratio_d, np.float64),
+                np.asarray(margin_d, np.float64)))
         self.buckets = []
         return out
 
@@ -121,19 +112,33 @@ def run_device_inference(
         live, loglik_by_idx, n_individuals, em_iters=em_iters).gather()
 
 
-def dispatch_device_inference(
+@dataclass
+class InferenceBatch:
+    """One bucketed, padded window batch ready for the fused program —
+    either dispatched locally (dispatch_device_inference) or shipped to
+    the device-owner service (engine/device_service.py).  The array
+    fields are exactly infer_window_batch's inputs except h1/h2, which
+    the consumer derives from hap_mask.shape[1]."""
+
+    items: list                # (w_idx, prep, ll, variants)
+    loglik: np.ndarray         # [W, Hb, Rb] float32
+    onehot: np.ndarray         # [W, I, Rb] float32
+    hap_mask: np.ndarray       # [W, Hb] bool
+    var_mask: np.ndarray       # [W, Vb, Hb] bool
+    has_reads: np.ndarray      # [W, I] bool
+
+    def arrays(self) -> dict:
+        return dict(loglik=self.loglik, onehot=self.onehot,
+                    hap_mask=self.hap_mask, var_mask=self.var_mask,
+                    has_reads=self.has_reads)
+
+
+def build_inference_batches(
     live: Sequence[Tuple[int, object]],   # (window index, PreparedWindow)
     loglik_by_idx: Dict[int, np.ndarray],
     n_individuals: int,
-    em_iters: int = 100,
-) -> PendingInference:
-    """Launch the fused GL/EM/posterior program over every live window,
-    bucketed by shape; returns a PendingInference to gather() later."""
-    import jax.numpy as jnp
-
-    from ..ops.likelihood import genotype_index_pairs
-    from ..ops.likelihood_jax import infer_window_batch
-
+) -> List[InferenceBatch]:
+    """Bucket + pad every live window into fixed-shape batches."""
     groups: Dict[Tuple[int, int, int], list] = {}
     for w_idx, prep in live:
         ll = loglik_by_idx[w_idx]
@@ -148,7 +153,7 @@ def dispatch_device_inference(
                geom_bucket(max(1, len(variants))))
         groups.setdefault(key, []).append((w_idx, prep, ll, variants))
 
-    pending = PendingInference()
+    batches: List[InferenceBatch] = []
     I = n_individuals
     for (Hb, Rb, Vb), items in groups.items():
         Wb = geom_bucket(len(items))
@@ -173,12 +178,55 @@ def dispatch_device_inference(
             n_good = np.bincount(prep.reads.sample_idx[prep.reads.is_good],
                                  minlength=I) if R else np.zeros(I, np.int64)
             has_reads[k] = n_good > 0
+        batches.append(InferenceBatch(items, loglik, onehot, hap_mask,
+                                      var_mask, has_reads))
+    return batches
 
+
+def inference_results_to_windows(
+    items: list, h1: np.ndarray, h2: np.ndarray,
+    em_h: np.ndarray, freq_h: np.ndarray, ratio_h: np.ndarray,
+    margin_h: np.ndarray,
+) -> Dict[int, WindowInference]:
+    """Map one batch's (host-side) result arrays back to WindowInference
+    per window index — shared by the local gather and the service client."""
+    out: Dict[int, WindowInference] = {}
+    for k, (w_idx, prep, ll, variants) in enumerate(items):
+        H, R = ll.shape
+        cols = np.nonzero((h1 < H) & (h2 < H))[0]
+        out[w_idx] = WindowInference(
+            em=em_h[k][:, cols],
+            frequencies=freq_h[k][:H],
+            ratios={v: float(ratio_h[k, vi])
+                    for vi, v in enumerate(variants)},
+            em_margin=float(margin_h[k]),
+        )
+    return out
+
+
+def dispatch_device_inference(
+    live: Sequence[Tuple[int, object]],   # (window index, PreparedWindow)
+    loglik_by_idx: Dict[int, np.ndarray],
+    n_individuals: int,
+    em_iters: int = 100,
+) -> PendingInference:
+    """Launch the fused GL/EM/posterior program over every live window,
+    bucketed by shape; returns a PendingInference to gather() later."""
+    import jax.numpy as jnp
+
+    from ..ops.likelihood import genotype_index_pairs
+    from ..ops.likelihood_jax import infer_window_batch
+
+    pending = PendingInference()
+    for batch in build_inference_batches(live, loglik_by_idx, n_individuals):
+        Hb = batch.hap_mask.shape[1]
         h1, h2 = genotype_index_pairs(Hb)
         dev = infer_window_batch(
-            jnp.asarray(loglik), jnp.asarray(onehot), jnp.asarray(hap_mask),
+            jnp.asarray(batch.loglik), jnp.asarray(batch.onehot),
+            jnp.asarray(batch.hap_mask),
             jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
-            jnp.asarray(var_mask), jnp.asarray(has_reads), em_iters=em_iters,
+            jnp.asarray(batch.var_mask), jnp.asarray(batch.has_reads),
+            em_iters=em_iters,
         )
         # Start the device->host copies now (consumed outputs only); they
         # stream behind the compute while the next region does host work.
@@ -187,5 +235,5 @@ def dispatch_device_inference(
                 arr.copy_to_host_async()
             except AttributeError:
                 break
-        pending.buckets.append((items, h1, h2, dev))
+        pending.buckets.append((batch.items, h1, h2, dev))
     return pending
