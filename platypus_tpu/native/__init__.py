@@ -150,6 +150,13 @@ def _load_and_bind(path: str) -> ctypes.CDLL:
         + [ctypes.c_int32] * 5
         + [ctypes.c_void_p] * 6
     )
+    lib.ptpu_em_f64.restype = ctypes.c_int32
+    lib.ptpu_em_f64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     return lib
 
 
@@ -781,3 +788,83 @@ class NativeAssembler:
             removed, added = blob.split(b"\x00")[:2]
             out.append((int(pos[i]), removed, added))
         return out
+
+
+# ---------------------------------------------------------------------------
+# Haplotype-frequency EM (src/em.cpp) — bit-exact twin of the numpy oracle
+# ---------------------------------------------------------------------------
+
+_EM_VERIFIED: Optional[bool] = None
+
+
+def _verify_native_em(lib) -> bool:
+    """One-time battery: the C++ EM must match the numpy oracle BITWISE
+    over randomized shapes (including G > 128 pairwise-summation blocks and
+    multi-sample outer-axis reductions).  Any mismatch disables the native
+    path for the process — numpy remains the authority."""
+    from ..ops.likelihood import em_haplotype_frequencies, genotype_index_pairs
+
+    rng = np.random.default_rng(20260819)
+    for trial in range(24):
+        H = int(rng.integers(2, 20)) if trial % 3 else int(rng.integers(2, 5))
+        h1, h2 = genotype_index_pairs(H)
+        G = len(h1)
+        I = int(rng.integers(1, 14))
+        lik = np.maximum(1e-12, rng.random((I, G)))
+        lik[rng.random((I, G)) < 0.2] = 1e-300
+        n_reads = rng.integers(0, 40, I)
+        want = em_haplotype_frequencies(lik, h1, h2, H, n_reads,
+                                        max_iters=100, _allow_native=False)
+        got = native_em(lik, h1, h2, H, n_reads, 100, lib=lib)
+        if got is None:
+            return False
+        for a, b in zip(want[:2], got[:2]):
+            if a.shape != b.shape or not np.array_equal(
+                    a.view(np.uint64), b.view(np.uint64)):
+                return False
+        if want[2] != got[2]:
+            return False
+    return True
+
+
+def native_em(likelihoods: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+              n_haps: int, n_reads: np.ndarray, max_iters: int = 100,
+              lib=None):
+    """EM frequencies + responsibilities via C++; None when the library is
+    unavailable or failed its bit-exactness self-check (callers fall back
+    to the numpy oracle in ops/likelihood.py)."""
+    global _EM_VERIFIED
+    if lib is None:
+        if os.environ.get("PLATYPUS_TPU_NATIVE_EM", "1") == "0":
+            return None
+        lib = load()
+        if lib is None:
+            return None
+        if _EM_VERIFIED is None:
+            _EM_VERIFIED = _verify_native_em(lib)
+            if not _EM_VERIFIED:
+                import logging
+
+                logging.getLogger("platypus_tpu").warning(
+                    "native EM failed the bit-exactness self-check; "
+                    "using the numpy oracle")
+        if not _EM_VERIFIED:
+            return None
+    I, G = likelihoods.shape
+    has_data = n_reads > 0
+    nd = int(has_data.sum())
+    csr = np.zeros_like(likelihoods)
+    if nd == 0:
+        return np.full(n_haps, 1.0 / n_haps), csr, 0
+    lik = np.ascontiguousarray(likelihoods[has_data], np.float64)
+    h1c = np.ascontiguousarray(h1, np.int64)
+    h2c = np.ascontiguousarray(h2, np.int64)
+    eps = min(1e-3, 1.0 / (I * 4))
+    freq = np.empty(n_haps, np.float64)
+    w = np.empty((nd, G), np.float64)
+    iters = lib.ptpu_em_f64(_np_ptr(lik), nd, G, _np_ptr(h1c), _np_ptr(h2c),
+                            n_haps, eps, max_iters, _np_ptr(freq), _np_ptr(w))
+    if iters < 0:
+        return None
+    csr[has_data] = w
+    return freq, csr, int(iters)

@@ -1,0 +1,107 @@
+// Haplotype-frequency EM, float64, bit-exact with the numpy oracle
+// (platypus_tpu/ops/likelihood.py::em_haplotype_frequencies — the
+// reference's cpopulation.pyx:384-457,678-716 hot loop #2 on host).
+//
+// The EM uses only +, *, / (no transcendentals), so IEEE-754 double
+// arithmetic reproduces numpy EXACTLY provided the summation ORDER
+// matches.  numpy reduces the fast (contiguous) axis with pairwise
+// summation (8-way partials, block 128, halving recursion) and the outer
+// axis sequentially row-by-row; np.add.at scatters sequentially.  The
+// helpers below mirror those orders; tests/test_native.py pins byte-exact
+// equality against the numpy oracle over randomized shapes, and any
+// divergence makes the wrapper fall back to numpy.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// numpy's pairwise summation over a contiguous axis (unit stride).
+double np_pairwise_sum(const double* a, long n) {
+    if (n < 8) {
+        double res = 0.0;
+        for (long i = 0; i < n; ++i) res += a[i];
+        return res;
+    }
+    if (n <= 128) {
+        double r0 = a[0], r1 = a[1], r2 = a[2], r3 = a[3];
+        double r4 = a[4], r5 = a[5], r6 = a[6], r7 = a[7];
+        long i;
+        for (i = 8; i + 8 <= n; i += 8) {
+            r0 += a[i + 0]; r1 += a[i + 1]; r2 += a[i + 2]; r3 += a[i + 3];
+            r4 += a[i + 4]; r5 += a[i + 5]; r6 += a[i + 6]; r7 += a[i + 7];
+        }
+        double res = ((r0 + r1) + (r2 + r3)) + ((r4 + r5) + (r6 + r7));
+        for (; i < n; ++i) res += a[i];
+        return res;
+    }
+    long n2 = n / 2;
+    n2 -= n2 % 8;
+    return np_pairwise_sum(a, n2) + np_pairwise_sum(a + n2, n - n2);
+}
+
+}  // namespace
+
+extern "C" {
+
+// lik: [nd, G] row-major, only individuals WITH data.
+// h1/h2: [G] haplotype index pairs.  het[g] implied by h1[g] != h2[g].
+// Outputs: freq_out [n_haps], w_out [nd, G] (EM responsibilities of the
+// final iteration), returns the iteration count (<= max_iters); -1 on
+// bad arguments.
+int ptpu_em_f64(const double* lik, int nd, int G,
+                const int64_t* h1, const int64_t* h2, int n_haps,
+                double eps, int max_iters,
+                double* freq_out, double* w_out) {
+    if (nd <= 0 || G <= 0 || n_haps <= 0) return -1;
+    std::vector<double> gw(G), resp(G), new_freq(n_haps);
+    std::vector<double> freq(n_haps, 1.0 / n_haps);
+    const double denom = 2.0 * nd;
+    int iters = 0;
+    while (iters < max_iters) {
+        // gw[g] = freq[h1]*freq[h2]*het  (elementwise, same op order as
+        // numpy's freq[h1_idx] * freq[h2_idx] * het_factor)
+        for (int g = 0; g < G; ++g) {
+            double t = freq[h1[g]] * freq[h2[g]];
+            gw[g] = (h1[g] != h2[g]) ? t * 2.0 : t * 1.0;
+        }
+        // w = lik * gw; s = w.sum(axis=1) (pairwise, fast axis);
+        // w /= s where s > 0 else 0
+        for (int i = 0; i < nd; ++i) {
+            double* wrow = w_out + (size_t)i * G;
+            const double* lrow = lik + (size_t)i * G;
+            for (int g = 0; g < G; ++g) wrow[g] = lrow[g] * gw[g];
+            double s = np_pairwise_sum(wrow, G);
+            if (s > 0) {
+                for (int g = 0; g < G; ++g) wrow[g] = wrow[g] / s;
+            } else {
+                for (int g = 0; g < G; ++g) wrow[g] = 0.0;
+            }
+        }
+        // resp = w.sum(axis=0): outer-axis reduction, sequential rows.
+        std::memcpy(resp.data(), w_out, sizeof(double) * G);
+        for (int i = 1; i < nd; ++i) {
+            const double* wrow = w_out + (size_t)i * G;
+            for (int g = 0; g < G; ++g) resp[g] += wrow[g];
+        }
+        // np.add.at(new_freq, h1, resp); np.add.at(new_freq, h2, resp)
+        std::memset(new_freq.data(), 0, sizeof(double) * n_haps);
+        for (int g = 0; g < G; ++g) new_freq[h1[g]] += resp[g];
+        for (int g = 0; g < G; ++g) new_freq[h2[g]] += resp[g];
+        for (int h = 0; h < n_haps; ++h) new_freq[h] = new_freq[h] / denom;
+        double max_change = 0.0;
+        for (int h = 0; h < n_haps; ++h) {
+            double d = freq[h] - new_freq[h];
+            if (d < 0) d = -d;
+            if (d > max_change) max_change = d;
+        }
+        freq.assign(new_freq.begin(), new_freq.end());
+        ++iters;
+        if (max_change <= eps) break;
+    }
+    std::memcpy(freq_out, freq.data(), sizeof(double) * n_haps);
+    return iters;
+}
+
+}  // extern "C"

@@ -142,11 +142,24 @@ def em_haplotype_frequencies(
     n_haps: int,
     n_reads: np.ndarray,       # [I]
     max_iters: int = 100,
+    _allow_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """EM for haplotype frequencies (cpopulation.pyx:384-457,678-716).
 
     Returns (frequencies [n_haps], EM responsibilities [I, G], n_iters).
-    """
+
+    The numpy body below is the oracle; when the native library is built,
+    a C++ twin (native/src/em.cpp) runs instead — it replicates numpy's
+    summation orders (pairwise on the fast axis, sequential on the outer)
+    and passes a bitwise self-check battery before first use, so results
+    are identical to the last bit (tests/test_native.py pins this)."""
+    if _allow_native:
+        from .. import native
+
+        res = native.native_em(likelihoods, hap1_idx, hap2_idx, n_haps,
+                               n_reads, max_iters)
+        if res is not None:
+            return res
     n_ind = likelihoods.shape[0]
     has_data = n_reads > 0
     n_with_data = int(has_data.sum())

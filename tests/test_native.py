@@ -253,3 +253,34 @@ def test_stale_library_symbol_fallback():
 
     assert N._setup_asm_region(FakeLib()) is False
     assert N._setup_align(FakeLib()) is False
+
+
+def test_native_em_bitwise_matches_numpy_oracle():
+    """native/src/em.cpp must reproduce the numpy EM to the LAST BIT
+    (summation orders replicated: pairwise fast axis, sequential outer
+    axis, sequential scatter-add).  Covers G beyond the 128-element
+    pairwise block and multi-sample outer reductions."""
+    import numpy as np
+
+    from platypus_tpu import native
+    from platypus_tpu.ops import likelihood as lk
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        H = int(rng.integers(2, 30)) if trial % 2 else int(rng.integers(2, 5))
+        h1, h2 = lk.genotype_index_pairs(H)
+        I = int(rng.integers(1, 40))
+        lik = np.maximum(1e-300, rng.random((I, len(h1))))
+        lik[rng.random((I, len(h1))) < 0.3] = 1e-300
+        n_reads = rng.integers(0, 50, I)
+        a = lk.em_haplotype_frequencies(lik, h1, h2, H, n_reads,
+                                        _allow_native=False)
+        b = native.native_em(lik, h1, h2, H, n_reads, 100)
+        assert b is not None
+        assert np.array_equal(a[0].view(np.uint64), b[0].view(np.uint64))
+        assert np.array_equal(a[1].view(np.uint64), b[1].view(np.uint64))
+        assert a[2] == b[2]
