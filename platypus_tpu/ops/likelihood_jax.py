@@ -245,8 +245,16 @@ def genotype_gl_gof_jax(loglik, hap1_idx, hap2_idx, sample_onehot):
         same, l1,
         jnp.where(diff >= 3.0, LOG_HALF + mx, jnp.where(diff <= 1e-3, l1, exact)),
     )
-    gl = per_read @ sample_onehot.T            # [G, I]
-    gof = (LOG10E * mx) @ sample_onehot.T
+    # Precision.HIGHEST: the TPU MXU's default bf16 inputs quantise each
+    # per-read log-likelihood to ~2 decimal digits (e.g. -24.177 -> -24.125),
+    # which over a 40-read window shifts the genotype GL by ~1 nat and the
+    # emitted QUAL by several phred — far outside the f64-exactness guard's
+    # rounding-band model.  These [G,R]x[R,I] contractions are tiny; the
+    # multi-pass f32 emulation cost is negligible.
+    gl = jax.lax.dot(per_read, sample_onehot.T.astype(per_read.dtype),
+                     precision=jax.lax.Precision.HIGHEST)  # [G, I]
+    gof = jax.lax.dot(LOG10E * mx, sample_onehot.T.astype(mx.dtype),
+                      precision=jax.lax.Precision.HIGHEST)
     return gl.T, gof.T
 
 
@@ -356,8 +364,12 @@ def variant_posterior_ratio_jax(likelihoods, frequencies, hap_has_variant,
     factor = 1.0 + (hap1_idx != hap2_idx)
     w_var = factor * frequencies[hap1_idx] * frequencies[hap2_idx]
     w_novar = factor * fp[hap1_idx] * fp[hap2_idx]
-    pv = likelihoods @ w_var
-    pn = likelihoods @ w_novar
+    # Precision.HIGHEST: avoid the MXU's default bf16 input quantisation
+    # (see genotype_gl_gof_jax) on the posterior dot products.
+    pv = jax.lax.dot(likelihoods, w_var.astype(likelihoods.dtype),
+                     precision=jax.lax.Precision.HIGHEST)
+    pn = jax.lax.dot(likelihoods, w_novar.astype(likelihoods.dtype),
+                     precision=jax.lax.Precision.HIGHEST)
     log_min = -708.0
     lv = jnp.where(pv > 0, jnp.log(jnp.where(pv > 0, pv, 1.0)), log_min)
     ln = jnp.where(pn > 0, jnp.log(jnp.where(pn > 0, pn, 1.0)), log_min)

@@ -1,0 +1,314 @@
+"""Extension of tests/reference_oracle.py to the wider reference output
+surface (VERDICT r2 item 3): multi-variant windows, multi-allelic sites,
+multi-sample EM, homopolymer-context indels, strand-bias p-values and
+REFCALL quals.
+
+Same oracle philosophy: alignment scores come from the COMPILED reference
+align.c, tandem context from the COMPILED tandem.c, numeric tables are
+parsed from the reference sources, and the inference math is transcribed
+scalar-by-scalar from the cited reference Cython lines — NOT from
+platypus_tpu's production modules.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import numpy as np
+
+import reference_oracle as base
+
+
+# ---------------------------------------------------------------------------
+# Haplotype enumeration (variantFilter.pyx:377-438 all-subsets branch,
+# validity from platypusutils.pyx:735-802)
+# ---------------------------------------------------------------------------
+
+def _var_bounds(variant):
+    """minRefPos / maxRefPos exactly as variant.pyx:133-134 defines them."""
+    pos, removed, added = variant
+    n_removed = len(removed)
+    return pos, max(pos, pos + n_removed - 1)
+
+
+def is_haplotype_valid(variants) -> bool:
+    """isHaplotypeValid (platypusutils.pyx:735-802): variants sorted by
+    coordinate; a pair conflicts when the earlier one's maxRefPos passes the
+    later one's minRefPos, and same-base pairs are only allowed for
+    (length-preserving variant, indel) combinations."""
+    vs = sorted(variants)
+    for (a, b) in zip(vs, vs[1:]):
+        a_min, a_max = _var_bounds(a)
+        b_min, b_max = _var_bounds(b)
+        if a_max > b_min:
+            return False
+        if a_max == b_min:
+            a_added, a_removed = len(a[2]), len(a[1])
+            b_added, b_removed = len(b[2]), len(b[1])
+            if a_added == a_removed and b_added != b_removed:
+                continue
+            return False
+    return True
+
+
+def enumerate_haplotypes(variants):
+    """All valid variant subsets including the reference haplotype, in
+    subset-size-then-lexicographic order (deterministic; posterior math is
+    order-invariant up to float association)."""
+    out = [()]
+    for r in range(1, len(variants) + 1):
+        for combo in itertools.combinations(sorted(variants), r):
+            if is_haplotype_valid(combo):
+                out.append(combo)
+    return out
+
+
+def splice_multi(ref_seq: np.ndarray, hap_start: int, hap_end: int,
+                 variants) -> bytes:
+    """Multi-variant splice (chaplotype.pyx:397-449): variants sorted by
+    position, spliced left to right."""
+    ref = ref_seq.astype(np.uint8)
+    parts = []
+    cur = hap_start
+    for pos, removed, added in sorted(variants):
+        parts.append(bytes(ref[cur:pos]))
+        parts.append(added)
+        cur = pos + len(removed)
+    parts.append(bytes(ref[cur:hap_end]))
+    return b"".join(parts)
+
+
+def genotype_pairs(n_haps: int):
+    """All unordered hap pairs, i <= j, i-major (cgenotype.pyx:193-218)."""
+    h1, h2 = [], []
+    for i in range(n_haps):
+        for j in range(i, n_haps):
+            h1.append(i)
+            h2.append(j)
+    return np.array(h1), np.array(h2)
+
+
+# ---------------------------------------------------------------------------
+# Special functions (platypusutils.pyx:178-315), transcribed
+# ---------------------------------------------------------------------------
+
+def log_factorial(x: int) -> float:
+    if x < 15:
+        return sum(math.log(i) for i in range(1, x + 1))
+    y = float(x)
+    return (y * math.log(y) + math.log(2.0 * math.pi * y) / 2 - y
+            + (y ** -1) / 12 - (y ** -3) / 360 + (y ** -5) / 1260
+            - (y ** -7) / 1680 + (y ** -9) / 1188)
+
+
+def log_beta(x: int, y: int) -> float:
+    return log_factorial(x - 1) + log_factorial(y - 1) - log_factorial(x + y - 1)
+
+
+def three_f_two(k: int, n: int, alpha: int, beta: int) -> float:
+    a_2 = alpha + k + 1.0
+    a_3 = k - n + 1.0
+    b_1 = k + 2.0
+    b_2 = -beta - n + k + 2.0
+    the_sum = last = 1.0
+    for i in range(1, abs(k - n + 1) + 1):
+        last = last * (a_2 + i - 1) * (a_3 + i - 1) / ((b_1 + i - 1) * (b_2 + i - 1))
+        the_sum += last
+    return the_sum
+
+
+def beta_binomial_cdf(k: int, n: int, alpha: int, beta: int) -> float:
+    """betaBinomialCDF (platypusutils.pyx:296-315)."""
+    if k == n:
+        return 1.0
+    numerator = (log_beta(beta + n - k - 1, alpha + k + 1)
+                 + math.log(three_f_two(k, n, alpha, beta)))
+    denominator = (log_beta(alpha, beta) + log_beta(n - k, k + 2)
+                   + math.log(n + 1))
+    return max(1e-30, 1.0 - math.exp(numerator - denominator))
+
+
+def strand_bias_pvalue(n_fwd: int, n_rev: int, n_fwd_var: int,
+                       n_rev_var: int) -> float:
+    """computeStrandBiasPValue (vcfutils.pyx:1177-1222)."""
+    if n_fwd == 0 or n_rev == 0:
+        return 1.0
+    use_forward = not (n_fwd < n_rev)
+    if n_fwd + n_rev > 0 and n_fwd_var + n_rev_var > 0:
+        freq = (n_fwd if use_forward else n_rev) / (n_fwd + n_rev)
+        if freq < 0.5:
+            alpha = 20
+            beta = int(alpha / freq - alpha)
+        elif freq > 0.5:
+            beta = 20
+            alpha = int(beta * freq / (1.0 - freq))
+        else:
+            alpha = beta = 20
+        k = n_fwd_var if use_forward else n_rev_var
+        return beta_binomial_cdf(k, n_fwd_var + n_rev_var, alpha, beta)
+    return 1.0
+
+
+def allele_bias_pvalue(total_reads: int, variant_reads: int) -> float:
+    """computeAlleleBiasPValue (vcfutils.pyx:1156-1174)."""
+    if total_reads > 0 and variant_reads / total_reads >= 0.5:
+        return 1.0
+    if total_reads == 0:
+        return 1.0
+    p = beta_binomial_cdf(variant_reads, total_reads, 20, 20)
+    return min(p, 1.0 - p)
+
+
+def refcall_qual(min_cov: int, has_variants: bool = False,
+                 max_var_posterior: int = 0) -> int:
+    """REFCALL block QUAL (variantcaller.pyx:795-805)."""
+    phred_pvalue = int(-10 * math.log10(beta_binomial_cdf(0, min_cov, 20, 20)))
+    if min_cov == 0:
+        return 0
+    if not has_variants:
+        return phred_pvalue
+    max_prob_var = 1.0 - 10 ** (-0.1 * max_var_posterior)
+    prob_ref = 1.0 - max_prob_var
+    return min(int(round(-10.0 * math.log10(1.0 - prob_ref))), phred_pvalue)
+
+
+def map_and_align(align, hseq: bytes, gop: bytes, read: bytes, quals: bytes,
+                  read_pos: int, hap_start: int, gapextend: int,
+                  nucprior: int) -> int:
+    """mapAndAlignReadToHaplotype (calign.pyx:170-272): 7-mer votes pick the
+    anchor diagonal(s); the banded kernel runs at every argmax diagonal plus
+    the original BAM diagonal, keeping the minimum score.  The fixture is
+    clean ACGT, so exact 7-mer matching equals the reference's 4^7 perfect
+    hash.  An exhaustive offset scan is NOT reference behaviour — it can
+    find cheaper alignments on diagonals the voting never tries."""
+    read_len = len(read)
+    hap_len = len(hseq)
+    table: dict = {}
+    for p in range(hap_len - 7 + 1):
+        table.setdefault(hseq[p:p + 7], []).append(p)
+    counts: dict = {}
+    maxcount = 0
+    for i in range(read_len - 7):
+        for p in table.get(read[i:i + 7], ()):
+            d = p - i
+            c = counts.get(d, 0) + 1
+            counts[d] = c
+            if c > maxcount:
+                maxcount = c
+    best = 1000000
+    best_pos = -1
+    L1 = read_len + 15
+    if maxcount > 0:
+        for d in sorted(counts):  # ascending diagonal order (calign.pyx:225)
+            if counts[d] != maxcount:
+                continue
+            if d >= -read_len and d + read_len + 15 < hap_len:
+                start = max(0, d - 8)
+                s = align(hseq[start:start + L1], read, quals,
+                          gop[start:start + L1], gapextend, nucprior)
+                if s < best:
+                    best = s
+                    best_pos = d
+                    if s == 0:
+                        return 0
+    d0 = min(read_pos - hap_start, hap_len - read_len - 15)
+    if d0 != best_pos:
+        start = max(0, d0 - 8)
+        s = align(hseq[start:start + L1], read, quals,
+                  gop[start:start + L1], gapextend, nucprior)
+        if s < best:
+            best = s
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Multi-variant, multi-sample window oracle
+# ---------------------------------------------------------------------------
+
+def call_window_multi(ref_seq: np.ndarray, variants, reads_by_sample,
+                      mapq: int = 60, gapextend: int = 3, nucprior: int = 2,
+                      flank: int = 300, anchor_span: int = 24):
+    """Call one window with arbitrary (non-conflicting-subsets) variants and
+    any number of samples, from first principles.
+
+    variants: list of (ref_pos0, removed_bytes, added_bytes)
+    reads_by_sample: {sample: [read dicts with pos/seq/qual]}
+
+    Returns dict with per-variant integer phred posteriors (VCF QUAL/PP),
+    per-sample best genotype as hap-index pairs plus the hap variant sets
+    (for GT reconstruction), and the EM frequencies."""
+    align = base.ref_align_fn()
+    positions = [v[0] for v in variants]
+    lo, hi = min(positions), max(positions)
+    hap_start = max(0, lo - flank)
+    hap_end = min(len(ref_seq), hi + flank)
+
+    hap_sets = enumerate_haplotypes(variants)
+    haps = [splice_multi(ref_seq, hap_start, hap_end, hs) for hs in hap_sets]
+    # mergeHaplotypes (variantcaller.pyx:325-390): identical sequences merge,
+    # keeping the variant set with the larger prior product.
+    by_seq: dict = {}
+    for hs, seq in zip(hap_sets, haps):
+        prior_product = 1.0
+        for v in hs:
+            prior_product *= base.calculate_prior(ref_seq, v[0], v[1], v[2])
+        cur = by_seq.get(seq)
+        if cur is None or prior_product > cur[1]:
+            by_seq[seq] = (hs, prior_product)
+    hap_sets = [by_seq[s][0] for s in sorted(by_seq)]
+    haps = sorted(by_seq)
+    gapopens = [base.gap_open_array(h) for h in haps]
+    H = len(haps)
+
+    samples = sorted(reads_by_sample)
+    I = len(samples)
+    h1, h2 = genotype_pairs(H)
+    G = len(h1)
+    gl = np.zeros((I, G))
+    for s_idx, sample in enumerate(samples):
+        reads = reads_by_sample[sample]
+        loglik = np.zeros((H, len(reads)))
+        for r_idx, read in enumerate(reads):
+            rseq = read["seq"]
+            quals = bytes(read["qual"])
+            for h_idx, (hseq, gop) in enumerate(zip(haps, gapopens)):
+                best = map_and_align(align, hseq, gop, rseq, quals,
+                                     read["pos"], hap_start, gapextend,
+                                     nucprior)
+                loglik[h_idx, r_idx] = base.read_loglik(best, mapq)
+        for j in range(G):
+            gl[s_idx, j] = base.genotype_loglik(
+                loglik[h1[j]], loglik[h2[j]], h1[j] == h2[j])
+
+    # Rescale per individual (cpopulation.pyx:290-309).
+    lik = np.maximum(1e-300, np.exp(gl - gl.max(axis=1, keepdims=True)))
+    freq, _csr = base.em_frequencies(lik, h1, h2, n_haps=H, n_ind_total=I)
+
+    result_vars = {}
+    for v in variants:
+        prior = base.calculate_prior(ref_seq, v[0], v[1], v[2])
+        has_var = np.array([v in hs for hs in hap_sets])
+        phred = base.posterior_phred(lik, freq, has_var, h1, h2, prior)
+        result_vars[v] = dict(phred=phred, prior=prior)
+
+    best_geno = [(int(h1[int(np.argmax(lik[i]))]), int(h2[int(np.argmax(lik[i]))]))
+                 for i in range(I)]
+    return dict(variants=result_vars, best_geno=best_geno,
+                hap_sets=[list(hs) for hs in hap_sets],
+                freq=freq.tolist(), samples=samples)
+
+
+def gt_string(best_pair, hap_sets, variants_at_pos):
+    """Canonical unphased GT for one VCF position: allele index 0 = ref,
+    1 + rank of the variant in the line's ALT order otherwise (a valid hap
+    carries at most one variant per position)."""
+    def allele(h_idx):
+        hs = hap_sets[h_idx]
+        for rank, v in enumerate(variants_at_pos):
+            if tuple(v) in {tuple(x) for x in hs}:
+                return 1 + rank
+        return 0
+
+    a, b = sorted((allele(best_pair[0]), allele(best_pair[1])))
+    return f"{a}/{b}"
