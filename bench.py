@@ -323,6 +323,49 @@ def _bench_native_cpu(hap, go, read, qual, rl, ref_scores):
     return (n / dt if dt > 0 else 0.0), ok
 
 
+def _e2e_hybrid_child_main():
+    """Hybrid-pool A/B on the 10 Mb dataset: nCPU=4 with the TPU device
+    worker vs nCPU=4 CPU-only, same process tree, same session — the
+    driver-format evidence that the chip contributes to the production
+    multi-worker path.  Appends an 'e2e_hybrid' event (absent on failure);
+    asserts the two arms' data lines are byte-identical."""
+    results_path = os.environ["PLATYPUS_BENCH_RESULTS"]
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from scaling_bench import build_dataset
+
+    workdir = "/tmp/platypus_tpu_scaling/mb10"
+    info = build_dataset(workdir, 10_000_000)
+    out_h = os.path.join(workdir, "bench_hybrid.vcf")
+    out_c = os.path.join(workdir, "bench_cpuonly.vcf")
+    args = ["-m", "platypus_tpu.cli", "callVariants",
+            f"--bamFiles={info['bam']}", f"--refFile={info['ref']}",
+            "--regions=chr20:1000-10001000", "--nCPU=4"]
+
+    def run(out, hybrid):
+        env = dict(os.environ)
+        env["PLATYPUS_TPU_HYBRID_WORKER"] = "1" if hybrid else "0"
+        t0 = time.perf_counter()
+        subprocess.run([sys.executable] + args + ["-o", out], env=env,
+                       check=True, capture_output=True)
+        return time.perf_counter() - t0
+
+    run(out_h, hybrid=True)   # warm arm-specific compiles/caches
+    walls = {"hybrid": min(run(out_h, True) for _ in range(2)),
+             "cpu_only": min(run(out_c, False) for _ in range(2))}
+    with open(out_h) as fh1, open(out_c) as fh2:
+        d1 = [l for l in fh1 if not l.startswith("#")]
+        d2 = [l for l in fh2 if not l.startswith("#")]
+    _emit(results_path, {
+        "event": "e2e_hybrid",
+        "n_reads": info["n_reads"],
+        "hybrid_reads_per_second": info["n_reads"] / walls["hybrid"],
+        "cpu_only_reads_per_second": info["n_reads"] / walls["cpu_only"],
+        "identical_data_lines": d1 == d2,
+    })
+
+
 def main():
     # Export the malloc tuning before any child starts: on lazily-paged VMs
     # fresh-mmap'd NumPy buffers pay first-touch faults on every allocation
@@ -332,6 +375,9 @@ def main():
     tune_malloc()
     if os.environ.get("PLATYPUS_BENCH_E2E_CHILD"):
         _e2e_child_main()
+        return
+    if os.environ.get("PLATYPUS_BENCH_E2E_HYBRID_CHILD"):
+        _e2e_hybrid_child_main()
         return
     if os.environ.get("PLATYPUS_BENCH_CHILD"):
         _child_main()
@@ -362,17 +408,22 @@ def main():
     headline_kernel = max(best, key=best.get)
     rate = best[headline_kernel]
 
-    # Informational end-to-end caller number (own child + deadline; its
-    # absence never blocks the kernel headline).
+    # Informational end-to-end caller numbers (own children + deadlines;
+    # their absence never blocks the kernel headline): single-process TPU
+    # e2e, then the hybrid-pool nCPU=4 A/B (TPU device worker vs CPU-only).
     if backend != "cpu-fallback":
-        env = dict(os.environ, PLATYPUS_BENCH_E2E_CHILD="1",
-                   PLATYPUS_BENCH_RESULTS=results_path)
-        try:
-            subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, capture_output=True,
-                           timeout=DEVICE_DEADLINE_S, text=True)
-        except subprocess.TimeoutExpired:
-            pass
+        for child_flag, deadline in (
+            ("PLATYPUS_BENCH_E2E_CHILD", DEVICE_DEADLINE_S),
+            ("PLATYPUS_BENCH_E2E_HYBRID_CHILD", DEVICE_DEADLINE_S * 2),
+        ):
+            env = dict(os.environ, PLATYPUS_BENCH_RESULTS=results_path)
+            env[child_flag] = "1"
+            try:
+                subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True,
+                               timeout=deadline, text=True)
+            except subprocess.TimeoutExpired:
+                pass
         rows = _read_results(results_path)
 
     hap, go, read, qual, rl = make_inputs()
@@ -416,6 +467,15 @@ def main():
             out["e2e_caller_reads_per_second"] = round(r["reads_per_second"], 1)
             out["e2e_unit"] = (f"reads/s (1Mb 30x synthetic, nCPU=1, "
                                f"{r['backend']} backend)")
+        if r.get("event") == "e2e_hybrid":
+            out["e2e_hybrid_ncpu4_reads_per_second"] = round(
+                r["hybrid_reads_per_second"], 1)
+            out["e2e_cpu_only_ncpu4_reads_per_second"] = round(
+                r["cpu_only_reads_per_second"], 1)
+            out["e2e_hybrid_identical_data_lines"] = r["identical_data_lines"]
+            out["e2e_hybrid_unit"] = ("reads/s (10Mb 30x synthetic, nCPU=4 "
+                                      "+ TPU device worker vs CPU-only, "
+                                      "best-of-2 each, same session)")
     print(json.dumps(out))
     try:
         os.unlink(results_path)

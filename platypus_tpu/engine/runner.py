@@ -432,12 +432,16 @@ class RegionClaimSource:
         self._by_region = {tuple(r): i for i, r in enumerate(self.regions)}
         self._ema = None            # my seconds/region
         self._last_claim = None     # (time, index) at my previous claim
-
-    def __iter__(self):
         import time as _time
 
+        self._sleep = _time.sleep      # injectable for deterministic tests
+        self._now = _time.monotonic    # injectable for deterministic tests
+
+    def __iter__(self):
+        if self.is_device and not self._settle_gate():
+            return
         while True:
-            now = _time.monotonic()
+            now = self._now()
             with self.index.get_lock():
                 i = self.index.value
                 remaining = len(self.regions) - i
@@ -454,11 +458,50 @@ class RegionClaimSource:
             self._last_claim = (now, i)
             yield self.regions[i]
 
+    def _settle_gate(self) -> bool:
+        """First-claim gate for the device consumer: sample the host pool's
+        drain rate over a short settle window (the hosts are warm by the
+        time the device worker reaches its first claim — JAX init plus the
+        health probe took seconds) and claim only if the queue will outlast
+        a conservative estimate of the device's FIRST region (compile-cache
+        loads + first dispatches over the tunnel).  On short runs the
+        device worker otherwise claims a region it cannot finish before the
+        hosts empty the queue, forcing a rescue and net-slowing the run
+        (measured: 10 Mb/~15 s runs, 0 device completions, hybrid ~10%
+        slower than CPU-only).  Settle window and estimate are env-tunable;
+        PLATYPUS_TPU_DEVICE_SETTLE=0 disables the gate."""
+        settle = float(os.environ.get("PLATYPUS_TPU_DEVICE_SETTLE", "1.0"))
+        if settle <= 0:
+            return True
+        first_region_est = float(os.environ.get(
+            "PLATYPUS_TPU_DEVICE_FIRST_REGION_EST", "25.0"))
+        with self.index.get_lock():
+            i1 = self.index.value
+        t1 = self._now()
+        self._sleep(settle)
+        with self.index.get_lock():
+            i2 = self.index.value
+            remaining = len(self.regions) - i2
+        dt = self._now() - t1
+        if remaining <= self.n_host:
+            return False
+        if i2 <= i1 or dt <= 0:
+            return True  # hosts not draining: no evidence to bow out on
+        others_rate = (i2 - i1) / dt
+        claim = remaining / others_rate > first_region_est
+        if not claim:
+            logger.info(
+                "device worker: bowing out before first claim (%d regions "
+                "remaining, hosts draining %.1f/s -> ~%.0f s left < %.0f s "
+                "first-region estimate)", remaining, others_rate,
+                remaining / others_rate, first_region_est)
+        return claim
+
     def _device_should_claim(self, i: int, remaining: int, now) -> bool:
         if remaining <= self.n_host:
             return False
         if self._ema is None or self._last_claim is None:
-            return True
+            return True  # first claim is gated by _settle_gate instead
         dt = now - self._last_claim[0]
         claims_by_others = (i - self._last_claim[1]) - 1
         if dt <= 0 or claims_by_others <= 0:
@@ -491,11 +534,24 @@ class RegionClaimSource:
                 return False
             return all(self.completed[i] for i in range(len(self.regions)))
 
+    def claim_counts(self):
+        """(host, device, rescued) region counts — parent-side summary of
+        how much work the hybrid pool's device worker actually kept."""
+        with self.index.get_lock():
+            states = list(self.state)
+        return (states.count(self.HOST), states.count(self.DEVICE),
+                states.count(self.RESCUED))
+
 
 def _worker_entry(args):
     config_json, regions, path = args[:3]
     service_handle = args[3] if len(args) > 3 else None
     platform_override = args[4] if len(args) > 4 else None
+    # Touch the temp file FIRST: the parent may terminate a device worker
+    # that is still inside JAX init / the health probe / its first compile
+    # (all regions already completed by the host workers), and the k-way
+    # merge must find every worker's temp file.
+    open(path, "a").close()
     config = PlatypusConfig.from_json(config_json)
     if service_handle is not None:
         from .device_service import set_service_handle
@@ -855,6 +911,14 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
             f"{[workers[i].exitcode for i in failed]}; output would be "
             f"incomplete. Temp files kept: {[temp_files[i] for i in failed]}"
         )
+    for i in terminated_stragglers:
+        # SIGTERM can land before the worker's entry hook touches its temp
+        # file (spawn + JAX init take seconds); the merge needs it present.
+        open(temp_files[i], "a").close()
+    if n_device:
+        n_h, n_d, n_r = parent_source.claim_counts()
+        logger.info("hybrid pool: %d regions by host workers, %d by the "
+                    "device worker, %d rescued", n_h, n_d, n_r)
     import glob as _glob
 
     rescue_files = sorted(_glob.glob(f"{config.output}_rescue_*"))

@@ -181,6 +181,12 @@ def test_region_claim_source():
     consumer; a device consumer bows out of the tail (remaining <= n_host)."""
     regions = [("chr20", i * 100, (i + 1) * 100) for i in range(10)]
     host, dev, parent = _mk_sources(regions)
+    # Deterministic clock: the adaptive bow-out compares microsecond-scale
+    # real-time gaps in this synthetic interleave; a counting clock (1s per
+    # claim attempt, no settle drain) makes every decision reproducible.
+    clock = iter(range(1, 1000))
+    dev._now = lambda: float(next(clock))
+    dev._sleep = lambda _t: None
     hi = iter(host)
     di = iter(dev)
     got_h, got_d = [], []
@@ -197,6 +203,38 @@ def test_region_claim_source():
     # Per-consumer order is position-sorted (temp VCFs stay merge-safe).
     assert got_h == sorted(got_h, key=lambda r: r[1])
     assert got_d == sorted(got_d, key=lambda r: r[1])
+
+
+def test_device_first_claim_gate():
+    """The settle gate samples the hosts' drain rate before the device's
+    FIRST claim: a fast-draining short queue makes it bow out entirely; a
+    long queue (or idle hosts) still gets claimed."""
+    def rig(dev, hi, n):
+        """Deterministic settle: the fake sleep advances the fake clock by
+        1s and drains n host claims 'during' it."""
+        clock = iter([0.0, 1.0] + [float(i) for i in range(2, 100)])
+        dev._now = lambda: next(clock)
+
+        def _sleep(_t):
+            for _ in range(n):
+                next(hi, None)
+        dev._sleep = _sleep
+
+    # Short queue, fast drain: 6 regions claimed during the 1s settle ->
+    # 4 remaining / 6 rps << 25s estimate -> bow out, zero claims.
+    regions = [("chr20", i * 100, (i + 1) * 100) for i in range(10)]
+    host, dev, parent = _mk_sources(regions)
+    rig(dev, iter(host), 6)
+    assert next(iter(dev), None) is None
+    # Long queue, same drain rate: 994 remaining / 6 rps > 25s -> claim.
+    regions2 = [("chr20", i * 100, (i + 1) * 100) for i in range(1000)]
+    host2, dev2, _ = _mk_sources(regions2)
+    rig(dev2, iter(host2), 6)
+    assert next(iter(dev2), None) == regions2[6]
+    # Idle hosts (rate unknown): no evidence to bow out on -> claim.
+    host3, dev3, _ = _mk_sources(regions)
+    rig(dev3, iter(host3), 0)
+    assert next(iter(dev3), None) == regions[0]
 
 
 def test_region_claim_rescue_protocol():
