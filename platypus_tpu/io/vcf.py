@@ -2,15 +2,28 @@
 
 The calling pipeline itself reads candidate VCFs through io/vcfsource.py
 and writes through vcfout/writer.py; this module is the standalone
-general-purpose library the reference ships as src/python/vcf.py:92-953 —
-typed ##INFO/##FILTER/##FORMAT schemas, version-specific allele
-conventions (v3.3 I/D alleles are rewritten to v4.0 padded alleles),
-a configurable error policy, region filtering, genotype parsing, write
+general-purpose library filling the role of the reference's
+src/python/vcf.py:92-953 (itself vendored pysam code): typed
+##INFO/##FILTER/##FORMAT schemas, version-specific allele conventions
+(v3.3 I/D alleles are rewritten to v4.0 padded alleles), a configurable
+by-name error policy, region filtering, genotype parsing, write
 round-trips, call comparison, and a whole-file sorted reader.
 
-API names follow the reference so its users can switch directly:
-``VCF().parse(stream)`` yields per-record dicts with 0-based positions;
-``ignoreerror``/``warnerror`` tune the error policy by name.
+Public names follow the reference so its users can switch directly
+(``VCF().parse(stream)`` yields per-record dicts with 0-based positions;
+``ignoreerror``/``warnerror`` tune the error policy), but the internals
+are this project's own design, organised around three ideas the
+reference's parser does not have:
+
+* **declaration-time decoders** — every ##INFO/##FORMAT declaration is
+  compiled once, when the header is read, into a closure that decodes a
+  raw value string straight to its typed list (`FieldDef.decoder`);
+  record parsing never re-dispatches on the field's Type;
+* **a tokenised metadata scanner** — `<ID=..,Description="..">` bodies
+  are split by a quote-aware regex rather than incremental string
+  surgery;
+* **a column pipeline** — one small method per VCF column group
+  (alleles, quality, filters, info, samples), composed by `parse_data`.
 """
 
 from __future__ import annotations
@@ -19,16 +32,74 @@ import bisect
 import re
 import sys
 from collections import defaultdict
-from dataclasses import dataclass, field
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
-_GTS_RE = re.compile(r"[|/\\]")
-_ALLELE_RE = re.compile(r"^[ACGTN]+$")
+# Genotype separators: unphased /, phased |, and the rare literal backslash.
+_GT_SEP = re.compile(r"([|/\\])")
+_ALLELE_OK = re.compile(r"[ACGTN]+\Z")
+# key=value pairs of a <...> metadata body; values may be quoted (and then
+# contain commas).  One scan, no incremental slicing.
+_META_PAIR = re.compile(r'\s*(?P<k>[^=,<>\s]+)\s*=\s*(?P<v>"[^"]*"|[^,]*)')
+# Positional v3.3 bodies have bare tokens between the named ones.
+_META_BARE = re.compile(r'\s*(?P<v>"[^"]*"|[^,]*)')
 
+
+class VCFError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Error policy: stable public NAMES (the reference's users address errors by
+# name through ignoreerror/warnerror), own numbering and own messages.
+# ---------------------------------------------------------------------------
+
+_ERROR_NAMES: Tuple[Tuple[str, str], ...] = (
+    ("UNKNOWN_FORMAT_STRING", "unrecognised ##fileformat value"),
+    ("BADLY_FORMATTED_FORMAT_STRING", "malformed field declaration"),
+    ("BADLY_FORMATTED_HEADING", "#CHROM heading is missing columns %s"),
+    ("BAD_NUMBER_OF_COLUMNS", "data line has %s columns"),
+    ("POS_NOT_NUMERICAL", "POS is not an integer"),
+    ("POS_NOT_POSITIVE", "POS must be >= 1"),
+    ("UNKNOWN_CHAR_IN_REF", "REF contains a non-ACGTN character"),
+    ("V33_BAD_REF", "v3.3 REF must be a single base"),
+    ("V33_BAD_ALLELE", "v3.3 ALT must be a base, Dn or I<seq>"),
+    ("V33_UNMATCHED_DELETION", "v3.3 deletion disagrees with the reference (%s)"),
+    ("V40_BAD_ALLELE", "ALT allele %s is not ACGTN"),
+    ("V40_MISSING_ANGLE_BRACKETS", "declaration body not wrapped in <>"),
+    ("V40_FORMAT_MUST_HAVE_NAMED_FIELDS", "v4.0 declarations need key=value fields"),
+    ("QUAL_NOT_NUMERICAL", "QUAL must be a number or '.'"),
+    ("ERROR_INFO_STRING", "cannot parse INFO field"),
+    ("ERROR_UNKNOWN_KEY", "key %s was never declared in the header"),
+    ("ERROR_FORMAT_NOT_NUMERICAL", "expected a number, got %s"),
+    ("ERROR_FORMAT_NOT_CHAR", "expected a single character"),
+    ("ERROR_TRAILING_DATA", "numeric value %s carries trailing text"),
+    ("ERROR_NON_FLAG_WITHOUT_VALUE", "non-Flag field given without a value"),
+    ("ERROR_FLAG_HAS_VALUE", "Flag field given a value"),
+    ("FILTER_NOT_DEFINED", "FILTER %s missing from the header"),
+    ("FORMAT_NOT_DEFINED", "FORMAT %s missing from the header"),
+    ("BAD_NUMBER_OF_VALUES", "sample column %s has more values than FORMAT keys"),
+    ("BAD_NUMBER_OF_PARAMETERS", "wrong value count: %s"),
+    ("BAD_GENOTYPE", "cannot parse genotype %s"),
+    ("FORMAT_MISSING_QUOTES", "Description must be double-quoted"),
+    ("HEADING_NOT_SEPARATED_BY_TABS", "#CHROM heading uses spaces, not tabs"),
+    ("MISSING_REF", "REF is missing"),
+    ("WRONG_REF", "REF disagrees with the reference FASTA %s"),
+    ("ZERO_LENGTH_ALLELE", "empty allele"),
+    ("MISSING_INDEL_ALLELE_REF_BASE", "indel allele lacks the leading reference base"),
+    ("BAD_CHR_TAG", "cannot order chromosome %s"),
+)
+_ERROR_CODES = {name: i for i, (name, _) in enumerate(_ERROR_NAMES)}
+
+
+# ---------------------------------------------------------------------------
+# Typed field model
+# ---------------------------------------------------------------------------
 
 @dataclass
 class FieldDef:
-    """One ##INFO/##FILTER/##FORMAT declaration (reference vcf.py:49)."""
+    """One ##INFO/##FILTER/##FORMAT declaration, with its value decoder
+    compiled at declaration time."""
 
     id: str
     numbertype: int
@@ -37,46 +108,110 @@ class FieldDef:
     description: str
     missingvalue: object
 
+    def __post_init__(self):
+        self._decode = _compile_decoder(self.type, self.missingvalue)
 
-# The reference exposes this tuple type as vcf.FORMAT.
+    def decode(self, raw: Optional[str], vcf: "VCF", line: str) -> list:
+        """Raw value string -> typed list (Flag -> []), routing malformed
+        input through the VCF's error policy."""
+        if self.type == "Flag":
+            if raw is not None:
+                vcf.error(line, vcf.ERROR_FLAG_HAS_VALUE)
+            return []
+        if raw is None:
+            vcf.error(line, vcf.ERROR_NON_FLAG_WITHOUT_VALUE)
+            return []
+        parts = raw.split(",")
+        if self.type in ("Float", "Integer") and ";" in parts[-1]:
+            vcf.error(line, vcf.ERROR_TRAILING_DATA, parts[-1])
+            parts[-1] = parts[-1].partition(";")[0]
+        try:
+            return self._decode(parts, vcf, line)
+        except ValueError:
+            vcf.error(line, vcf.ERROR_FORMAT_NOT_NUMERICAL, parts)
+            fallback = 0 if self.type == "Integer" else 0.0
+            return [fallback] * len(parts)
+
+
+def _compile_decoder(typ: str, missing) -> Callable:
+    """Type-specific decode closure — chosen once per declaration, not per
+    record."""
+    if typ == "Integer":
+        def dec(parts, _vcf, _line):
+            return [missing if p == "." else int(p) for p in parts]
+    elif typ == "Float":
+        def dec(parts, _vcf, _line):
+            return [missing if p == "." else float(p) for p in parts]
+    elif typ == "Character":
+        def dec(parts, vcf, line):
+            for p in parts:
+                if len(p) != 1:
+                    vcf.error(line, vcf.ERROR_FORMAT_NOT_CHAR)
+            return parts
+    elif typ == "String":
+        def dec(parts, _vcf, _line):
+            return parts
+    else:  # Flag and anything exotic: handled before dispatch
+        def dec(parts, vcf, line):
+            vcf.error(line, vcf.ERROR_INFO_STRING)
+            return []
+    return dec
+
+
+# The reference exposes its declaration tuple type as vcf.FORMAT.
 FORMAT = FieldDef
 
 
+# ---------------------------------------------------------------------------
+# Small free functions
+# ---------------------------------------------------------------------------
+
 def get_sequence(chrom: str, start: int, end: int, fa) -> str:
-    """Reference-backed fill-in ('N's when no FASTA given) —
-    reference vcf.py:55-63."""
+    """Reference-FASTA fill-in; 'N' padding when absent or short."""
+    want = max(0, end - start)
     if fa is None:
-        return "N" * max(0, end - start)
+        return "N" * want
     seq = fa.fetch(chrom, start, end)
     if isinstance(seq, bytes):
         seq = seq.decode()
     seq = seq.upper()
-    if len(seq) < end - start:
-        seq += "N" * (end - start - len(seq))
-    return seq
+    return seq + "N" * (want - len(seq)) if len(seq) < want else seq
 
 
 def parse_regions(string: str) -> List[Tuple[str, int, int]]:
-    """'chrom:start-end,...' with 1-based inclusive input converted to
-    0-based half-open (reference vcf.py:66-89)."""
+    """'chrom[:start[-end]],...' (1-based inclusive) -> 0-based half-open."""
     out = []
-    for r in string.split(","):
-        if ":" in r:
-            chrom, rng = r.split(":", 1)
-            start, _, end = rng.partition("-")
-            out.append((chrom, int(start or "1") - 1,
-                        int(end) if end else sys.maxsize))
-        else:
-            out.append((r, 0, sys.maxsize))
+    for token in string.split(","):
+        chrom, _, span = token.partition(":")
+        if not span:
+            out.append((chrom, 0, sys.maxsize))
+            continue
+        start, _, end = span.partition("-")
+        out.append((chrom, int(start or "1") - 1,
+                    int(end) if end else sys.maxsize))
     return out
 
 
-class VCFError(ValueError):
-    pass
+def _trim_shared_tail(ref: str, alts: List[str]) -> Tuple[str, List[str]]:
+    """Drop bases shared by the tail of REF and EVERY ALT, keeping at least
+    one base of each (VCF right-trim normalisation)."""
+    n_keep = min([len(ref)] + [len(a) for a in alts])
+    while n_keep > 1:
+        tail = ref[-1].upper()
+        if any(a[-1].upper() != tail for a in alts):
+            break
+        ref = ref[:-1]
+        alts = [a[:-1] for a in alts]
+        n_keep -= 1
+    return ref, alts
 
+
+# ---------------------------------------------------------------------------
+# The parser/writer
+# ---------------------------------------------------------------------------
 
 class VCF:
-    """Version-aware VCF parser/writer (reference vcf.py:92-870)."""
+    """Version-aware VCF parser/writer (API mirrors the reference's)."""
 
     NT_UNKNOWN = 0
     NT_NUMBER = 1
@@ -85,40 +220,25 @@ class VCF:
     NT_GENOTYPES = 4
     NT_PHASED_GENOTYPES = 5
 
-    _errors = {
-        0: "UNKNOWN_FORMAT_STRING:Unknown file format identifier",
-        1: "BADLY_FORMATTED_FORMAT_STRING:Formatting error in the format string",
-        2: "BADLY_FORMATTED_HEADING:Did not find 9 required headings %s",
-        3: "BAD_NUMBER_OF_COLUMNS:Wrong number of columns found (%s)",
-        4: "POS_NOT_NUMERICAL:Position column is not numerical",
-        5: "UNKNOWN_CHAR_IN_REF:Unknown character in reference field",
-        6: "V33_BAD_REF:Reference should be single-character in v3.3 VCF",
-        7: "V33_BAD_ALLELE:Cannot interpret allele for v3.3 VCF",
-        8: "POS_NOT_POSITIVE:Position field must be >0",
-        9: "QUAL_NOT_NUMERICAL:Quality field must be numerical, or '.'",
-        10: "ERROR_INFO_STRING:Error while parsing info field",
-        11: "ERROR_UNKNOWN_KEY:Unknown key (%s) found in formatted field",
-        12: "ERROR_FORMAT_NOT_NUMERICAL:Expected number in formatted field; got %s",
-        13: "ERROR_FORMAT_NOT_CHAR:Expected character in formatted field",
-        14: "FILTER_NOT_DEFINED:Filter identifier (%s) not defined in header",
-        15: "FORMAT_NOT_DEFINED:Format identifier (%s) not defined in header",
-        16: "BAD_NUMBER_OF_VALUES:Found too many values in sample column (%s)",
-        17: "BAD_NUMBER_OF_PARAMETERS:Unexpected number of parameters (%s)",
-        18: "BAD_GENOTYPE:Cannot parse genotype (%s)",
-        19: "V40_BAD_ALLELE:Bad allele found for v4.0 VCF (%s)",
-        20: "MISSING_REF:Reference allele missing",
-        21: "V33_UNMATCHED_DELETION:Deleted sequence does not match reference (%s)",
-        22: "V40_MISSING_ANGLE_BRACKETS:Format definition not in angle brackets",
-        23: "FORMAT_MISSING_QUOTES:Description not surrounded by quotes",
-        24: "V40_FORMAT_MUST_HAVE_NAMED_FIELDS:v4.0 format fields must be named",
-        25: "HEADING_NOT_SEPARATED_BY_TABS:Heading separated by spaces, not tabs",
-        26: "WRONG_REF:Wrong reference %s",
-        27: "ERROR_TRAILING_DATA:Numerical field ('%s') has trailing data",
-        28: "BAD_CHR_TAG:Error calculating chr tag for %s",
-        29: "ZERO_LENGTH_ALLELE:Found zero-length allele",
-        30: "MISSING_INDEL_ALLELE_REF_BASE:Indel alleles must begin with one reference base",
-        31: "ERROR_NON_FLAG_WITHOUT_VALUE:Formatted field is not a flag but has no value",
-        32: "ERROR_FLAG_HAS_VALUE:Flag fields must not have a value",
+    _NUMBER_WORDS = {
+        ".": NT_UNKNOWN,
+        "A": NT_ALLELES, "#alleles": NT_ALLELES,
+        "#nonref_alleles": NT_NR_ALLELES,
+        "G": NT_GENOTYPES, "#genotypes": NT_GENOTYPES,
+        "#phased_genotypes": NT_PHASED_GENOTYPES,
+    }
+    _NUMBER_LABELS = {
+        NT_UNKNOWN: ".", NT_ALLELES: "#alleles",
+        NT_NR_ALLELES: "#nonref_alleles", NT_GENOTYPES: "#genotypes",
+        NT_PHASED_GENOTYPES: "#phased_genotypes",
+    }
+    # Expected value count per numbertype given the ALT list.
+    _COUNT_RULES: Dict[int, Callable] = {
+        NT_NUMBER: lambda f, nalt: f.number,
+        NT_ALLELES: lambda f, nalt: nalt + 1,
+        NT_NR_ALLELES: lambda f, nalt: nalt,
+        NT_GENOTYPES: lambda f, nalt: (nalt + 1) * (nalt + 2) // 2,
+        NT_PHASED_GENOTYPES: lambda f, nalt: (nalt + 1) * (nalt + 1),
     }
 
     _required = ["CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
@@ -126,8 +246,6 @@ class VCF:
 
     def __init__(self, reference=None, regions=None, lines=None,
                  leftalign: bool = False, _fastGT: bool = False):
-        for code, text in self._errors.items():
-            setattr(self, text.split(":")[0], code)
         self._header: List[Tuple[str, str]] = []
         self._version = 40
         self._info: Dict[str, FieldDef] = {}
@@ -144,176 +262,141 @@ class VCF:
         self._lineno = -1
         self._line: Optional[str] = None
 
-    # -- error policy (reference vcf.py:175-183) -------------------------
+    # Error names resolve as attributes (self.FILTER_NOT_DEFINED etc.).
+    def __getattr__(self, name: str) -> int:
+        try:
+            return _ERROR_CODES[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    # -- error policy ------------------------------------------------------
     def error(self, line, code: int, opt=None) -> None:
         if code in self._ignored_errors:
             return
-        text = self._errors[code]
+        name, template = _ERROR_NAMES[code]
+        detail = template
         if opt is not None:
             try:
-                text = text % opt
+                detail = template % opt
             except TypeError:
-                text = f"{text} ({opt})"
-        msg = f"Error parsing vcf: {text}\n{line}"
+                detail = f"{template} ({opt})"
+        msg = f"Error parsing vcf: {name}: {detail}\n{line}"
         if code in self._warn_errors:
             print(f"Warning: {msg}", file=sys.stderr)
             return
         raise VCFError(msg)
 
+    def _policy(self, which: set, errorstring: str) -> None:
+        code = _ERROR_CODES.get(errorstring)
+        if code is None:
+            raise ValueError(f"Invalid error string: {errorstring}")
+        which.add(code)
+
+    def ignoreerror(self, errorstring: str) -> None:
+        self._policy(self._ignored_errors, errorstring)
+
+    def warnerror(self, errorstring: str) -> None:
+        self._policy(self._warn_errors, errorstring)
+
     # -- header ----------------------------------------------------------
-    def parse_format(self, line: str, text: str, filter: bool = False) -> FieldDef:
-        """One <ID=..,Number=..,Type=..,Description=".."> declaration
-        (reference vcf.py:184-246; v3.3 allows unbracketed positional)."""
+    def parse_format(self, line: str, body: str, filter: bool = False) -> FieldDef:
+        """One declaration body -> FieldDef.  v4.x bodies are <k=v,...>;
+        v3.3 bodies may be bare positional ID,Number,Type,"Description"."""
         if self._version >= 40:
-            if not text.startswith("<"):
+            if not (body.startswith("<") and body.endswith(">")):
                 self.error(line, self.V40_MISSING_ANGLE_BRACKETS)
-                text = "<" + text
-            if not text.endswith(">"):
-                self.error(line, self.V40_MISSING_ANGLE_BRACKETS)
-                text += ">"
-            text = text[1:-1]
-        data = {"id": None, "number": None, "type": None, "descr": None}
-        idx = 0
-        while text.strip():
-            elts = text.strip().split(",")
-            first, rest = elts[0], ",".join(elts[1:])
-            if "=" not in first or ('"' in first
-                                    and first.find("=") > first.find('"')):
+            body = body.removeprefix("<").removesuffix(">")
+
+        fields: Dict[str, str] = {}
+        positional = ["ID", "Number", "Type", "Description"]
+        if filter:
+            del positional[1:3]
+        pos_idx = 0
+        cursor = 0
+        while cursor < len(body):
+            m = _META_PAIR.match(body, cursor)
+            if m:
+                key, val = m.group("k"), m.group("v")
+            else:
+                m = _META_BARE.match(body, cursor)
+                val = m.group("v")
                 if self._version >= 40:
                     self.error(line, self.V40_FORMAT_MUST_HAVE_NAMED_FIELDS)
-                if idx == 4:
+                if pos_idx >= len(positional):
                     self.error(line, self.BADLY_FORMATTED_FORMAT_STRING)
-                first = ["ID=", "Number=", "Type=", "Description="][idx] + first
-            if first.startswith("ID="):
-                data["id"] = first.split("=", 1)[1]
-            elif first.startswith("Number="):
-                data["number"] = first.split("=", 1)[1]
-            elif first.startswith("Type="):
-                data["type"] = first.split("=", 1)[1]
-            elif first.startswith("Description="):
-                elts = text.split('"')
-                if len(elts) < 3:
+                    break
+                key = positional[pos_idx]
+            pos_idx += 1
+            if key == "Description":
+                if val.startswith('"') and val.endswith('"') and len(val) >= 2:
+                    val = val[1:-1]
+                else:
                     self.error(line, self.FORMAT_MISSING_QUOTES)
-                    elts = first.split("=") + [rest]
-                data["descr"] = elts[1]
-                rest = '"'.join(elts[2:])
-                if rest.startswith(","):
-                    rest = rest[1:]
-            else:
-                # v4.1 extras (Source=/Version=) pass through silently.
-                pass
-            text = rest
-            idx += 1
-            if filter and idx == 1:
-                idx = 3
-        if not data["id"]:
+            fields[key] = val
+            cursor = m.end()
+            if cursor < len(body) and body[cursor] == ",":
+                cursor += 1
+
+        fid = fields.get("ID")
+        descr = fields.get("Description")
+        if not fid:
             self.error(line, self.BADLY_FORMATTED_FORMAT_STRING)
-        if data["descr"] is None:
+        if descr is None:
             self.error(line, self.BADLY_FORMATTED_FORMAT_STRING)
-            data["descr"] = "<none>"
-        if not data["type"] and not data["number"]:
-            return FieldDef(data["id"], self.NT_NUMBER, 0, "Flag",
-                            data["descr"], ".")
-        if data["type"] not in ("Integer", "Float", "Character", "String",
-                                "Flag"):
+            descr = "<none>"
+        number, typ = fields.get("Number"), fields.get("Type")
+        if not typ and not number:
+            return FieldDef(fid, self.NT_NUMBER, 0, "Flag", descr, ".")
+        if typ not in ("Integer", "Float", "Character", "String", "Flag"):
             self.error(line, self.BADLY_FORMATTED_FORMAT_STRING)
-        missing = None if data["type"] in ("Integer", "Float") else "."
-        if not data["number"]:
+        if not number:
             self.error(line, self.BADLY_FORMATTED_FORMAT_STRING)
-        try:
-            n = int(data["number"])
-            t = self.NT_NUMBER
-        except (TypeError, ValueError):
-            n = -1
-            t = {
-                ".": self.NT_UNKNOWN,
-                "#alleles": self.NT_ALLELES, "A": self.NT_ALLELES,
-                "#nonref_alleles": self.NT_NR_ALLELES,
-                "#genotypes": self.NT_GENOTYPES, "G": self.NT_GENOTYPES,
-                "#phased_genotypes": self.NT_PHASED_GENOTYPES,
-            }.get(data["number"])
-            if t is None:
-                self.error(line, self.BADLY_FORMATTED_FORMAT_STRING)
-                t = self.NT_UNKNOWN
-        return FieldDef(data["id"], t, n, data["type"], data["descr"], missing)
+        missing = None if typ in ("Integer", "Float") else "."
+        if number and number.lstrip("-").isdigit():
+            return FieldDef(fid, self.NT_NUMBER, int(number), typ, descr,
+                            missing)
+        numbertype = self._NUMBER_WORDS.get(number)
+        if numbertype is None:
+            self.error(line, self.BADLY_FORMATTED_FORMAT_STRING)
+            numbertype = self.NT_UNKNOWN
+        return FieldDef(fid, numbertype, -1, typ, descr, missing)
 
     def format_format(self, fmt: FieldDef, filter: bool = False) -> str:
-        values = [("ID", fmt.id)]
+        pairs = [("ID", fmt.id)]
         if fmt.number is not None and not filter:
-            nmb = {self.NT_UNKNOWN: ".", self.NT_ALLELES: "#alleles",
-                   self.NT_NR_ALLELES: "#nonref_alleles",
-                   self.NT_GENOTYPES: "#genotypes",
-                   self.NT_PHASED_GENOTYPES: "#phased_genotypes"}.get(
-                       fmt.numbertype, str(fmt.number))
-            values += [("Number", nmb), ("Type", fmt.type)]
-        values.append(("Description", '"' + fmt.description + '"'))
+            label = self._NUMBER_LABELS.get(fmt.numbertype, str(fmt.number))
+            pairs += [("Number", label), ("Type", fmt.type)]
+        pairs.append(("Description", '"' + fmt.description + '"'))
         if self._version == 33:
-            return ",".join(v for _k, v in values)
-        return "<" + ",".join(f"{k}={v}" for k, v in values) + ">"
+            return ",".join(v for _k, v in pairs)
+        return "<" + ",".join(f"{k}={v}" for k, v in pairs) + ">"
 
     def get_expected(self, key: str, formatdict, alt: Sequence[str]) -> int:
-        fmt = formatdict.get(key)
-        if fmt is None or fmt.numbertype == self.NT_UNKNOWN:
+        f = formatdict.get(key)
+        if f is None or f.numbertype == self.NT_UNKNOWN:
             return -1
-        return {
-            self.NT_NUMBER: fmt.number,
-            self.NT_ALLELES: len(alt) + 1,
-            self.NT_NR_ALLELES: len(alt),
-            self.NT_GENOTYPES: ((len(alt) + 1) * (len(alt) + 2)) // 2,
-            self.NT_PHASED_GENOTYPES: (len(alt) + 1) * (len(alt) + 1),
-        }.get(fmt.numbertype, 0)
+        rule = self._COUNT_RULES.get(f.numbertype)
+        return rule(f, len(alt)) if rule else 0
 
-    def _add_definition(self, formatdict, key, data, line) -> None:
+    def _declare_adhoc(self, formatdict, key, sample_values, line) -> None:
+        """Register an undeclared key encountered in data (or output),
+        guessing its type from the first value."""
         if key in formatdict:
             return
         self.error(line, self.ERROR_UNKNOWN_KEY, key)
-        if data is None:
+        probe = sample_values[0] if sample_values else ""
+        if sample_values is None:
             formatdict[key] = FieldDef(key, self.NT_NUMBER, 0, "Flag",
                                        "(Undefined tag)", ".")
-            return
-        if data == []:
-            data = [""]
-        if isinstance(data[0], float):
+        elif isinstance(probe, float):
             formatdict[key] = FieldDef(key, self.NT_UNKNOWN, -1, "Float",
                                        "(Undefined tag)", None)
-        elif isinstance(data[0], int):
+        elif isinstance(probe, int):
             formatdict[key] = FieldDef(key, self.NT_UNKNOWN, -1, "Integer",
                                        "(Undefined tag)", None)
         else:
             formatdict[key] = FieldDef(key, self.NT_UNKNOWN, -1, "String",
                                        "(Undefined tag)", ".")
-
-    def format_formatdata(self, data, fmt, key=True, value=True,
-                          separator=":") -> str:
-        """(reference vcf.py:297-329, incl. trailing-missing trimming)."""
-        output, sdata = [], []
-        if isinstance(data, list):
-            data = {k: [] for k in data}
-        for k in data:
-            self._add_definition(fmt, k, data[k], "(output)")
-            data[k] = ["." if v == fmt[k].missingvalue else v
-                       for v in data[k]]
-        for k in data:
-            if k != "GT":
-                sdata.append((k, data[k]))
-        sdata.sort()
-        if "GT" in data:
-            sdata = [("GT", [self.convertGTback(x) for x in data["GT"]])] + sdata
-        for k, v in sdata:
-            if v == []:
-                v = None
-            if key and value:
-                output.append(k + "=" + ",".join(map(str, v))
-                              if v is not None else k)
-            elif key:
-                output.append(k)
-            elif value:
-                output.append(",".join(map(str, v)) if v is not None else ".")
-        while len(output) > 1:
-            if output[-1].replace(",", "").replace(".", ""):
-                break
-            output = output[:-1]
-        return separator.join(output)
 
     def enter_default_format(self) -> None:
         for f in (FieldDef("GT", self.NT_NUMBER, 1, "String", "Genotype", "."),
@@ -327,39 +410,33 @@ class VCF:
                            "Sample Genotype Filter", ".")):
             self._format.setdefault(f.id, f)
 
+    _VERSIONS = {"VCFv3.3": 33, "VCFv4.0": 40, "VCFv4.1": 41}
+
     def parse_header(self, line: str) -> None:
         assert line.startswith("##")
         key, _, value = line[2:].partition("=")
         key, value = key.strip(), value.strip()
         if key == "fileformat":
-            versions = {"VCFv3.3": 33, "VCFv4.0": 40, "VCFv4.1": 41}
-            if value in versions:
-                self._version = versions[value]
-            else:
+            if value not in self._VERSIONS:
                 self.error(line, self.UNKNOWN_FORMAT_STRING)
-        elif key == "INFO":
-            f = self.parse_format(line, value)
-            self._info[f.id] = f
-        elif key == "FILTER":
-            f = self.parse_format(line, value, filter=True)
-            self._filter[f.id] = f
-        elif key == "FORMAT":
-            f = self.parse_format(line, value)
-            self._format[f.id] = f
+            self._version = self._VERSIONS.get(value, self._version)
+        elif key in ("INFO", "FILTER", "FORMAT"):
+            f = self.parse_format(line, value, filter=(key == "FILTER"))
+            {"INFO": self._info, "FILTER": self._filter,
+             "FORMAT": self._format}[key][f.id] = f
         else:
             self._header.append((key, value))
 
     def write_header(self, stream) -> None:
-        stream.write("##fileformat=VCFv%s.%s\n"
-                     % (self._version // 10, self._version % 10))
+        stream.write("##fileformat=VCFv%d.%d\n"
+                     % divmod(self._version, 10))
         for key, value in self._header:
             stream.write(f"##{key}={value}\n")
-        for var, label in ((self._info, "INFO"), (self._filter, "FILTER"),
-                           (self._format, "FORMAT")):
-            for f in var.values():
-                stream.write("##%s=%s\n"
-                             % (label, self.format_format(
-                                 f, filter=(label == "FILTER"))))
+        for schema, label in ((self._info, "INFO"), (self._filter, "FILTER"),
+                              (self._format, "FORMAT")):
+            for f in schema.values():
+                stream.write("##%s=%s\n" % (
+                    label, self.format_format(f, filter=(label == "FILTER"))))
 
     def parse_heading(self, line: str) -> None:
         assert line.startswith("#") and not line.startswith("##")
@@ -367,15 +444,15 @@ class VCF:
         if len(headings) == 1 and len(line[1:].split()) >= 9:
             self.error(line, self.HEADING_NOT_SEPARATED_BY_TABS)
             headings = line[1:].split()
-        for i, s in enumerate(self._required):
-            if len(headings) <= i or headings[i] != s:
-                if len(headings) == 8:
-                    headings.append("FORMAT")
-                else:
-                    err = (f"({i + 1}th entry not found)"
-                           if len(headings) <= i
-                           else f"(found {headings[i]}, expected {s})")
-                    self.error(line, self.BADLY_FORMATTED_HEADING, err)
+        for i, want in enumerate(self._required):
+            if i < len(headings) and headings[i] == want:
+                continue
+            if len(headings) == 8:
+                headings.append("FORMAT")
+            else:
+                got = (f"({i + 1}th entry not found)" if i >= len(headings)
+                       else f"(found {headings[i]}, expected {want})")
+                self.error(line, self.BADLY_FORMATTED_HEADING, got)
         self._samples = headings[9:]
 
     def write_heading(self, stream) -> None:
@@ -383,19 +460,19 @@ class VCF:
 
     # -- genotypes ---------------------------------------------------------
     def convertGT(self, gt: str):
-        """'0/1' -> [0, '/', 1]; '.' stays ['.'] (reference vcf.py:410-428)."""
+        """'0/1' -> [0, '/', 1]; haploid '0' -> [0]; missing -> ['.']."""
         if gt in (".", "1", "") or gt.startswith(".:"):
             return ["."]
+        tokens = _GT_SEP.split(gt)  # [a] or [a, sep, b]
         try:
-            gts = _GTS_RE.split(gt)
-            if len(gts) == 1:
-                return [int(gts[0])]
-            if len(gts) != 2:
-                raise ValueError()
-            sep = gt[len(gts[0]):-len(gts[1])]
-            if gts[0] == "." and gts[1] == ".":
-                return [gts[0], sep, gts[1]]
-            return [int(gts[0]), sep, int(gts[1])]
+            if len(tokens) == 1:
+                return [int(tokens[0])]
+            if len(tokens) != 3:
+                raise ValueError
+            a, sep, b = tokens
+            if a == "." and b == ".":
+                return [a, sep, b]
+            return [int(a), sep, int(b)]
         except ValueError:
             self.error(self._line, self.BAD_GENOTYPE, gt)
             return [".", "|", "."]
@@ -404,62 +481,128 @@ class VCF:
         return "".join(map(str, gtdata))
 
     def parse_formatdata(self, key, value, formatdict, line):
-        """Typed decode of one INFO/FORMAT value list
-        (reference vcf.py:434-479)."""
+        """Typed decode of one INFO/FORMAT value via the declaration's
+        compiled decoder (kept as a public method for API parity)."""
         f = formatdict.get(key)
         if f is None:
-            self._add_definition(formatdict, key, value, line)
+            self._declare_adhoc(formatdict, key, value, line)
             f = formatdict[key]
-        if f.type == "Flag":
-            if value is not None:
-                self.error(line, self.ERROR_FLAG_HAS_VALUE)
-            return []
-        if value is None:
-            self.error(line, self.ERROR_NON_FLAG_WITHOUT_VALUE)
-            return []
-        values = value.split(",")
-        if f.type in ("Float", "Integer") and values and ";" in values[-1]:
-            self.error(line, self.ERROR_TRAILING_DATA, values[-1])
-            values[-1] = values[-1].split(";")[0]
-        if f.type == "Integer":
-            try:
-                return [f.missingvalue if v == "." else int(v)
-                        for v in values]
-            except ValueError:
-                self.error(line, self.ERROR_FORMAT_NOT_NUMERICAL, values)
-                return [0] * len(values)
-        if f.type == "String":
+        if f.type == "String" and f.id == "GT":
             self._line = line
-            if f.id == "GT":
-                return [self.convertGT(v) for v in values]
-            return values
-        if f.type == "Character":
-            for v in values:
-                if len(v) != 1:
-                    self.error(line, self.ERROR_FORMAT_NOT_CHAR)
-            return values
-        if f.type == "Float":
-            try:
-                return [f.missingvalue if v == "." else float(v)
-                        for v in values]
-            except ValueError:
-                self.error(line, self.ERROR_FORMAT_NOT_NUMERICAL, values)
-                return [0.0] * len(values)
-        self.error(line, self.ERROR_INFO_STRING)
-        return []
+            return [self.convertGT(v) for v in value.split(",")]
+        return f.decode(value, self, line)
 
     def inregion(self, chrom: str, pos: int) -> bool:
         if not self._regions:
             return True
-        return any(r[0] == chrom and r[1] <= pos < r[2]
-                   for r in self._regions)
+        return any(c == chrom and s <= pos < e
+                   for c, s, e in self._regions)
 
-    # -- records -----------------------------------------------------------
+    # -- record parsing: one method per column group -----------------------
+    def _parse_pos(self, cols, line) -> int:
+        try:
+            pos = int(cols[1]) - 1
+        except ValueError:
+            self.error(line, self.POS_NOT_NUMERICAL)
+            return 0
+        if pos < 0:
+            self.error(line, self.POS_NOT_POSITIVE)
+        return pos
+
+    def _parse_ref(self, chrom, pos, raw, line) -> Tuple[str, Optional[str]]:
+        """REF column; returns (ref, left_flank_cache) where the flank is
+        the FASTA slice [pos-100, pos+len(ref)) used by left-alignment."""
+        ref = raw.upper()
+        if ref == ".":
+            self.error(line, self.MISSING_REF)
+            ref = (get_sequence(chrom, pos, pos + 1, self._reference)
+                   if self._version == 33 else "")
+        else:
+            if not _ALLELE_OK.match(ref):
+                self.error(line, self.UNKNOWN_CHAR_IN_REF)
+            if "N" in ref:
+                ref = get_sequence(chrom, pos, pos + len(ref),
+                                   self._reference)
+        flank = None
+        if self._reference:
+            left = max(0, pos - 100)
+            flank = get_sequence(chrom, left, pos + len(ref), self._reference)
+            from_fasta = flank[pos - left:]
+            if from_fasta != ref:
+                self.error(line, self.WRONG_REF,
+                           f"(reference is {from_fasta}, VCF says {ref})")
+            ref = from_fasta
+        return ref, flank
+
+    def _parse_qual(self, raw, line) -> float:
+        if raw == ".":
+            return -1.0
+        try:
+            return float(raw)
+        except ValueError:
+            self.error(line, self.QUAL_NOT_NUMERICAL)
+            return -1.0
+
+    def _parse_filters(self, raw, line) -> List[str]:
+        if raw in (".", "PASS", "0"):
+            return []
+        filters = raw.split(";")
+        for f in filters:
+            if f not in self._filter:
+                self.error(line, self.FILTER_NOT_DEFINED, f)
+        return filters
+
+    def _parse_info(self, raw, line) -> dict:
+        info = {}
+        if raw in (".", ""):
+            return info
+        for item in raw.split(";"):
+            key, eq, value = item.partition("=")
+            if "=" in value:
+                self.error(line, self.ERROR_INFO_STRING)
+            info[key] = self.parse_formatdata(key, value if eq else None,
+                                              self._info, line)
+        return info
+
+    def _check_alt_alleles(self, ref, alt, line) -> None:
+        for allele in alt:
+            if allele == "<DEL>" and self._version == 41:
+                continue
+            if not _ALLELE_OK.match(allele):
+                self.error(line, self.V40_BAD_ALLELE, allele)
+        for allele in alt:
+            if allele == "<DEL>" or len(allele) == len(ref):
+                continue
+            if len(allele) == 0:
+                self.error(line, self.ZERO_LENGTH_ALLELE)
+            lead = (ref[:1] + allele[:1]).upper()
+            if ref[:1].upper() != allele[:1].upper() and "N" not in lead:
+                self.error(line, self.MISSING_INDEL_ALLELE_REF_BASE)
+
+    def _parse_sample(self, name, raw, fmt, alt, line) -> dict:
+        decoded = {}
+        values = raw.split(":")
+        if len(values) > len(fmt):
+            self.error(line, self.BAD_NUMBER_OF_VALUES, raw)
+        for idx, key in enumerate(fmt):
+            expected = self.get_expected(key, self._format, alt)
+            if idx < len(values):
+                value = values[idx]
+            else:
+                value = "." if expected == -1 else ",".join(["."] * expected)
+            got = self.parse_formatdata(key, value, self._format, line)
+            if expected != -1 and len(got) != expected:
+                self.error(line, self.BAD_NUMBER_OF_PARAMETERS,
+                           f"id={key}, expected {expected}, got {got}")
+                got = (got + [got[-1]] * (expected - len(got)))[:expected]
+            decoded[key] = got
+        return decoded
+
     def parse_data(self, line: str, lineparse: bool = False,
                    parseGenotypes: bool = True):
-        """One data line -> record dict with 0-based pos
-        (reference vcf.py:489-708, incl. v3.3 allele rewriting,
-        trailing-base trimming and optional left-alignment)."""
+        """One data line -> record dict with 0-based pos (v3.3 alleles
+        rewritten to padded form, shared trailing bases trimmed, optional
+        left-alignment against the reference FASTA)."""
         cols = line.split("\t")
         if len(cols) != len(self._samples) + 9:
             if len(cols) == 8 and not self._samples:
@@ -467,221 +610,155 @@ class VCF:
             else:
                 self.error(line, self.BAD_NUMBER_OF_COLUMNS, len(cols))
         chrom = cols[0]
-        try:
-            pos = int(cols[1]) - 1
-        except ValueError:
-            self.error(line, self.POS_NOT_NUMERICAL)
-            pos = 0
-        if pos < 0:
-            self.error(line, self.POS_NOT_POSITIVE)
+        pos = self._parse_pos(cols, line)
         if not self.inregion(chrom, pos):
             return None
         if lineparse:
             return chrom, pos, line
 
-        rid = cols[2]
-        ref = cols[3].upper()
-        if ref == ".":
-            self.error(line, self.MISSING_REF)
-            ref = (get_sequence(chrom, pos, pos + 1, self._reference)
-                   if self._version == 33 else "")
-        else:
-            for c in ref:
-                if c not in "ACGTN":
-                    self.error(line, self.UNKNOWN_CHAR_IN_REF)
-            if "N" in ref:
-                ref = get_sequence(chrom, pos, pos + len(ref), self._reference)
-
-        left = max(0, pos - 100)
-        faref_leftflank = None
-        if self._reference:
-            faref_leftflank = get_sequence(chrom, left, pos + len(ref),
-                                           self._reference)
-            faref = faref_leftflank[pos - left:]
-            if faref != ref:
-                self.error(line, self.WRONG_REF,
-                           f"(reference is {faref}, VCF says {ref})")
-            ref = faref
-
+        ref, flank = self._parse_ref(chrom, pos, cols[3], line)
         alt = [] if cols[4] == "." else cols[4].upper().split(",")
-
-        if cols[5] == ".":
-            qual = -1.0
-        else:
-            try:
-                qual = float(cols[5])
-            except ValueError:
-                self.error(line, self.QUAL_NOT_NUMERICAL)
-                qual = -1.0
-
-        if cols[6] in (".", "PASS", "0"):
-            filt: List[str] = []
-        else:
-            filt = cols[6].split(";")
-
-        info = {}
-        if cols[7] not in (".", ""):
-            for item in cols[7].split(";"):
-                elts = item.split("=")
-                if len(elts) == 1:
-                    v = None
-                elif len(elts) == 2:
-                    v = elts[1]
-                else:
-                    self.error(line, self.ERROR_INFO_STRING)
-                    v = elts[1]
-                info[elts[0]] = self.parse_formatdata(elts[0], v, self._info,
-                                                      line)
+        qual = self._parse_qual(cols[5], line)
+        filters = self._parse_filters(cols[6], line)
+        info = self._parse_info(cols[7], line)
 
         fmt = [] if cols[8] == "" else cols[8].split(":")
         if self._fastGT:
             fmt = fmt[:1]
-        for f in filt:
-            if f not in self._filter:
-                self.error(line, self.FILTER_NOT_DEFINED, f)
-        for f in fmt:
-            if f not in self._format:
-                self.error(line, self.FORMAT_NOT_DEFINED, f)
+        for key in fmt:
+            if key not in self._format:
+                self.error(line, self.FORMAT_NOT_DEFINED, key)
 
         if self._version == 33:
             ref, alt, pos = self._convert_v33_alleles(line, chrom, pos, ref,
                                                       alt)
         else:
-            for allele in alt:
-                if self._version == 41 and allele == "<DEL>":
-                    continue
-                if not _ALLELE_RE.match(allele):
-                    self.error(line, self.V40_BAD_ALLELE, allele)
-
-        for allele in alt:
-            if allele == "<DEL>":
-                continue
-            if len(allele) != len(ref):
-                if len(allele) == 0:
-                    self.error(line, self.ZERO_LENGTH_ALLELE)
-                if (ref[:1].upper() != allele[:1].upper()
-                        and "N" not in (ref[:1] + allele[:1]).upper()):
-                    self.error(line, self.MISSING_INDEL_ALLELE_REF_BASE)
-
-        # Trim shared trailing bases (reference vcf.py:634-640).
+            self._check_alt_alleles(ref, alt, line)
         if alt:
-            for _ in range(1, min(len(ref), min(map(len, alt)))):
-                if (len({a[-1].upper() for a in alt}) > 1
-                        or ref[-1].upper() != alt[0][-1].upper()):
-                    break
-                ref, alt = ref[:-1], [a[:-1] for a in alt]
-
+            ref, alt = _trim_shared_tail(ref, alt)
         if self._leftalign and self._reference:
             ref, alt, pos = self._leftalign_alleles(chrom, pos, ref, alt,
-                                                    left, faref_leftflank)
+                                                    max(0, pos - 100), flank)
 
-        record = {"chrom": chrom, "pos": pos, "id": rid, "ref": ref,
-                  "alt": alt, "qual": qual, "filter": filt, "info": info,
+        record = {"chrom": chrom, "pos": pos, "id": cols[2], "ref": ref,
+                  "alt": alt, "qual": qual, "filter": filters, "info": info,
                   "format": fmt}
         if parseGenotypes:
-            for name, sample in zip(self._samples, cols[9:]):
+            for name, raw in zip(self._samples, cols[9:]):
                 if self._fastGT:
-                    record[name] = {fmt[0]: [self.convertGT(sample)]}
-                    continue
-                d = {}
-                values = sample.split(":")
-                if len(values) > len(fmt):
-                    self.error(line, self.BAD_NUMBER_OF_VALUES, sample)
-                for idx, key in enumerate(fmt):
-                    expected = self.get_expected(key, self._format, alt)
-                    if idx < len(values):
-                        value = values[idx]
-                    else:
-                        value = ("." if expected == -1
-                                 else ",".join(["."] * expected))
-                    d[key] = self.parse_formatdata(key, value, self._format,
-                                                   line)
-                    if expected != -1 and len(d[key]) != expected:
-                        self.error(line, self.BAD_NUMBER_OF_PARAMETERS,
-                                   f"id={key}, expected {expected}, got "
-                                   f"{d[key]}")
-                        if len(d[key]) < expected:
-                            d[key] += [d[key][-1]] * (expected - len(d[key]))
-                        d[key] = d[key][:expected]
-                record[name] = d
+                    record[name] = {fmt[0]: [self.convertGT(raw)]}
+                else:
+                    record[name] = self._parse_sample(name, raw, fmt, alt,
+                                                      line)
         return record
 
     def _convert_v33_alleles(self, line, chrom, pos, ref, alt):
-        """v3.3 SNP/I/D alleles -> v4.0 padded alleles
-        (reference vcf.py:574-616)."""
+        """v3.3 SNP/I<seq>/Dn alleles -> v4.0 padded replacement alleles."""
         if len(ref) != 1:
             self.error(line, self.V33_BAD_REF)
-        newalts = []
-        have_deletions = False
+
+        def extend_ref_to(length: int, converted: List[str]) -> str:
+            """Pull reference bases so len(ref) >= length; keeps previously
+            converted alleles in step."""
+            nonlocal ref
+            if len(ref) < length:
+                tail = get_sequence(chrom, pos + len(ref), pos + length,
+                                    self._reference)
+                ref += tail
+                converted[:] = [c + tail for c in converted]
+            return ref
+
+        converted: List[str] = []
+        saw_deletion = False
         for a in alt:
-            if len(a) == 1:
-                a = a + ref[1:]
-            elif a.startswith("I"):
-                a = ref[0] + a[1:] + ref[1:]
-            elif a.startswith("D"):
-                have_deletions = True
-                try:
-                    length = int(a[1:])
-                    if len(ref) < length:
-                        addns = get_sequence(chrom, pos + len(ref),
-                                             pos + length, self._reference)
-                        ref += addns
-                        newalts = [na + addns for na in newalts]
-                    a = ref[length:]
-                except ValueError:
-                    s = a[1:]
-                    if len(ref) < len(s):
-                        addns = get_sequence(chrom, pos + len(ref),
-                                             pos + len(s), self._reference)
-                        if not s.endswith(addns) and addns != "N" * len(addns):
-                            self.error(line, self.V33_UNMATCHED_DELETION, a)
-                        ref += addns
-                        newalts = [na + addns for na in newalts]
-                    a = ref[len(s):]
+            if len(a) == 1:                       # SNP
+                converted.append(a + ref[1:])
+            elif a.startswith("I"):               # insertion of a[1:]
+                converted.append(ref[0] + a[1:] + ref[1:])
+            elif a.startswith("D"):               # deletion
+                saw_deletion = True
+                body = a[1:]
+                if body.isdigit():
+                    n = int(body)
+                    extend_ref_to(n, converted)
+                    converted.append(ref[n:])
+                else:
+                    extended = extend_ref_to(len(body), converted)
+                    deleted = extended[:len(body)]
+                    if (deleted != body
+                            and deleted != "N" * len(deleted)):
+                        self.error(line, self.V33_UNMATCHED_DELETION, a)
+                    converted.append(ref[len(body):])
             else:
                 self.error(line, self.V33_BAD_ALLELE)
-            newalts.append(a)
-        alt = newalts
-        if have_deletions:
+                converted.append(a)
+        alt = converted
+        if saw_deletion:
+            # Deletions need an anchor base: prepend the base before pos
+            # (or append one at contig start).
             if pos == 0:
-                addn = get_sequence(chrom, pos + len(ref),
-                                    pos + len(ref) + 1, self._reference)
-                ref += addn
-                alt = [a + addn for a in alt]
+                pad = get_sequence(chrom, pos + len(ref), pos + len(ref) + 1,
+                                   self._reference)
+                ref += pad
+                alt = [a + pad for a in alt]
             else:
-                addn = get_sequence(chrom, pos - 1, pos, self._reference)
-                ref = addn + ref
-                alt = [addn + a for a in alt]
+                pad = get_sequence(chrom, pos - 1, pos, self._reference)
+                ref = pad + ref
+                alt = [pad + a for a in alt]
                 pos -= 1
         return ref, alt, pos
 
     def _leftalign_alleles(self, chrom, pos, ref, alt, left, flank):
-        """(reference vcf.py:643-663)."""
+        """Shift indel alleles left while the rotated base matches."""
+        def rotatable(a: str, b: str) -> bool:
+            longer, shorter = (a, b) if len(a) > len(b) else (b, a)
+            return (len(longer) != len(shorter)
+                    and longer[:len(shorter)].upper() == shorter.upper()
+                    and longer[-1].upper()
+                    == longer[len(shorter) - 1].upper())
+
         while left < pos:
-            movable = True
-            for allele in alt:
-                longest, shortest = ((allele, ref)
-                                     if len(allele) > len(ref)
-                                     else (ref, allele))
-                if (len(longest) == len(shortest)
-                        or longest[:len(shortest)].upper() != shortest.upper()
-                        or longest[-1].upper()
-                        != longest[len(shortest) - 1].upper()):
-                    movable = False
-            if not movable:
+            if not all(rotatable(allele, ref) for allele in alt):
                 break
             ref = ref[:-1]
             alt = [a[:-1] for a in alt]
-            if min((len(a) for a in alt), default=0) == 0 or len(ref) == 0:
-                ref = flank[pos - left - 1] + ref
-                alt = [flank[pos - left - 1] + a for a in alt]
+            if len(ref) == 0 or min((len(a) for a in alt), default=0) == 0:
+                base = flank[pos - left - 1]
+                ref = base + ref
+                alt = [base + a for a in alt]
                 pos -= 1
         return ref, alt, pos
 
+    # -- writing -----------------------------------------------------------
+    def format_formatdata(self, data, fmt, key=True, value=True,
+                          separator=":") -> str:
+        """INFO/FORMAT dict -> column text; GT leads, other keys sorted,
+        trailing all-missing entries trimmed."""
+        if isinstance(data, list):
+            data = {k: [] for k in data}
+        for k in data:
+            self._declare_adhoc(fmt, k, data[k], "(output)")
+            data[k] = ["." if v == fmt[k].missingvalue else v
+                       for v in data[k]]
+        ordered = sorted((k, v) for k, v in data.items() if k != "GT")
+        if "GT" in data:
+            ordered.insert(0, ("GT", [self.convertGTback(x)
+                                      for x in data["GT"]]))
+        fields = []
+        for k, v in ordered:
+            joined = ",".join(map(str, v)) if v else None
+            if key and value:
+                fields.append(f"{k}={joined}" if joined is not None else k)
+            elif key:
+                fields.append(k)
+            elif value:
+                fields.append(joined if joined is not None else ".")
+        while len(fields) > 1 and not fields[-1].replace(",", "").replace(".", ""):
+            fields.pop()
+        return separator.join(fields)
+
     def write_data(self, stream, data) -> None:
-        required = self._required[:]
-        required = [k.lower() for k in required] + self._samples
-        for k in required:
+        for k in [c.lower() for c in self._required] + self._samples:
             if k not in data:
                 raise ValueError(f"Required key {k} not found in data")
         alt = ",".join(data["alt"]) if data["alt"] else "."
@@ -692,23 +769,20 @@ class VCF:
         else:
             filt = ";".join(data["filter"])
         qual = "." if data["qual"] == -1 else str(data["qual"])
-        if qual.endswith(".0"):
-            qual = qual[:-2]
-        output = [data["chrom"], str(data["pos"] + 1), data["id"],
-                  data["ref"], alt, qual, filt,
-                  self.format_formatdata(data["info"], self._info,
-                                         separator=";"),
-                  self.format_formatdata(data["format"], self._format,
-                                         value=False)]
-        for s in self._samples:
-            output.append(self.format_formatdata(data[s], self._format,
-                                                 key=False))
-        stream.write("\t".join(output) + "\n")
+        qual = qual.removesuffix(".0")
+        cols = [data["chrom"], str(data["pos"] + 1), data["id"],
+                data["ref"], alt, qual, filt,
+                self.format_formatdata(data["info"], self._info,
+                                       separator=";"),
+                self.format_formatdata(data["format"], self._format,
+                                       value=False)]
+        cols += [self.format_formatdata(data[s], self._format, key=False)
+                 for s in self._samples]
+        stream.write("\t".join(cols) + "\n")
 
-    # -- streaming API (reference vcf.py:741-847) --------------------------
+    # -- streaming API -------------------------------------------------------
     def _parse_header_lines(self, stream) -> Optional[str]:
         self._lineno = 0
-        last = None
         for line in stream:
             self._lineno += 1
             if line.startswith("##"):
@@ -720,18 +794,21 @@ class VCF:
                 return line
         return None
 
-    def _parse(self, line, stream, parseGenotypes) -> Iterator[dict]:
-        if line and line.strip():
-            d = self.parse_data(line.strip(), parseGenotypes=parseGenotypes)
-            if d:
-                yield d
-        for line in stream:
-            self._lineno += 1
-            if self._lines and self._lineno > self._lines:
-                return
-            if not line.strip():
+    def _parse(self, first, stream, parseGenotypes) -> Iterator[dict]:
+        def records():
+            if first is not None:
+                yield first
+            for line in stream:
+                self._lineno += 1
+                if self._lines and self._lineno > self._lines:
+                    return
+                yield line
+
+        for line in records():
+            line = line.strip()
+            if not line:
                 continue
-            d = self.parse_data(line.strip(), parseGenotypes=parseGenotypes)
+            d = self.parse_data(line, parseGenotypes=parseGenotypes)
             if d:
                 yield d
 
@@ -776,21 +853,9 @@ class VCF:
     def setreference(self, ref):
         self._reference = ref
 
-    def ignoreerror(self, errorstring: str) -> None:
-        try:
-            self._ignored_errors.add(getattr(self, errorstring))
-        except AttributeError:
-            raise ValueError(f"Invalid error string: {errorstring}")
-
-    def warnerror(self, errorstring: str) -> None:
-        try:
-            self._warn_errors.add(getattr(self, errorstring))
-        except AttributeError:
-            raise ValueError(f"Invalid error string: {errorstring}")
-
     def parse(self, stream, parseGenotypes: bool = True) -> Iterator[dict]:
-        last_line = self._parse_header_lines(stream)
-        return self._parse(last_line, stream, parseGenotypes)
+        first = self._parse_header_lines(stream)
+        return self._parse(first, stream, parseGenotypes)
 
     def write(self, stream, datagenerator) -> None:
         self.write_header(stream)
@@ -803,72 +868,77 @@ class VCF:
         self.write_heading(stream)
 
     def compare_calls(self, pos1, ref1, alt1, pos2, ref2, alt2) -> bool:
-        """Allele equality after right-trimming (reference vcf.py:849-868)."""
+        """Call equality: same position and same right-trimmed ALT."""
         if pos1 != pos2:
             return False
-        while ref1 and alt1 and ref1[-1] == alt1[-1]:
-            ref1, alt1 = ref1[:-1], alt1[:-1]
-        while ref2 and alt2 and ref2[-1] == alt2[-1]:
-            ref2, alt2 = ref2[:-1], alt2[:-1]
-        return alt1 == alt2
+
+        def trimmed(ref: str, alt: str) -> str:
+            while ref and alt and ref[-1] == alt[-1]:
+                ref, alt = ref[:-1], alt[:-1]
+            return alt
+
+        return trimmed(ref1, alt1) == trimmed(ref2, alt2)
 
 
 class sortedVCF(VCF):
-    """Whole-file reader that yields records sorted within chromosome and
-    across chromosomes in natural order (reference vcf.py:872-953)."""
+    """Whole-file reader yielding records position-sorted within each
+    chromosome, chromosomes in natural order (numeric before named)."""
 
     def __init__(self):
         super().__init__()
-        self._sorted_lines = None
+        self._by_chrom: Optional[Dict[str, list]] = None
 
     def chr_tag(self, chrom: str):
-        val = chrom[3:] if chrom[:3].upper() == "CHR" else chrom
+        stem = chrom[3:] if chrom[:3].upper() == "CHR" else chrom
         try:
-            return (chrom, int(val))
+            return (chrom, int(stem))
         except ValueError:
-            return (chrom, val)
+            return (chrom, stem)
 
     def chr_order(self, chroms=None):
         if chroms is None:
-            chroms = list(self._sorted_lines.keys())
+            chroms = list(self._by_chrom.keys())
         tagged = [self.chr_tag(c) for c in chroms]
-        # ints sort before strings (py2 semantics the reference relies on).
         tagged.sort(key=lambda t: (isinstance(t[1], str), t[1]))
         return [t[0] for t in tagged]
 
-    def _load(self, line, stream) -> None:
-        if line and line.strip():
-            parsed = self.parse_data(line.strip(), lineparse=True)
-            if parsed:
-                self._sorted_lines[parsed[0]].append((parsed[1], parsed[2]))
-        for line in stream:
-            if not line.strip():
+    def _load(self, first, stream) -> None:
+        def lines():
+            if first is not None:
+                yield first
+            yield from stream
+
+        for line in lines():
+            line = line.strip()
+            if not line:
                 continue
-            parsed = self.parse_data(line.strip(), lineparse=True)
-            if parsed:
-                self._sorted_lines[parsed[0]].append((parsed[1], parsed[2]))
-        for key in self._sorted_lines:
-            self._sorted_lines[key].sort()
+            located = self.parse_data(line, lineparse=True)
+            if located:
+                chrom, pos, text = located
+                self._by_chrom[chrom].append((pos, text))
+        for bucket in self._by_chrom.values():
+            bucket.sort()
 
     def _parse_sorted(self, region=None) -> Iterator[dict]:
         if region is not None:
             chrom, start, end = region
-            poss = [d[0] for d in self._sorted_lines[chrom]]
-            lo = bisect.bisect_left(poss, start)
-            hi = bisect.bisect_right(poss, end)
-            for _pos, line in self._sorted_lines[chrom][lo:hi]:
-                yield self.parse_data(line.strip())
+            bucket = self._by_chrom[chrom]
+            positions = [p for p, _ in bucket]
+            lo = bisect.bisect_left(positions, start)
+            hi = bisect.bisect_right(positions, end)
+            span = bucket[lo:hi]
         else:
-            for chrom in self.chr_order():
-                for _pos, line in self._sorted_lines[chrom]:
-                    yield self.parse_data(line.strip())
+            span = [entry for chrom in self.chr_order()
+                    for entry in self._by_chrom[chrom]]
+        for _pos, text in span:
+            yield self.parse_data(text.strip())
 
     def getdata(self):
-        return self._sorted_lines
+        return self._by_chrom
 
     def parse(self, stream, region=None) -> Iterator[dict]:
-        if self._sorted_lines is None:
-            self._sorted_lines = defaultdict(list)
-            last_line = self._parse_header_lines(stream)
-            self._load(last_line, stream)
+        if self._by_chrom is None:
+            self._by_chrom = defaultdict(list)
+            first = self._parse_header_lines(stream)
+            self._load(first, stream)
         return self._parse_sorted(region)

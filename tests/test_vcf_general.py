@@ -157,5 +157,5 @@ def test_v41_symbolic_del_allowed():
         "chr1\t10\t.\tT\t<DEL>\t50\t.\t.\tGT\t0/1\n")
     r = next(VCF().parse(io.StringIO(text)))
     assert r["alt"] == ["<DEL>"]
-    with pytest.raises(VCFError, match="Bad allele"):
+    with pytest.raises(VCFError, match="V40_BAD_ALLELE"):
         next(VCF().parse(io.StringIO(text.replace("VCFv4.1", "VCFv4.0"))))
