@@ -153,6 +153,7 @@ def _child_main():
     from platypus_tpu.ops.align_pallas import band_align_padded_pallas
 
     configure_compilation_cache()
+    _device_precision_check(results_path)
 
     hap, go, read, qual, rl = make_inputs()
     padded = pad_alignment_inputs(hap, go, read, qual, rl)
@@ -323,6 +324,52 @@ def _bench_native_cpu(hap, go, read, qual, rl, ref_scores):
     return (n / dt if dt > 0 else 0.0), ok
 
 
+def _device_precision_check(results_path) -> None:
+    """Run the fused inference program on the CURRENT backend (the real TPU
+    when tunneled) against the f64 host oracle on a window whose QUAL is
+    known to expose matmul-input quantisation: the TPU MXU's default bf16
+    inputs shifted this window's posterior by ~4 phred until every float
+    contraction pinned Precision.HIGHEST (PARITY §15).  A CPU-only test
+    suite cannot catch a regression here; the driver runs bench.py on the
+    chip every round, so this check does."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from platypus_tpu.ops import likelihood as L
+        from platypus_tpu.ops import likelihood_jax as LJ
+
+        mltot = -0.23025850929940459
+        ll = np.zeros((2, 40))
+        # 20 ref reads + 20 alt reads at 1-phred-asymmetric scores (105/104).
+        ll[0] = [mltot * s + np.log1p(-1e-6) for s in ([105, 0] * 20)]
+        ll[1] = [mltot * s + np.log1p(-1e-6) for s in ([0, 104] * 20)]
+        h1, h2 = L.genotype_index_pairs(2)
+        gl_host, _ = L.genotype_log_likelihoods(ll, h1, h2)
+
+        loglik = np.zeros((1, 2, 64), np.float32)
+        loglik[0, :, :40] = ll
+        onehot = np.zeros((1, 1, 64), np.float32)
+        onehot[0, 0, :40] = 1.0
+        var_mask = np.zeros((1, 1, 2), bool)
+        var_mask[0, 0, 1] = True
+        out = LJ.infer_window_batch(
+            jnp.asarray(loglik), jnp.asarray(onehot),
+            jnp.ones((1, 2), bool), jnp.asarray(h1), jnp.asarray(h2),
+            jnp.asarray(var_mask), jnp.ones((1, 1), bool))
+        gl_rel_dev = np.asarray(out[5][0, 0], np.float64)
+        gl_rel_host = gl_host - gl_host.max()
+        err = float(np.abs(gl_rel_dev - gl_rel_host).max())
+        _emit(results_path, {
+            "event": "device_precision",
+            "backend": jax.default_backend(),
+            "gl_rel_max_abs_err": err,
+            "ok": bool(err < 1e-2),  # bf16 quantisation shows up as ~1.0
+        })
+    except Exception:  # noqa: BLE001 — absence of the event flags it
+        pass
+
+
 def _e2e_hybrid_child_main():
     """Hybrid-pool A/B on the 10 Mb dataset: nCPU=4 with the TPU device
     worker vs nCPU=4 CPU-only, same process tree, same session — the
@@ -467,6 +514,9 @@ def main():
             out["e2e_caller_reads_per_second"] = round(r["reads_per_second"], 1)
             out["e2e_unit"] = (f"reads/s (1Mb 30x synthetic, nCPU=1, "
                                f"{r['backend']} backend)")
+        if r.get("event") == "device_precision":
+            out["device_precision_ok"] = r["ok"]
+            out["device_precision_gl_err"] = round(r["gl_rel_max_abs_err"], 8)
         if r.get("event") == "e2e_hybrid":
             out["e2e_hybrid_ncpu4_reads_per_second"] = round(
                 r["hybrid_reads_per_second"], 1)
