@@ -301,6 +301,14 @@ def _device_window_needs_host(inference, all_haps, hap_var_sets, n_ind,
     boundary.  Populates `priors` as a side effect for reuse."""
     if n_ind > 25 or config.use_em_likelihoods:
         return True
+    if config.output_ref_calls:
+        # REFCALL output recomputes a flat-prior posterior phred directly
+        # from WindowCall.frequencies (vcfout/refcalls.py) — a full
+        # posterior evaluation over the raw frequency vector, which the
+        # PP/FR boundary bands below do not model.  --outputRefCalls is
+        # not the hot production config; take the host path outright so
+        # REFCALL QUAL stays byte-identical across backends.
+        return True
     if inference.em_margin < _EM_MARGIN_EPS:
         return True
     from ..parallel.batch import enumerate_window_variants

@@ -67,26 +67,15 @@ NOT_READY = object()
 # ---------------------------------------------------------------------------
 
 def _dispatch_infer(payload: dict):
-    """Launch one fused batch on the device; returns (h1, h2, dev_tuple)."""
-    import jax.numpy as jnp
+    """Launch one fused batch on the device (shared single-dispatch helper
+    in parallel/batch.py); returns the device output tuple."""
+    from ..parallel.batch import launch_fused_inference
 
-    from ..ops.likelihood import genotype_index_pairs
-    from ..ops.likelihood_jax import infer_window_batch
-
-    Hb = payload["hap_mask"].shape[1]
-    h1, h2 = genotype_index_pairs(Hb)
-    dev = infer_window_batch(
-        jnp.asarray(payload["loglik"]), jnp.asarray(payload["onehot"]),
-        jnp.asarray(payload["hap_mask"]),
-        jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
-        jnp.asarray(payload["var_mask"]), jnp.asarray(payload["has_reads"]),
+    _h1, _h2, dev = launch_fused_inference(
+        payload["loglik"], payload["onehot"], payload["hap_mask"],
+        payload["var_mask"], payload["has_reads"],
         em_iters=int(payload.get("em_iters", 100)),
     )
-    for arr in (dev[1], dev[2], dev[4], dev[6]):
-        try:
-            arr.copy_to_host_async()
-        except AttributeError:
-            break
     return dev
 
 

@@ -601,6 +601,23 @@ def _worker_entry(args):
     if delay and platform_override is not None:
         regions = _delayed_regions(regions, delay)
 
+    if platform_override is not None:
+        # The parent terminates a device straggler once every region is
+        # durable.  Convert SIGTERM into a SystemExit raised at a Python
+        # bytecode boundary so any held claim lock unwinds through its
+        # `with` block instead of dying inside the critical section and
+        # poisoning the shared semaphore (the parent's all_done /
+        # claim_counts and the hosts' final exhaustion checks acquire the
+        # same locks).  A worker stuck in a C-level device await doesn't
+        # reach a bytecode boundary — the parent hard-kills after a grace
+        # period (it is then provably not inside a claim lock).
+        import signal as _signal
+
+        def _graceful_term(_sig, _frm):
+            raise SystemExit(0)
+
+        _signal.signal(_signal.SIGTERM, _graceful_term)
+
     if platform_override is not None and not _device_worker_healthy():
         # Tunnel/device too degraded to contribute (a region needs ~8 MB of
         # uploads; a congested tunnel was measured below 10 KB/s while RTT
@@ -703,7 +720,17 @@ def merge_vcf_files(temp_files: Sequence[str], final_name: str) -> None:
     region; both copies are byte-identical by the determinism contract)."""
     out = sys.stdout if final_name == "-" else open(final_name, "w")
     heap = []
-    iters = []
+
+    def data_lines(fh):
+        # A line without its trailing newline is a mid-write truncation —
+        # only possible as a file's last line (a terminated straggler) —
+        # and is dropped BEFORE keying: a truncated line can be cut inside
+        # its first two columns, where _line_key would raise.  Its region
+        # has a complete rescue copy.
+        for line in fh:
+            if line.endswith("\n"):
+                yield line
+
     for index, name in enumerate(temp_files):
         fh = open(name)
         first_data = None
@@ -712,20 +739,14 @@ def merge_vcf_files(temp_files: Sequence[str], final_name: str) -> None:
                 if index == 0:
                     out.write(line)
             else:
-                first_data = line
+                if line.endswith("\n"):
+                    first_data = line
                 break
         if first_data is None:
             fh.close()
             os.remove(name)
             continue
-        it = iter([first_data])
-
-        def gen(fh=fh, first=first_data):
-            yield first
-            yield from fh
-
-        g = gen()
-        next(g)  # consume first (already captured)
+        g = data_lines(fh)
         heapq.heappush(heap, (_line_key(first_data), index, first_data, g, fh, name))
 
     cur_key = None
@@ -736,7 +757,7 @@ def merge_vcf_files(temp_files: Sequence[str], final_name: str) -> None:
         if pos_key != cur_key:
             cur_key = pos_key
             cur_lines.clear()
-        if line.endswith("\n") and line not in cur_lines:
+        if line not in cur_lines:
             cur_lines.add(line)
             out.write(line)
         try:
@@ -852,6 +873,12 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
 
     for stale in _glob.glob(f"{config.output}_rescue_*"):
         os.remove(stale)  # a crashed previous run must not leak into merge
+    for name in temp_files:
+        # Truncate up front: a crashed previous run's temp file must not
+        # leak stale lines into the merge when this run's worker is
+        # terminated before its own "w" open (the entry hook and the
+        # parent backstop both touch with "a" and must find it empty).
+        open(name, "w").close()
 
     claim_index = ctx.Value("i", 0)
     claim_state = ctx.Array("b", len(regions))
@@ -872,23 +899,41 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
     for p in workers:
         p.start()
     terminated_stragglers: List[int] = []
+    terminate_deadline: Dict[int, float] = {}
     try:
         while any(p.is_alive() for p in workers):
             for p in workers:
                 p.join(timeout=0.5)
             if service is not None:
                 service.check_alive()  # a dead server must not hang workers
+            import time as _time
+
+            for i, deadline in list(terminate_deadline.items()):
+                if workers[i].is_alive() and _time.monotonic() > deadline:
+                    # Graceful SIGTERM didn't land (stuck in a C-level
+                    # device await, where no claim lock is held) — hard
+                    # kill so the run can finish.
+                    logger.warning("Device worker %d ignored SIGTERM; "
+                                   "killing", i)
+                    workers[i].kill()
+                    del terminate_deadline[i]
             if n_device and parent_source.all_done():
                 # Every region's output is durable (rescues included); a
                 # device worker still chewing on a straggler region must
                 # not extend the run — its duplicate lines are dropped at
                 # merge time.
                 for i in range(n_host, n_workers):
-                    if workers[i].is_alive():
+                    if workers[i].is_alive() and i not in terminate_deadline:
                         logger.info("Terminating device worker %d "
                                     "(all regions complete)", i)
+                        # The worker's SIGTERM handler raises SystemExit
+                        # at a bytecode boundary, so any held claim lock
+                        # unwinds instead of being poisoned; the deadline
+                        # covers a worker stuck in a C-level await.
                         workers[i].terminate()
                         terminated_stragglers.append(i)
+                        terminate_deadline[i] = (__import__("time")
+                                                 .monotonic() + 15.0)
         for p in workers:
             p.join()
     except KeyboardInterrupt:
@@ -901,6 +946,15 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
         service.stop()
     failed = [i for i, p in enumerate(workers)
               if p.exitcode != 0 and i not in terminated_stragglers]
+    if failed and all(i >= n_host for i in failed) and parent_source.all_done():
+        # A device worker that crashed on its own (OOM kill, runtime
+        # failure) is survivable as long as every region is durable — its
+        # claimed-but-unfinished regions were rescued by the hosts.  Only
+        # a HOST worker's death can leave holes.
+        logger.warning("Device worker(s) %s exited with %s; all regions "
+                       "completed via rescue — continuing to merge",
+                       failed, [workers[i].exitcode for i in failed])
+        failed = []
     if failed:
         # A dead worker's claimed regions are simply gone — merging the
         # survivors would silently emit a VCF with holes (the reference's
@@ -919,8 +973,6 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
         n_h, n_d, n_r = parent_source.claim_counts()
         logger.info("hybrid pool: %d regions by host workers, %d by the "
                     "device worker, %d rescued", n_h, n_d, n_r)
-    import glob as _glob
-
     rescue_files = sorted(_glob.glob(f"{config.output}_rescue_*"))
     merge_vcf_files(temp_files + rescue_files, config.output)
 

@@ -564,12 +564,16 @@ class VCF:
                                               self._info, line)
         return info
 
-    def _check_alt_alleles(self, ref, alt, line) -> None:
-        for allele in alt:
-            if allele == "<DEL>" and self._version == 41:
-                continue
-            if not _ALLELE_OK.match(allele):
-                self.error(line, self.V40_BAD_ALLELE, allele)
+    def _check_alt_alleles(self, ref, alt, line, check_bases=True) -> None:
+        """ALT validation: the ACGTN base check applies to v4.x alleles
+        only (check_bases); the zero-length / indel-anchor-base checks
+        apply to every version, including v3.3 POST-conversion alleles."""
+        if check_bases:
+            for allele in alt:
+                if allele == "<DEL>" and self._version == 41:
+                    continue
+                if not _ALLELE_OK.match(allele):
+                    self.error(line, self.V40_BAD_ALLELE, allele)
         for allele in alt:
             if allele == "<DEL>" or len(allele) == len(ref):
                 continue
@@ -632,6 +636,7 @@ class VCF:
         if self._version == 33:
             ref, alt, pos = self._convert_v33_alleles(line, chrom, pos, ref,
                                                       alt)
+            self._check_alt_alleles(ref, alt, line, check_bases=False)
         else:
             self._check_alt_alleles(ref, alt, line)
         if alt:
@@ -659,14 +664,16 @@ class VCF:
 
         def extend_ref_to(length: int, converted: List[str]) -> str:
             """Pull reference bases so len(ref) >= length; keeps previously
-            converted alleles in step."""
+            converted alleles in step.  Returns the fetched tail ('' when
+            no extension was needed)."""
             nonlocal ref
+            tail = ""
             if len(ref) < length:
                 tail = get_sequence(chrom, pos + len(ref), pos + length,
                                     self._reference)
                 ref += tail
                 converted[:] = [c + tail for c in converted]
-            return ref
+            return tail
 
         converted: List[str] = []
         saw_deletion = False
@@ -683,10 +690,14 @@ class VCF:
                     extend_ref_to(n, converted)
                     converted.append(ref[n:])
                 else:
-                    extended = extend_ref_to(len(body), converted)
-                    deleted = extended[:len(body)]
-                    if (deleted != body
-                            and deleted != "N" * len(deleted)):
+                    # Validate only the freshly-fetched extension against
+                    # the allele's tail, and let an all-N fetch (no real
+                    # reference attached) pass: the deleted prefix already
+                    # in `ref` is the REF column itself, not evidence of a
+                    # mismatch.
+                    tail = extend_ref_to(len(body), converted)
+                    if (tail and not body.endswith(tail)
+                            and tail != "N" * len(tail)):
                         self.error(line, self.V33_UNMATCHED_DELETION, a)
                     converted.append(ref[len(body):])
             else:

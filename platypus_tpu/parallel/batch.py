@@ -204,6 +204,34 @@ def inference_results_to_windows(
     return out
 
 
+def launch_fused_inference(loglik, onehot, hap_mask, var_mask, has_reads,
+                           em_iters: int = 100):
+    """Launch ONE fused GL/EM/posterior batch on the device and start the
+    device->host copies of the consumed outputs (they stream behind the
+    compute).  The single dispatch used by both the in-process pipeline
+    (dispatch_device_inference) and the device-owner service
+    (engine/device_service.py) — any change to infer_window_batch's output
+    tuple must be threaded through exactly here.  Returns (h1, h2, dev)."""
+    import jax.numpy as jnp
+
+    from ..ops.likelihood import genotype_index_pairs
+    from ..ops.likelihood_jax import infer_window_batch
+
+    Hb = hap_mask.shape[1]
+    h1, h2 = genotype_index_pairs(Hb)
+    dev = infer_window_batch(
+        jnp.asarray(loglik), jnp.asarray(onehot), jnp.asarray(hap_mask),
+        jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
+        jnp.asarray(var_mask), jnp.asarray(has_reads), em_iters=em_iters,
+    )
+    for arr in (dev[1], dev[2], dev[4], dev[6]):
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:
+            break
+    return h1, h2, dev
+
+
 def dispatch_device_inference(
     live: Sequence[Tuple[int, object]],   # (window index, PreparedWindow)
     loglik_by_idx: Dict[int, np.ndarray],
@@ -212,28 +240,10 @@ def dispatch_device_inference(
 ) -> PendingInference:
     """Launch the fused GL/EM/posterior program over every live window,
     bucketed by shape; returns a PendingInference to gather() later."""
-    import jax.numpy as jnp
-
-    from ..ops.likelihood import genotype_index_pairs
-    from ..ops.likelihood_jax import infer_window_batch
-
     pending = PendingInference()
     for batch in build_inference_batches(live, loglik_by_idx, n_individuals):
-        Hb = batch.hap_mask.shape[1]
-        h1, h2 = genotype_index_pairs(Hb)
-        dev = infer_window_batch(
-            jnp.asarray(batch.loglik), jnp.asarray(batch.onehot),
-            jnp.asarray(batch.hap_mask),
-            jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
-            jnp.asarray(batch.var_mask), jnp.asarray(batch.has_reads),
-            em_iters=em_iters,
-        )
-        # Start the device->host copies now (consumed outputs only); they
-        # stream behind the compute while the next region does host work.
-        for arr in (dev[1], dev[2], dev[4], dev[6]):
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:
-                break
+        h1, h2, dev = launch_fused_inference(
+            batch.loglik, batch.onehot, batch.hap_mask, batch.var_mask,
+            batch.has_reads, em_iters=em_iters)
         pending.buckets.append((batch.items, h1, h2, dev))
     return pending

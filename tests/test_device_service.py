@@ -280,6 +280,17 @@ def test_merge_drops_straggler_duplicates_and_partial_lines(tmp_path):
     lines = [l for l in open(out) if not l.startswith("#")]
     assert lines == [rec1, rec2, rec3]
 
+    # A line truncated INSIDE its first two columns (no tab / bare chrom)
+    # must also drop, not crash the key computation — and a file whose
+    # FIRST data line is truncated must merge as empty.
+    c = tmp_path / "c.vcf"
+    d = tmp_path / "d.vcf"
+    c.write_text("#H\n" + rec1 + "chr2")
+    d.write_text("#H\nchr20\t")
+    out2 = str(tmp_path / "out2.vcf")
+    merge_vcf_files([str(c), str(d)], out2)
+    assert [l for l in open(out2) if not l.startswith("#")] == [rec1]
+
 
 def test_hybrid_straggler_rescued(tmp_path):
     """End-to-end rescue: the device worker is made pathologically slow

@@ -102,6 +102,32 @@ def test_v33_allele_conversion():
     assert (recs[2]["ref"], recs[2]["alt"]) == ("G", ["GAA"])
 
 
+def test_v33_named_deletion_without_reference():
+    """A v3.3 D<seq> allele with NO reference FASTA parses without error:
+    the unmatched-deletion check applies only to freshly-fetched extension
+    bases, and an all-N fetch (no FASTA) is not evidence of a mismatch."""
+    text = ("##fileformat=VCFv3.3\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+            "chr1\t100\t.\tA\tDAG\t60\t0\t.\tGT\t0/1\n")
+    recs = list(VCF().parse(io.StringIO(text)))
+    assert len(recs) == 1
+    # Deletion of 2 bases: REF extended with N, anchor base prepended.
+    assert len(recs[0]["ref"]) == len(recs[0]["alt"][0]) + 2
+
+
+def test_v33_converted_alleles_still_anchor_checked():
+    """Zero-length / indel-anchor validation applies to v3.3 records after
+    conversion, same as the old parser ran it for every version."""
+    ref = _FakeRef("TTTTACCTGGTT")
+    # D2 at pos 7 deletes CT -> padded alleles pass the anchor check.
+    v = VCF(reference=ref)
+    recs = list(v.parse(io.StringIO(V33)))
+    for r in recs:
+        for a in r["alt"]:
+            if len(a) != len(r["ref"]):
+                assert a[:1] == r["ref"][:1]
+
+
 def test_trailing_base_trim_and_compare():
     vcf_text = (
         "##fileformat=VCFv4.0\n"
