@@ -594,12 +594,16 @@ def _worker_entry(args):
     # continuing=True so a shared log file is appended, not truncated.
     setup_logging(config, continuing=True)
 
-    # Test hook: make the device worker artificially slow per region so the
-    # rescue protocol is exercised deterministically without a congested
-    # tunnel (tests/test_device_service.py).
+    # Test hooks: make the device worker artificially slow per region (the
+    # rescue protocol fires deterministically without a congested tunnel),
+    # or crash it outright after claiming (the run must complete via
+    # rescue).  tests/test_device_service.py.
     delay = float(os.environ.get("PLATYPUS_TPU_TEST_DEVICE_DELAY", "0") or 0)
     if delay and platform_override is not None:
         regions = _delayed_regions(regions, delay)
+    if (platform_override is not None
+            and os.environ.get("PLATYPUS_TPU_TEST_DEVICE_CRASH")):
+        regions = _crash_after_first_claim(regions)
 
     if platform_override is not None:
         # The parent terminates a device straggler once every region is
@@ -654,6 +658,13 @@ def _delayed_regions(regions, delay: float):
     for region in regions:
         _time.sleep(delay)
         yield region
+
+
+def _crash_after_first_claim(regions):
+    """Test hook: claim one region, then die hard (os._exit skips crash
+    containment) — the parent must treat the rescued run as complete."""
+    for _region in regions:
+        os._exit(17)
 
 
 def _device_worker_healthy() -> bool:

@@ -305,9 +305,35 @@ def test_hybrid_straggler_rescued(tmp_path):
     _run_cli(workdir, ref_path, f"{workdir}/hybrid.vcf",
              {"PLATYPUS_TPU_PLATFORM": "cpu",
               "PLATYPUS_TPU_HYBRID_WORKER": "1",
-              "PLATYPUS_TPU_TEST_DEVICE_DELAY": "120"},
+              "PLATYPUS_TPU_TEST_DEVICE_DELAY": "120",
+              # Disable the first-claim settle gate: the test NEEDS the
+              # device worker to claim (and then straggle) so the rescue
+              # path actually runs.
+              "PLATYPUS_TPU_DEVICE_SETTLE": "0"},
              ("--nCPU=2", "--bufferSize=6000"))
     plain = _data_lines(f"{workdir}/plain.vcf")
     hybrid = _data_lines(f"{workdir}/hybrid.vcf")
     assert len(plain) > 0
     assert plain == hybrid
+
+
+def test_hybrid_device_crash_rescued(tmp_path):
+    """A device worker that dies HARD after claiming (os._exit — no crash
+    containment, no SIGTERM handler) must not abort or corrupt the run:
+    hosts rescue its region and the merged output equals the plain pool."""
+    workdir = str(tmp_path)
+    ref_path = _make_dataset(workdir)
+    _run_cli(workdir, ref_path, f"{workdir}/plain.vcf",
+             {"PLATYPUS_TPU_PLATFORM": "cpu",
+              "PLATYPUS_TPU_HYBRID_WORKER": "0"},
+             ("--nCPU=2", "--bufferSize=6000"))
+    _run_cli(workdir, ref_path, f"{workdir}/crash.vcf",
+             {"PLATYPUS_TPU_PLATFORM": "cpu",
+              "PLATYPUS_TPU_HYBRID_WORKER": "1",
+              "PLATYPUS_TPU_TEST_DEVICE_CRASH": "1",
+              "PLATYPUS_TPU_DEVICE_SETTLE": "0"},
+             ("--nCPU=2", "--bufferSize=6000"))
+    plain = _data_lines(f"{workdir}/plain.vcf")
+    crashed = _data_lines(f"{workdir}/crash.vcf")
+    assert len(plain) > 0
+    assert plain == crashed
