@@ -398,9 +398,11 @@ def _e2e_hybrid_child_main():
                        check=True, capture_output=True)
         return time.perf_counter() - t0
 
+    # One warm + one timed run per arm: the driver's bench budget also
+    # covers the kernel and single-process e2e children, so this child
+    # stays under ~2 min on a cached dataset.
     run(out_h, hybrid=True)   # warm arm-specific compiles/caches
-    walls = {"hybrid": min(run(out_h, True) for _ in range(2)),
-             "cpu_only": min(run(out_c, False) for _ in range(2))}
+    walls = {"hybrid": run(out_h, True), "cpu_only": run(out_c, False)}
     with open(out_h) as fh1, open(out_c) as fh2:
         d1 = [l for l in fh1 if not l.startswith("#")]
         d2 = [l for l in fh2 if not l.startswith("#")]
@@ -461,7 +463,7 @@ def main():
     if backend != "cpu-fallback":
         for child_flag, deadline in (
             ("PLATYPUS_BENCH_E2E_CHILD", DEVICE_DEADLINE_S),
-            ("PLATYPUS_BENCH_E2E_HYBRID_CHILD", DEVICE_DEADLINE_S * 2),
+            ("PLATYPUS_BENCH_E2E_HYBRID_CHILD", DEVICE_DEADLINE_S * 1.25),
         ):
             env = dict(os.environ, PLATYPUS_BENCH_RESULTS=results_path)
             env[child_flag] = "1"
