@@ -26,6 +26,7 @@ Tunnel-robust design (the shared-chip tunnel stalls for minutes at a time):
 
 import ctypes
 import json
+import math
 import os
 import subprocess
 import sys
@@ -360,11 +361,25 @@ def _device_precision_check(results_path) -> None:
         gl_rel_dev = np.asarray(out[5][0, 0], np.float64)
         gl_rel_host = gl_host - gl_host.max()
         err = float(np.abs(gl_rel_dev - gl_rel_host).max())
+        # Posterior log-ratio (the other guard-modelled emitted quantity).
+        lik = np.maximum(1e-300, np.exp(gl_rel_host))
+        freq, _, _ = L.em_haplotype_frequencies(
+            lik[None, :], h1, h2, 2, np.array([40]))
+        has_var = np.array([False, True])
+        fp = np.where(has_var, 0.0, freq)
+        fp = fp / fp.sum()
+        factor = 1.0 + (h1 != h2)
+        pv = lik @ (factor * freq[h1] * freq[h2])
+        pn = lik @ (factor * fp[h1] * fp[h2])
+        host_lr = math.log(max(pn, 1e-300)) - math.log(max(pv, 1e-300))
+        ratio_err = abs(float(out[4][0, 0]) - host_lr)
         _emit(results_path, {
             "event": "device_precision",
             "backend": jax.default_backend(),
             "gl_rel_max_abs_err": err,
-            "ok": bool(err < 1e-2),  # bf16 quantisation shows up as ~1.0
+            "ratio_abs_err": ratio_err,
+            # bf16 quantisation shows up as ~1.0 in both quantities.
+            "ok": bool(err < 1e-2 and ratio_err < 1e-2),
         })
     except Exception:  # noqa: BLE001 — absence of the event flags it
         pass
