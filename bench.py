@@ -102,7 +102,7 @@ def _make_repeat(fn):
 
 def _e2e_child_main():
     """Bounded end-to-end caller benchmark: 1Mb/30x synthetic dataset,
-    full warm pass (compiles), then best-of-3 timed runs.  Appends an
+    full warm pass (compiles), then best-of-2 timed runs.  Appends an
     'e2e' event; any failure just leaves the event absent."""
     results_path = os.environ["PLATYPUS_BENCH_RESULTS"]
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
@@ -124,7 +124,7 @@ def _e2e_child_main():
                          regions=["chr20:1000-1001000"], assemble=0)
     run_single_process(cfg, regions, os.path.join(workdir, "warm.vcf"))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         run_single_process(cfg, regions, os.path.join(workdir, "out.vcf"))
         best = min(best, time.perf_counter() - t0)
@@ -542,7 +542,7 @@ def main():
             out["e2e_hybrid_identical_data_lines"] = r["identical_data_lines"]
             out["e2e_hybrid_unit"] = ("reads/s (10Mb 30x synthetic, nCPU=4 "
                                       "+ TPU device worker vs CPU-only, "
-                                      "best-of-2 each, same session)")
+                                      "one timed run each, same session)")
     print(json.dumps(out))
     try:
         os.unlink(results_path)

@@ -907,8 +907,19 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
                            "default" if i >= n_host else None),))
         for i in range(n_workers)
     ]
-    for p in workers:
+    for i, p in enumerate(workers):
         p.start()
+        if i >= n_host:
+            # Yield the device worker to the host workers: its startup
+            # alone (interpreter + JAX/axon init, ~2.5 s of CPU) steals
+            # cycles from the n_cpu pinned workers on a fully-subscribed
+            # host — measured up to ~30% on short runs where the settle
+            # gate means the device worker contributes nothing.  A niced
+            # process still gets idle cores, so long runs lose nothing.
+            try:
+                os.setpriority(os.PRIO_PROCESS, p.pid, 10)
+            except (OSError, AttributeError):
+                pass
     terminated_stragglers: List[int] = []
     terminate_deadline: Dict[int, float] = {}
     try:

@@ -2,14 +2,15 @@
 (VERDICT r2 item 3), pinned against the compiled-C + transcribed-formula
 oracle (tests/reference_oracle.py + reference_oracle_ext.py).
 
-Twelve window classes on one deterministic fixture:
+Fourteen window classes on one deterministic fixture:
 
-  W1  het SNP                     W7  1bp deletion in a 12bp homopolymer
-  W2  hom-alt SNP                 W8  complex replacement (2bp -> 3bp)
-  W3  het 2bp deletion            W9  assembler-sourced 16bp deletion
-  W4  het 3bp MNP                 W10 strand-bias FILTER-failing SNP
-  W5  multi-allelic SNP (GT 1/2)  W11 REFCALL blocks (quiet covered span)
-  W6  cis pair of interacting SNPs W12 multi-sample (3 samples) het SNP
+  W1  het SNP                     W8  complex replacement (2bp -> 3bp)
+  W2  hom-alt SNP                 W9  assembler-sourced 16bp deletion
+  W3  het 2bp deletion            W10 strand-bias FILTER-failing SNP
+  W4  het 3bp MNP                 W11 REFCALL blocks (quiet covered span)
+  W5  multi-allelic SNP (GT 1/2)  W12 multi-sample (3 samples) het SNP
+  W6  cis pair of interacting SNPs W13 1bp insertion in a 10bp homopolymer
+  W7  1bp deletion in a 12bp homopolymer  W14 --sourceFile FILE variant
 
 Pinned two ways, like tests/test_reference_golden.py:
 * the engine's full VCF data lines equal the checked-in golden byte for
@@ -54,7 +55,10 @@ ASM_DEL_LEN = 16
 SB_POS = 8400
 REFCALL_LO, REFCALL_HI = 9150, 10450
 MS_POS = 11000
+FILE_POS = 11600                     # --sourceFile-provided het SNP
 TRANS_A, TRANS_B = 12200, 12212
+HP2_START, HP2_LEN = 12800, 10       # injected T-run
+HP2_INS_POS = 12804                  # 1bp insertion inside the run
 
 
 def _alt(ref_seq, pos, avoid=()):
@@ -76,6 +80,9 @@ def make_ext_reference(tmp):
     # Break any accidental run extension at the boundaries.
     seq[HP_START - 1] = ord("C")
     seq[HP_START + HP_LEN] = ord("G")
+    seq[HP2_START:HP2_START + HP2_LEN] = ord("T")
+    seq[HP2_START - 1] = ord("G")
+    seq[HP2_START + HP2_LEN] = ord("C")
     text = seq.tobytes().decode()
     with open(ref_path, "w") as fh:
         fh.write(">chr20\n")
@@ -197,6 +204,14 @@ def build_fixture_ext(tmp):
     v_trans_a = V(TRANS_A, 1, _alt(ref_seq, TRANS_A))
     v_trans_b = V(TRANS_B, 1, _alt(ref_seq, TRANS_B))
     reads_s1 += _cluster([sim(v_trans_a), sim(v_trans_b)], TRANS_A, "trans")
+    # --sourceFile het SNP: provided via a bgzip+tabix VCF AND supported by
+    # reads (Source=File|Platypus merge, variantutils.py path).
+    v_file = V(FILE_POS, 1, _alt(ref_seq, FILE_POS))
+    reads_s1 += _cluster([sim(v_file), ref_hap], FILE_POS, "filevar")
+    # 1bp insertion inside the T-run; left-normalises to the run start.
+    v_hp_ins = (HP2_INS_POS, b"", b"T")
+    hp_ins_hap = SimHaplotype(ref_seq, [(HP2_INS_POS, 0, b"T")])
+    reads_s1 += _cluster([hp_ins_hap, ref_hap], HP2_INS_POS, "hp_ins")
     reads_s1.sort(key=lambda r: r["pos"])
     bam1 = write_synth_bam(tmp, reads_s1, ref_len=REF_LEN, sample="S1",
                            filename="reads_s1.bam")
@@ -215,6 +230,19 @@ def build_fixture_ext(tmp):
     bam3 = write_synth_bam(tmp, reads_s3, ref_len=REF_LEN, sample="S3",
                            filename="reads_s3.bam")
 
+    # bgzip+tabix source VCF carrying the FILE variant (variantutils.py
+    # path: the engine merges it with the read-derived candidate).
+    from platypus_tpu.io.tabix import write_tabix_vcf
+
+    source_vcf = f"{tmp}/source.vcf.gz"
+    ref_base = chr(ref_seq[FILE_POS])
+    write_tabix_vcf(
+        ["##fileformat=VCFv4.0\n",
+         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n",
+         f"chr20\t{FILE_POS + 1}\t.\t{ref_base}\t{v_file[2].decode()}"
+         "\t100\tPASS\t.\n"],
+        source_vcf)
+
     oracle_windows = {
         "het_snp": ([v_snp_het], {"S1": [r for r in reads_s1 if r["name"].startswith("het_snp")]}),
         "hom_snp": ([v_snp_hom], {"S1": [r for r in reads_s1 if r["name"].startswith("hom_snp")]}),
@@ -231,9 +259,11 @@ def build_fixture_ext(tmp):
         "ms": ([v_ms], {"S1": [r for r in reads_s1 if r["name"].startswith("ms_s1")],
                         "S2": [r for r in reads_s2 if r["name"].startswith("ms_s2")],
                         "S3": [r for r in reads_s3 if r["name"].startswith("ms_s3")]}),
+        "file": ([v_file], {"S1": [r for r in reads_s1 if r["name"].startswith("filevar")]}),
+        "hp_ins": ([v_hp_ins], {"S1": [r for r in reads_s1 if r["name"].startswith("hp_ins")]}),
     }
     return dict(ref_path=ref_path, ref_seq=ref_seq,
-                bam_paths=[bam1, bam2, bam3],
+                bam_paths=[bam1, bam2, bam3], source_vcf=source_vcf,
                 reads_s1=reads_s1, reads_s2=reads_s2, reads_s3=reads_s3,
                 oracle_windows=oracle_windows)
 
@@ -246,7 +276,8 @@ def engine_vcf_lines(tmp, fx):
     config = PlatypusConfig(bam_files=fx["bam_paths"], ref_file=fx["ref_path"],
                             output=out, regions=["chr20:1001-13200"],
                             assemble=1, output_ref_calls=1,
-                            ref_call_block_size=300)
+                            ref_call_block_size=300,
+                            source_file=[fx["source_vcf"]])
     run_single_process(config, [("chr20", 1000, 13200)], out)
     with open(out) as fh:
         return [ln.rstrip("\n") for ln in fh if not ln.startswith("#")]
@@ -278,8 +309,16 @@ def _lines_at(lines, pos1):
 def test_expected_windows_present(golden):
     lines = golden["vcf_lines"]
     for pos in (SNP_HET_POS, SNP_HOM_POS, MNP_POS, MULTI_POS, CIS_POS_A,
-                COMPLEX_POS, SB_POS, MS_POS):
+                COMPLEX_POS, SB_POS, MS_POS, FILE_POS):
         assert _lines_at(lines, pos + 1), f"no call at {pos + 1}"
+    # FILE variant carries the merged source bitmask.
+    filevar = _lines_at(lines, FILE_POS + 1)[0]
+    assert "File" in filevar.split("\t")[7]
+    # Homopolymer insertion present (left-normalised into/at the T-run).
+    hp_ins = [l for l in lines
+              if HP2_START - 2 <= int(l.split("\t")[1]) <= HP2_INS_POS + 2
+              and len(l.split("\t")[4].split(",")[0]) > len(l.split("\t")[3])]
+    assert hp_ins, "homopolymer insertion missing"
     # The cis SNP pair merges (identical spliced sequence) with the
     # assembler's single replacement spanning both, which wins on prior
     # product (variantcaller.pyx:325-390) — one record covering A..B.
