@@ -56,6 +56,7 @@ class WindowCall:
     vars_by_pos: Dict[int, List[Variant]]
     reads: WindowReads
     loglik: np.ndarray                # [H, R] per-(hap, read) ln-likelihood
+    hap_var_sets: List[set]           # [H] set(h.variants) per haplotype
 
 
 def _all_subset_haplotypes(window: Window, variants: Sequence[Variant], ref_file,
@@ -459,6 +460,7 @@ def finish_window(
         vars_by_pos=vars_by_pos,
         reads=reads,
         loglik=loglik,
+        hap_var_sets=hap_var_sets,
     )
 
 

@@ -171,6 +171,7 @@ def em_haplotype_frequencies(
     if n_with_data == 0:
         return freq, csr, 0
     lik = likelihoods[has_data]
+    w = np.zeros_like(lik)  # responsibilities stay zero if max_iters <= 0
     while iters < max_iters:
         w = lik * (freq[hap1_idx] * freq[hap2_idx] * het_factor)[None, :]
         s = w.sum(axis=1, keepdims=True)
@@ -225,7 +226,11 @@ def variant_posterior_phred(
 def posterior_phred_from_log_ratio(log_ratio: float, prior: float) -> float:
     """phred posterior from ln(P(no var)/P(var)) and the variant prior
     (cpopulation.pyx:586-594); shared by the host and device paths."""
-    return round(posterior_phred_unrounded(log_ratio, prior))
+    from ..utils.maths import round_ref
+
+    # int like Python 3's one-arg round returned here before; the VALUE
+    # follows the reference's C round (ties away from zero).
+    return int(round_ref(posterior_phred_unrounded(log_ratio, prior)))
 
 
 def posterior_phred_unrounded(log_ratio: float, prior: float) -> float:

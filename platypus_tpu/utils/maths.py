@@ -15,6 +15,20 @@ import math
 _TWO_PI = 2.0 * math.pi
 
 
+
+def round_ref(x: float, ndigits: int = 0) -> float:
+    """The reference's rounding semantics: CPython 2.7 round() and C
+    round() both round to nearest with ties AWAY from zero, correctly
+    rounded on the exact binary value.  Python 3's round() rounds ties to
+    even, silently diverging on exactly-representable halves — e.g.
+    BRF = 1/8 emits 0.12 under banker's rounding where the reference
+    emits 0.13.  Decimal(float) is the exact binary value, so quantizing
+    with ROUND_HALF_UP reproduces the py2.7 dtoa-based behaviour."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
 def log_factorial(x: int) -> float:
     """ln(x!) — exact below 15, Stirling series above (platypusutils.pyx:178)."""
     if x < 15:

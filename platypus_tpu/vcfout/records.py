@@ -28,7 +28,7 @@ from ..candidates.variant import ASSEMBLER_VAR, FILE_VAR, PLATYPUS_VAR, Variant
 from ..config import PlatypusConfig
 from ..engine.caller import WindowCall
 from ..io.bam import CIGAR_D, CIGAR_EQ, CIGAR_I, CIGAR_M, CIGAR_N, CIGAR_S, CIGAR_X
-from ..utils.maths import beta_binomial_cdf, mann_whitney_rank_sum_z
+from ..utils.maths import beta_binomial_cdf, mann_whitney_rank_sum_z, round_ref
 from .. import native
 from .writer import FILTER_NAMES, VCFWriter
 
@@ -237,7 +237,7 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
             else:
                 info[var]["FR"][0] += float(call.frequencies[hap_index])
 
-    hap_var_sets = [set(h.variants) for h in call.haplotypes]
+    hap_var_sets = call.hap_var_sets
 
     n_ind = len(call.n_reads)
     good_rows_by_ind = [
@@ -438,9 +438,9 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
             n_var_reads_per_sample.append(n_var_reads_this)
 
         z = mann_whitney_rank_sum_z(alt_read_pos, ref_read_pos)
-        vinfo["ReadPosRankSum"] = ["." if z is None else round(z, 2)]
-        vinfo["ABPV"] = [round(allele_bias_pvalue(tc_ab, tr_ab), 2)]
-        vinfo["SbPval"] = [round(strand_bias_pvalue(tcf_sb, tcr_sb, nf_sb, nr_sb), 2)]
+        vinfo["ReadPosRankSum"] = ["." if z is None else round_ref(z, 2)]
+        vinfo["ABPV"] = [round_ref(allele_bias_pvalue(tc_ab, tr_ab), 2)]
+        vinfo["SbPval"] = [round_ref(strand_bias_pvalue(tcf_sb, tcr_sb, nf_sb, nr_sb), 2)]
         vinfo["TR"] = [tr]
         vinfo["NF"] = [nf]
         vinfo["NR"] = [nr]
@@ -453,12 +453,12 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
                 vinfo["QD"] = [(qual + (-10 * math.log10(prior))) / tr]
         else:
             vinfo["QD"] = [0]
-        vinfo["BRF"] = [round(n_bad / max(1, n_good + n_bad), 2)]
+        vinfo["BRF"] = [round_ref(n_bad / max(1, n_good + n_bad), 2)]
         vinfo["TC"] = [tc]
         vinfo["TCR"] = [tcr]
         vinfo["TCF"] = [tcf]
         if tc + tc_bad > 0 and rmsmq > 0:
-            vinfo["MQ"] = [round(math.sqrt(rmsmq / (tc + tc_bad)), 2)]
+            vinfo["MQ"] = [round_ref(math.sqrt(rmsmq / (tc + tc_bad)), 2)]
         else:
             vinfo["MQ"] = [0]
         vinfo["nReadsPerSample"] = n_reads_per_sample
@@ -703,7 +703,7 @@ def output_call_to_vcf(
 
     haplotypes = call.haplotypes
     H = len(haplotypes)
-    hap_var_sets = [set(h.variants) for h in haplotypes]
+    hap_var_sets = call.hap_var_sets
     all_variants = list(call.window.variants)
     n_written = 0
 
@@ -773,9 +773,9 @@ def output_call_to_vcf(
             if not (index1 == 0 and index2 == 0):
                 n_non_ref_calls += 1
             gt = [str(index1), "/", str(index2)]
-            phred_post = int(min(99, round(-10.0 * math.log10(max(1e-10, 1.0 - genotype_post)))))
-            phred_non_ref = int(min(99, round(-10.0 * math.log10(max(1e-10, 1.0 - non_ref_post)))))
-            phred_ref = int(min(99, round(-10.0 * math.log10(max(1e-10, 1.0 - ref_post)))))
+            phred_post = int(min(99, round_ref(-10.0 * math.log10(max(1e-10, 1.0 - genotype_post)))))
+            phred_non_ref = int(min(99, round_ref(-10.0 * math.log10(max(1e-10, 1.0 - non_ref_post)))))
+            phred_ref = int(min(99, round_ref(-10.0 * math.log10(max(1e-10, 1.0 - ref_post)))))
 
             if n_vars == 1 and phred_non_ref < config.min_posterior and phred_ref < config.min_posterior:
                 gt = [".", "/", "."]
@@ -784,7 +784,7 @@ def output_call_to_vcf(
 
             if n_vars == 1:
                 max_like = max(likelihoods)
-                gls = [round(math.log10(max(x / max_like, 1e-300)), 2) for x in likelihoods]
+                gls = [round_ref(math.log10(max(x / max_like, 1e-300)), 2) for x in likelihoods]
             else:
                 gls = [-1, -1, -1]
 
@@ -803,7 +803,7 @@ def output_call_to_vcf(
         line_info.pop("nReadsPerSample", None)
         line_info.pop("nVarReadsPerSample", None)
         line_info.pop("ABPV", None)
-        line_info["MGOF"] = [int(round(max_gof, 2))]
+        line_info["MGOF"] = [int(round_ref(max_gof, 2))]
 
         if n_non_ref_calls > 0 or config.min_posterior == 0 or config.output_ref_calls == 1:
             out_pos, out_ref, out_alts = trim_left_padding(pos, ref, alts)

@@ -16,7 +16,7 @@ import numpy as np
 from ..candidates.windows import Window
 from ..config import PlatypusConfig
 from ..ops import likelihood as lk
-from ..utils.maths import beta_binomial_cdf
+from ..utils.maths import beta_binomial_cdf, round_ref
 from .writer import VCFWriter
 
 
@@ -49,7 +49,7 @@ def output_ref_call(
         max_post = 0.0
         if call is not None:
             for v in window.variants:
-                has_var = np.array([v in set(h.variants) for h in call.haplotypes])
+                has_var = np.array([v in s for s in call.hap_var_sets])
                 post = lk.variant_posterior_phred(
                     call.likelihoods, call.frequencies, has_var,
                     call.hap1_idx, call.hap2_idx, call.n_reads, prior=0.5,
@@ -57,7 +57,7 @@ def output_ref_call(
                 max_post = max(max_post, post)
         max_prob_var = 1.0 - 10 ** (-0.1 * max_post)
         prob_ref = 1.0 - max_prob_var
-        qual = min(int(round(-10.0 * math.log10(max(1e-10, 1.0 - prob_ref)))), phred_pvalue)
+        qual = min(int(round_ref(-10.0 * math.log10(max(1e-10, 1.0 - prob_ref)))), phred_pvalue)
 
     ref = ref_file.get_sequence(window.chromosome, window.start_pos, window.start_pos + 1).decode()
     alt = ["T"] if ref == "N" else ["N"]

@@ -256,6 +256,14 @@ def em_frequencies(likelihoods: np.ndarray, hap1: np.ndarray, hap2: np.ndarray,
     return freq, csr
 
 
+
+def _round_ties_away(x: float) -> float:
+    """C round() (cpopulation.pyx:56 cimports libc round): ties away from
+    zero — Python 3's round() would give banker's rounding instead."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
 def posterior_phred(likelihoods: np.ndarray, freq: np.ndarray,
                     hap_has_variant: np.ndarray, hap1: np.ndarray,
                     hap2: np.ndarray, prior: float) -> int:
@@ -278,7 +286,7 @@ def posterior_phred(likelihoods: np.ndarray, freq: np.ndarray,
         sum_log_var += math.log(sv) if sv > 0 else log_min_float
         sum_log_novar += math.log(sn) if sn > 0 else log_min_float
     ratio = max(1e-300, math.exp(min(700.0, sum_log_novar - sum_log_var)))
-    return round(-10.0 * (math.log10(ratio * (1.0 - prior))
+    return _round_ties_away(-10.0 * (math.log10(ratio * (1.0 - prior))
                           - math.log10(prior + ratio * (1.0 - prior))))
 
 

@@ -170,7 +170,8 @@ def refcall_qual(min_cov: int, has_variants: bool = False,
         return phred_pvalue
     max_prob_var = 1.0 - 10 ** (-0.1 * max_var_posterior)
     prob_ref = 1.0 - max_prob_var
-    return min(int(round(-10.0 * math.log10(1.0 - prob_ref))), phred_pvalue)
+    return min(int(base._round_ties_away(
+        -10.0 * math.log10(1.0 - prob_ref))), phred_pvalue)
 
 
 def map_and_align(align, hseq: bytes, gop: bytes, read: bytes, quals: bytes,
