@@ -51,6 +51,11 @@ _SEQ_LOOKUP = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
 # CIGAR op codes.
 CIGAR_M, CIGAR_I, CIGAR_D, CIGAR_N, CIGAR_S, CIGAR_H, CIGAR_P, CIGAR_EQ, CIGAR_X = range(9)
 _CONSUMES_REF = {CIGAR_M, CIGAR_D, CIGAR_N, CIGAR_EQ, CIGAR_X}
+# 16-entry bool LUT: per-record np.isin over a Python set costs ~10x more
+# on the whole-file hot loops (fetch fallback, build_bai).
+_CONSUMES_REF_LUT = np.zeros(16, bool)
+for _op in _CONSUMES_REF:
+    _CONSUMES_REF_LUT[_op] = True
 
 
 @dataclass
@@ -142,7 +147,8 @@ class ReadSet:
         from .compression import uncompress_qual, uncompress_seq
 
         if isinstance(rows, slice):
-            rows = np.arange(rows.start or 0, rows.stop)
+            start, stop, step = rows.indices(len(self.rlen))
+            rows = np.arange(start, stop, step)
         rows = np.asarray(rows, np.int64)
         comp = self._comp
         L = self._comp_width
@@ -167,6 +173,10 @@ class ReadSet:
         return np.stack([words & 0xF, words >> 4], axis=1).astype(np.int64)
 
     def take(self, idx: np.ndarray) -> "ReadSet":
+        if self.is_compressed:
+            raise ValueError(
+                "ReadSet.take on a compressed ReadSet (seq/qual replaced "
+                "by per-read blobs); subset before compress_in_memory")
         idx = np.asarray(idx)
         starts = self.cigar_off[idx]
         lens = self.cigar_off[idx + 1] - starts
@@ -281,7 +291,7 @@ def build_bai(bam_path: str, bai_path: str) -> None:
             cigar = np.frombuffer(rec, dtype="<u4", count=n_cigar,
                                   offset=32 + l_read_name)
             ops = cigar & 0xF
-            span = int((cigar >> 4)[np.isin(ops, list(_CONSUMES_REF))].sum())
+            span = int((cigar >> 4)[_CONSUMES_REF_LUT[ops]].sum())
             rend = pos + max(span, 1)
 
             chunk_list = bins[ref_id].setdefault(_reg2bin(pos, rend), [])
@@ -436,7 +446,7 @@ class BamFile:
         self.index_path = index_filename
         try:
             self.index = BaiIndex(index_filename)
-        except (FileNotFoundError, ValueError):
+        except (FileNotFoundError, ValueError, struct.error):
             self.index = None
         if self.index is not None:
             try:
@@ -456,7 +466,7 @@ class BamFile:
                 try:
                     self.index = BaiIndex(built)
                     self.index_path = built
-                except (FileNotFoundError, ValueError):
+                except (FileNotFoundError, ValueError, struct.error):
                     self.index = None
             else:
                 # Build failed — most likely the file is not actually
@@ -543,7 +553,9 @@ class BamFile:
         if samples:
             return samples
         stem = self.filename.split("/")[-1]
-        if stem.lower().endswith((".bam", ".cram")):
+        if stem.lower().endswith(".cram"):
+            stem = stem[:-5]
+        elif stem.lower().endswith(".bam"):
             stem = stem[:-4]
         return [stem]
 
@@ -556,6 +568,9 @@ class BamFile:
                 if len(size_bytes) < 4:
                     return
                 (block_size,) = struct.unpack("<i", size_bytes)
+                if block_size <= 0:
+                    raise ValueError(
+                        f"corrupt BAM: record size {block_size}")
                 record = self._bgzf.read(block_size)
                 if len(record) < block_size:
                     return
@@ -568,6 +583,8 @@ class BamFile:
             if len(size_bytes) < 4:
                 return
             (block_size,) = struct.unpack("<i", size_bytes)
+            if block_size <= 0:
+                raise ValueError(f"corrupt BAM: record size {block_size}")
             record = self._bgzf.read(block_size)
             if len(record) < block_size:
                 return
@@ -644,8 +661,11 @@ def _parse_records(
 
         ops = cigar & 0xF
         lens = (cigar >> 4).astype(np.int64)
-        ref_span = int(lens[np.isin(ops, list(_CONSUMES_REF))].sum())
-        rec_end = pos + ref_span
+        ref_span = int(lens[_CONSUMES_REF_LUT[ops]].sum())
+        # htslib bam_endpos: a zero-reference-span record (placed-unmapped
+        # mate, fully soft-clipped read) still occupies one base, so it is
+        # fetched when pos == start and overlaps the [pos, pos+1) window.
+        rec_end = pos + max(ref_span, 1)
         if rec_end <= start or pos >= end:
             continue
 

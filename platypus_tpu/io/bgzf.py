@@ -98,6 +98,13 @@ class BGZFReader:
 
     @property
     def virtual_offset(self) -> int:
+        # Normalise an at-end-of-block cursor to the NEXT block's start:
+        # BGZF allows 65536-byte uncompressed blocks (e.g. Biopython's
+        # writer; htslib caps at 0xFF00), and (coffset << 16) | 65536 would
+        # overflow the 16-bit within field into the compressed offset,
+        # writing corrupt chunk starts into any .bai/.tbi built from it.
+        if self._within == len(self._block_data) and self._block_clen:
+            return (self._block_coffset + self._block_clen) << 16
         return (self._block_coffset << 16) | self._within
 
     def seek_virtual(self, voffset: int) -> None:
@@ -106,6 +113,12 @@ class BGZFReader:
         if coffset != self._block_coffset or not self._block_data:
             if not self._load_block(coffset):
                 raise BGZFError(f"seek past EOF (voffset={voffset:#x})")
+        if within > len(self._block_data):
+            # A corrupt index voffset would otherwise make read()'s avail
+            # negative and silently return bytes from the wrong position.
+            raise BGZFError(
+                f"voffset {voffset:#x} points beyond its block "
+                f"({within} > {len(self._block_data)})")
         self._within = within
 
     def read(self, n: int) -> bytes:

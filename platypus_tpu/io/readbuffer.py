@@ -237,12 +237,11 @@ def _trim_good_reads(reads: ReadSet, idx: np.ndarray, opts: QCOptions) -> None:
             if n_zero > 0:
                 q[rl - n_zero : rl] = 0
 
-        # Adapter read-through trim.
+        # Adapter read-through trim.  The reference zeroes the same index
+        # set [absIns, rlen) on both strands through two differently-shaped
+        # loops (cwindow.pyx:445-452); one statement covers both.
         if opts.trim_adapter and paired and 0 < abs_ins < rl:
-            if reverse:
-                q[abs_ins:rl] = 0  # zero the last rl - abs_ins bases
-            else:
-                q[abs_ins:rl] = 0
+            q[abs_ins:rl] = 0
 
         # Soft-clipped bases -> qual 0.
         if opts.trim_soft_clipped:

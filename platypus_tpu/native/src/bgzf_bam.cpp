@@ -241,6 +241,11 @@ struct BgzfFile {
     }
 
     int64_t virtual_offset() const {
+        // Normalise an at-end-of-block cursor to the NEXT block's start —
+        // a 65536-byte uncompressed block would otherwise overflow the
+        // 16-bit within field (mirrors io/bgzf.py::virtual_offset).
+        if (blockp && within == blockp->size() && block_clen)
+            return (block_coffset + (int64_t)block_clen) << 16;
         return (block_coffset << 16) | (int64_t)within;
     }
 
@@ -489,7 +494,9 @@ PtpuBamBatch* ptpu_bam_fetch(const char* bam_path, const char* bai_path,
                 uint32_t cv = load_u32(cigar_bytes + 4 * c);
                 if (kConsumesRef & (1u << (cv & 0xF))) ref_span += cv >> 4;
             }
-            int64_t rec_end = (int64_t)pos + ref_span;
+            // htslib bam_endpos: a zero-reference-span record still
+            // occupies one base (placed-unmapped mate, fully soft-clipped).
+            int64_t rec_end = (int64_t)pos + (ref_span > 0 ? ref_span : 1);
             if (rec_end <= start || pos >= end) continue;
 
             size_t so = store->seq_flat.size();

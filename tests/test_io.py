@@ -343,3 +343,55 @@ def test_readset_padding_contract_producers_and_trims():
     rs.qual[0, int(rs.rlen[0]):] = 1
     with pytest.raises(AssertionError):
         rs.check_padding()
+
+
+def test_zero_span_read_endpos_clamp(tmp_path):
+    """htslib bam_endpos semantics: a fully-soft-clipped (zero reference
+    span) record still occupies one base — it is fetched when pos == start
+    and its ReadSet.end is pos + 1, in BOTH decoders."""
+    from platypus_tpu.io.bam import BamFile
+    from synth import write_synth_bam
+
+    import platypus_tpu.native as native
+
+    reads = [
+        dict(name="clip", ref_id=0, pos=500, mapq=40, flag=0,
+             cigar=[(4, 10)], seq=b"ACGTACGTAC", qual=[30] * 10),
+        dict(name="normal", ref_id=0, pos=505, mapq=40, flag=0,
+             cigar=[(0, 10)], seq=b"ACGTACGTAC", qual=[30] * 10),
+    ]
+    bam = write_synth_bam(str(tmp_path), reads, ref_len=2000)
+    variants = [False] + ([True] if native.load() is not None else [])
+    for use_native in variants:
+        with BamFile(bam) as bf:
+            rs = bf.fetch("chr20", 500, 600, use_native=use_native)
+            assert len(rs) == 2, (use_native, len(rs))
+            clip_row = int(np.argmin(rs.pos))  # leading clip shifts pos to 490
+            # Zero ref span -> end == stored_pos + 1 (bam_endpos clamp).
+            assert rs.end[clip_row] == 501, (use_native, rs.end.tolist())
+            # Window starting AT the occupied base still fetches it.
+            rs2 = bf.fetch("chr20", 500, 501, use_native=use_native)
+            assert (rs2.end - 1 == 500).any(), (use_native, rs2.end.tolist())
+
+
+def test_seq_qual_rows_open_slices(tmp_path):
+    """Compressed-mode seq_qual_rows must honour open-ended slices."""
+    import numpy as np
+
+    from platypus_tpu.io.bam import BamFile
+    from synth import make_reference, write_synth_bam
+
+    ref_path, ref_seq = make_reference(str(tmp_path), length=3000, seed=5)
+    reads = [dict(name=f"r{i}", ref_id=0, pos=1000 + 7 * i, mapq=40, flag=0,
+                  cigar=[(0, 50)],
+                  seq=bytes(ref_seq[1000 + 7 * i:1000 + 7 * i + 50]),
+                  qual=[30] * 50)
+             for i in range(8)]
+    bam = write_synth_bam(str(tmp_path), reads, ref_len=3000)
+    with BamFile(bam) as bf:
+        rs = bf.fetch("chr20", 900, 1500)
+    dense_seq = rs.seq.copy()
+    rs.compress_in_memory(ref_seq.tobytes(), 0)
+    for sl in (slice(None), slice(3, None), slice(None, 4), slice(2, 7)):
+        seq, _qual = rs.seq_qual_rows(sl)
+        np.testing.assert_array_equal(seq, dense_seq[sl])
