@@ -207,28 +207,6 @@ class BitReader:
         return v
 
 
-class BitWriter:
-    def __init__(self):
-        self.bytes = bytearray()
-        self.cur = 0
-        self.nbits = 0
-
-    def write_bits(self, value: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.cur = (self.cur << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.bytes.append(self.cur)
-                self.cur = 0
-                self.nbits = 0
-
-    def getvalue(self) -> bytes:
-        out = bytearray(self.bytes)
-        if self.nbits:
-            out.append(self.cur << (8 - self.nbits))
-        return bytes(out)
-
-
 # ---------------------------------------------------------------------------
 # Block (de)compression
 # ---------------------------------------------------------------------------
@@ -273,8 +251,15 @@ class Block:
         raw_size = s.itf8()
         payload = s.read(comp_size)
         s.read(4)  # CRC32 (unchecked on read)
-        return cls(method, content_type, content_id,
-                   _decompress(method, payload, raw_size))
+        data = _decompress(method, payload, raw_size)
+        if method != RAW and len(data) != raw_size:
+            # A truncated/corrupt stream must fail loudly — the rANS
+            # decoder in particular would otherwise return plausible
+            # garbage (its renorm loop just stops consuming at EOF).
+            raise ValueError(
+                f"CRAM block decompressed to {len(data)} bytes, header "
+                f"says {raw_size}")
+        return cls(method, content_type, content_id, data)
 
     def serialise(self) -> bytes:
         comp = _compress(self.method, self.data)
@@ -709,9 +694,11 @@ def _decode_slice_records(
                         a.bam_flag |= BAM_FMREVERSE
                     if b.bam_flag & BAM_FUNMAP:
                         a.bam_flag |= BAM_FMUNMAP
-                # Template span: leftmost start to rightmost end.
-                r_end = r.pos + _ref_span(r.cigar) - 1
-                m_end = m.pos + _ref_span(m.cigar) - 1
+                # Template span: leftmost start to rightmost end.  The
+                # one-base clamp matches htslib's bam_endpos for a
+                # zero-reference-span mate (fully soft-clipped).
+                r_end = r.pos + max(_ref_span(r.cigar), 1) - 1
+                m_end = m.pos + max(_ref_span(m.cigar), 1) - 1
                 left, right = min(r.pos, m.pos), max(r_end, m_end)
                 span = right - left + 1
                 if r.pos <= m.pos:
@@ -909,8 +896,16 @@ class CramFile:
     def __init__(self, filename: str, ref_file=None,
                  index_filename: Optional[str] = None):
         self.filename = filename
-        with open(filename, "rb") as fh:
-            self._data = fh.read()
+        # mmap, not read(): production CRAMs are tens of GB and the crai
+        # path only needs ranged access; the page cache does the rest.
+        import mmap as _mmap
+
+        self._fh = open(filename, "rb")
+        try:
+            self._data = _mmap.mmap(self._fh.fileno(), 0,
+                                    access=_mmap.ACCESS_READ)
+        except (ValueError, OSError):  # zero-length or mmap-less FS
+            self._data = self._fh.read()
         s = ByteStream(self._data)
         if s.read(4) != CRAM_MAGIC:
             raise ValueError(f"{filename}: not a CRAM file")
@@ -936,6 +931,12 @@ class CramFile:
                 d = dict(c.split(":", 1) for c in line.split("\t")[1:] if ":" in c)
                 self.references.append((d.get("SN", "?"), int(d.get("LN", 0))))
         self.ref_id: Dict[str, int] = {n: i for i, (n, _) in enumerate(self.references)}
+        self.coordinate_sorted = True
+        for line in self.header_text.splitlines():
+            if line.startswith("@HD") and "\tSO:" in line:
+                so = line.split("\tSO:", 1)[1].split("\t", 1)[0].strip()
+                if so not in ("coordinate", "unknown", ""):
+                    self.coordinate_sorted = False
         self._rg_ids: List[bytes] = [
             dict(c.split(":", 1) for c in line.split("\t")[1:] if ":" in c)
             .get("ID", "").encode()
@@ -953,7 +954,16 @@ class CramFile:
 
     # -- shared header helpers (same contract as BamFile) -------------------
     def close(self) -> None:
+        if hasattr(self._data, "close"):
+            try:
+                self._data.close()
+            except (BufferError, ValueError):
+                pass
         self._data = b""
+        fh = getattr(self, "_fh", None)
+        if fh is not None:
+            fh.close()
+            self._fh = None
 
     def __enter__(self):
         return self
@@ -1014,24 +1024,18 @@ class CramFile:
         return chunk
 
     # -- container walk ------------------------------------------------------
-    def _iter_containers(self, offsets: Optional[Sequence[int]] = None):
+    def _iter_containers(self):
         """Yield (offset, header, blocks_start) for data containers."""
-        if offsets is None:
-            p = self._first_container
-            while p + 4 <= len(self._data):
-                if self._data[p : p + len(_EOF_V3)] == _EOF_V3:
-                    return
-                s = ByteStream(self._data, p)
-                ch = _parse_container_header(s)
-                if ch.start == 4542278 and ch.ref_id == -1:
-                    return  # EOF container variant
-                yield p, ch, s.p
-                p = s.p + ch.length
-        else:
-            for p in offsets:
-                s = ByteStream(self._data, p)
-                ch = _parse_container_header(s)
-                yield p, ch, s.p
+        p = self._first_container
+        while p + 4 <= len(self._data):
+            if self._data[p : p + len(_EOF_V3)] == _EOF_V3:
+                return
+            s = ByteStream(self._data, p)
+            ch = _parse_container_header(s)
+            if ch.start == 4542278 and ch.ref_id == -1:
+                return  # EOF container variant
+            yield p, ch, s.p
+            p = s.p + ch.length
 
     def _decode_slice(self, comp: CompressionHeader, slice_block_offset: int):
         """Parse one slice (header block + data blocks) -> CramRecords."""
@@ -1061,7 +1065,13 @@ class CramFile:
                 lo, hi = beg - ref_start, end - ref_start
                 chunk = embedded_ref[max(0, lo) : max(0, hi)]
                 if len(chunk) < end - beg:
-                    chunk = b"N" * (end - beg - len(chunk)) + chunk
+                    # Pad on the side that is actually missing: N-prefix
+                    # only for the part before the embedded block, N-suffix
+                    # for an overrun past its end (padding the wrong side
+                    # shifts every surviving base).
+                    left_pad = max(0, -lo)
+                    right_pad = (end - beg) - len(chunk) - left_pad
+                    chunk = b"N" * left_pad + chunk + b"N" * max(0, right_pad)
                 return chunk
         else:
             ref_getter = self._ref_bases
@@ -1110,12 +1120,17 @@ class CramFile:
                     _slc, recs = self._decode_slice(comp, sl_off)
                     self._collect(recs, ref_id, start, end, raw_records, store_rg)
 
-        return _parse_records(iter(raw_records), ref_id, start, end, store_rg)
+        return _parse_records(iter(raw_records), ref_id, start, end,
+                              store_rg,
+                              sorted_input=self.coordinate_sorted)
 
     def _collect(self, recs: List[CramRecord], ref_id: int, start: int,
                  end: int, out: List[bytes], store_rg: bool) -> None:
         for r in recs:
-            if r.ref_id != ref_id or r.bam_flag & BAM_FUNMAP:
+            # Placed-unmapped mates stay, like the BAM decoder (they carry
+            # seq+qual and feed the broken-pair logic); only records with
+            # no position at all are skipped.
+            if r.ref_id != ref_id or (r.bam_flag & BAM_FUNMAP and r.pos < 0):
                 continue
             rg = None
             if store_rg and 0 <= r.group < len(self._rg_ids):
@@ -1236,7 +1251,7 @@ def write_cram(
         chunk = list(reads[chunk_start : chunk_start + records_per_slice])
         if not chunk:
             continue
-        blocks, ref_id, start1, span, n_bases = _encode_slice(
+        blocks, ref_id, start1, span, n_bases, extents = _encode_slice(
             chunk, cids, comp_body, ref_seqs, references, counter)
         comp_block = Block(RAW, COMPRESSION_HEADER, 0, comp_body).serialise()
         all_blocks = [comp_block] + blocks
@@ -1244,8 +1259,18 @@ def write_cram(
         out += _container_bytes(ref_id, start1, span, len(chunk), counter,
                                 n_bases, all_blocks,
                                 landmarks=[len(comp_block)])
-        crai.append(CraiEntry(ref_id, start1, span, container_off,
-                              len(comp_block), sum(len(b) for b in blocks)))
+        slice_size = sum(len(b) for b in blocks)
+        if ref_id == -2:
+            # The crai spec requires one line PER REFERENCE for a
+            # multi-reference slice — a single ref_id=-2 line matches no
+            # query in slices_for_region and silently hides every read.
+            for rid in sorted(extents):
+                s1, e1 = extents[rid]
+                crai.append(CraiEntry(rid, s1, e1 - s1 + 1, container_off,
+                                      len(comp_block), slice_size))
+        else:
+            crai.append(CraiEntry(ref_id, start1, span, container_off,
+                                  len(comp_block), slice_size))
         counter += len(chunk)
 
     out += _EOF_V3
@@ -1275,6 +1300,7 @@ def _encode_slice(chunk, cids, comp_body, ref_seqs, references, counter):
     starts = [rd["pos"] + 1 for rd in chunk]
     ends = []
     n_bases = 0
+    extents: Dict[int, Tuple[int, int]] = {}  # ref -> (min start1, max end1)
 
     for rd in chunk:
         flag = rd.get("flag", 0)
@@ -1334,8 +1360,12 @@ def _encode_slice(chunk, cids, comp_body, ref_seqs, references, counter):
                 put_int("PD", payload)
         put_int("MQ", rd.get("mapq", 60))
         streams["QS"] += bytes(rd["qual"])
-        ends.append(rd["pos"] + sum(
-            ln for op, ln in rd["cigar"] if op in (_OP_M, _OP_D, _OP_N)))
+        rd_end = rd["pos"] + sum(
+            ln for op, ln in rd["cigar"] if op in (_OP_M, _OP_D, _OP_N))
+        ends.append(rd_end)
+        rid = rd["ref_id"]
+        s1, e1 = extents.get(rid, (1 << 62, -1))
+        extents[rid] = (min(s1, rd["pos"] + 1), max(e1, rd_end))
 
     start1 = min(starts)
     span = max(ends) - start1 + 1 if ends else 0
@@ -1365,7 +1395,7 @@ def _encode_slice(chunk, cids, comp_body, ref_seqs, references, counter):
         except ValueError:
             blocks.append(Block(GZIP, EXTERNAL_DATA, cids[k], data).serialise())
     return blocks, ref_id, (start1 if ref_id != -2 else 0), (
-        span if ref_id != -2 else 0), n_bases
+        span if ref_id != -2 else 0), n_bases, extents
 
 
 def _features_for_read(rd, seq: bytes, rseq: Optional[bytes]):
@@ -1376,7 +1406,7 @@ def _features_for_read(rd, seq: bytes, rseq: Optional[bytes]):
     ref_i = rd["pos"]
     qual = rd["qual"]
     for op, ln in rd["cigar"]:
-        if op in (_OP_M,):
+        if op in (_OP_M, 7, 8):  # M / = / X all consume read+ref alike
             if rseq is None:
                 feats.append((read_i + 1, "b", seq[read_i : read_i + ln]))
             else:

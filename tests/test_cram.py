@@ -289,3 +289,68 @@ def test_cram_end_to_end_calls_match_bam(synth_pair):
             return [l for l in fh if not l.startswith("#")]
 
     assert data_lines(out_b) == data_lines(out_c)
+
+
+def test_placed_unmapped_mate_kept(tmp_path):
+    """A placed-unmapped mate (FUNMAP with a valid pos) is fetched from
+    CRAM exactly like the BAM decoder keeps it (bam_endpos one-base rule)."""
+    _ref_path, ref_seq = make_reference(tmp_path, length=3000, seed=9)
+    reads = [
+        dict(name="m", ref_id=0, pos=1000, mapq=60, flag=0x1 | 0x8,
+             cigar=[(0, 50)], seq=bytes(ref_seq[1000:1050]), qual=[30] * 50),
+        dict(name="u", ref_id=0, pos=1000, mapq=0, flag=0x1 | 0x4,
+             cigar=[], seq=bytes(ref_seq[1000:1050]), qual=[30] * 50),
+    ]
+    bam = write_synth_bam(str(tmp_path), reads, ref_len=3000)
+    cram = os.path.join(str(tmp_path), "pair.cram")
+    write_cram(cram, [("chr20", 3000)], reads, sample="S1",
+               ref_seqs={"chr20": bytes(ref_seq)})
+    with BamFile(bam) as bf, CramFile(cram, ref_file=_ref_path) as cf:
+        rb = bf.fetch("chr20", 900, 1200)
+        rc = cf.fetch("chr20", 900, 1200)
+    assert len(rb) == 2
+    _assert_readsets_equal(rb, rc)
+
+
+def test_multi_ref_slice_indexed_fetch(tmp_path):
+    """A slice crossing a chromosome boundary gets one crai line PER
+    reference; indexed fetch finds reads on both sides."""
+    _ref_path, ref_seq = make_reference(tmp_path, length=3000, seed=10)
+    reads = [dict(name=f"a{i}", ref_id=0, pos=100 + 60 * i, mapq=60, flag=0,
+                  cigar=[(0, 50)], seq=bytes(ref_seq[100:150]),
+                  qual=[30] * 50) for i in range(3)]
+    reads += [dict(name=f"b{i}", ref_id=1, pos=200 + 60 * i, mapq=60, flag=0,
+                   cigar=[(0, 50)], seq=bytes(ref_seq[200:250]),
+                   qual=[30] * 50) for i in range(3)]
+    cram = os.path.join(str(tmp_path), "multi.cram")
+    # One slice holds all 6 records -> multi-reference slice.
+    write_cram(cram, [("chr1", 3000), ("chr2", 3000)], reads, sample="S1",
+               records_per_slice=100)
+    assert os.path.exists(cram + ".crai")
+    with CramFile(cram) as cf:
+        assert cf.index is not None
+        r1 = cf.fetch("chr1", 0, 1000)
+        r2 = cf.fetch("chr2", 0, 1000)
+    assert len(r1) == 3 and len(r2) == 3
+
+
+def test_eq_x_cigar_ops_round_trip(tmp_path):
+    """CIGAR 7 (=) and 8 (X) consume read+reference like M; an X-op read's
+    own bases must survive the reference-compressed round trip."""
+    _ref_path, ref_seq = make_reference(tmp_path, length=2000, seed=11)
+    swap = bytes.maketrans(b"ACGT", b"CAGT"[:2] + b"TG")  # A<->C, G<->T
+    mism = bytes(ref_seq[500:510]).translate(swap)  # != ref at every base
+    reads = [
+        dict(name="x", ref_id=0, pos=500, mapq=60, flag=0,
+             cigar=[(8, 10)], seq=mism, qual=[30] * 10),
+        dict(name="eq", ref_id=0, pos=600, mapq=60, flag=0,
+             cigar=[(7, 10)], seq=bytes(ref_seq[600:610]), qual=[30] * 10),
+    ]
+    cram = os.path.join(str(tmp_path), "eqx.cram")
+    write_cram(cram, [("chr20", 2000)], reads, sample="S1",
+               ref_seqs={"chr20": bytes(ref_seq)})
+    with CramFile(cram, ref_file=_ref_path) as cf:
+        rs = cf.fetch("chr20", 400, 700)
+    assert len(rs) == 2
+    row_x = int(np.nonzero(rs.pos == 500)[0][0])
+    assert bytes(rs.seq[row_x, :10]) == mism
