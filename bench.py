@@ -39,8 +39,17 @@ REFERENCE_DIR = os.environ.get("REFERENCE_DIR", "/root/reference")
 
 B = 65536
 L2 = 100
-# Hard ceiling for one device-phase attempt (compile included).
+# Hard ceiling for ONE device-phase attempt (compile included).
 DEVICE_DEADLINE_S = float(os.environ.get("PLATYPUS_BENCH_DEADLINE", "240"))
+# Total budget for the persistent device retry loop before any CPU fallback.
+# The tunnel stalls for minutes at a time (docs/BENCHMARKS.md); the compile
+# cache makes retries cheap, so we keep trying for most of the driver's
+# budget rather than losing the round's scoreboard to one bad window
+# (round 3's BENCH artifact recorded 0.57x on cpu-fallback while the same
+# code measured 368x on the chip minutes later).
+DEVICE_BUDGET_S = float(os.environ.get("PLATYPUS_BENCH_DEVICE_BUDGET", "1800"))
+E2E_DEADLINE_S = float(os.environ.get("PLATYPUS_BENCH_E2E_DEADLINE", "600"))
+HYBRID_DEADLINE_S = float(os.environ.get("PLATYPUS_BENCH_HYBRID_DEADLINE", "900"))
 N_SMALL, N_BIG = 2, 66
 MAX_TRIALS = 6
 ENOUGH_TRIALS = 3
@@ -102,9 +111,16 @@ def _make_repeat(fn):
 
 def _e2e_child_main():
     """Bounded end-to-end caller benchmark: 1Mb/30x synthetic dataset,
-    full warm pass (compiles), then best-of-2 timed runs.  Appends an
-    'e2e' event; any failure just leaves the event absent."""
+    full warm pass (compiles), then best-of-2 timed runs.  Every completed
+    timed run is appended as its own 'e2e_run' event so a timeout after one
+    run still leaves evidence for the parent to harvest (round 3 lost the
+    whole event to an all-or-nothing emit)."""
     results_path = os.environ["PLATYPUS_BENCH_RESULTS"]
+    if os.environ.get("PLATYPUS_BENCH_PLATFORM") == "cpu":
+        os.environ["PLATYPUS_TPU_PLATFORM"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
@@ -118,22 +134,24 @@ def _e2e_child_main():
     # the child's deadline, and the dataset caches across runs.
     workdir = "/tmp/platypus_tpu_bench_e2e/mb1"
     info = build_dataset(workdir, 1_000_000)
+    _emit(results_path, {"event": "e2e_dataset_ready",
+                         "n_reads": info["n_reads"]})
     regions = [("chr20", s, min(s + 100_000, 1_001_000))
                for s in range(1000, 1_001_000, 100_000)]
     cfg = PlatypusConfig(bam_files=[info["bam"]], ref_file=info["ref"],
                          regions=["chr20:1000-1001000"], assemble=0)
     run_single_process(cfg, regions, os.path.join(workdir, "warm.vcf"))
-    best = float("inf")
+    import jax
+
+    backend = jax.default_backend()
+    _emit(results_path, {"event": "e2e_warm", "backend": backend})
     for _ in range(2):
         t0 = time.perf_counter()
         run_single_process(cfg, regions, os.path.join(workdir, "out.vcf"))
-        best = min(best, time.perf_counter() - t0)
-    import jax
-
-    _emit(results_path, {"event": "e2e",
-                         "reads_per_second": info["n_reads"] / best,
-                         "wall_s": best, "n_reads": info["n_reads"],
-                         "backend": jax.default_backend()})
+        wall = time.perf_counter() - t0
+        _emit(results_path, {"event": "e2e_run", "wall_s": wall,
+                             "reads_per_second": info["n_reads"] / wall,
+                             "n_reads": info["n_reads"], "backend": backend})
 
 
 def _child_main():
@@ -155,6 +173,9 @@ def _child_main():
 
     configure_compilation_cache()
     _device_precision_check(results_path)
+    # Record the backend the child ACTUALLY got — if JAX silently fell back
+    # to CPU at init the parent must not label the trials "tpu".
+    child_backend = jax.default_backend()
 
     hap, go, read, qual, rl = make_inputs()
     padded = pad_alignment_inputs(hap, go, read, qual, rl)
@@ -192,7 +213,8 @@ def _child_main():
                 rate = B * (N_BIG - N_SMALL) / dt
                 _emit(results_path, {"event": "trial", "kernel": name,
                                      "rate": rate, "t_small": t_small,
-                                     "t_big": t_big})
+                                     "t_big": t_big,
+                                     "backend": child_backend})
                 n_ok += 1
                 if n_ok >= ENOUGH_TRIALS:
                     break
@@ -388,10 +410,12 @@ def _device_precision_check(results_path) -> None:
 def _e2e_hybrid_child_main():
     """Hybrid-pool A/B on the 10 Mb dataset: nCPU=4 with the TPU device
     worker vs nCPU=4 CPU-only, same process tree, same session — the
-    driver-format evidence that the chip contributes to the production
-    multi-worker path.  Appends an 'e2e_hybrid' event (absent on failure);
-    asserts the two arms' data lines are byte-identical."""
+    driver-format evidence for the production multi-worker path.  Each
+    arm's timed run is emitted as its own 'e2e_hybrid_arm' event the moment
+    it lands, so a timeout mid-A/B still leaves partial evidence; the final
+    'e2e_hybrid' event adds the byte-identity check of the two outputs."""
     results_path = os.environ["PLATYPUS_BENCH_RESULTS"]
+    cpu_mode = os.environ.get("PLATYPUS_BENCH_PLATFORM") == "cpu"
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
@@ -399,15 +423,32 @@ def _e2e_hybrid_child_main():
 
     workdir = "/tmp/platypus_tpu_scaling/mb10"
     info = build_dataset(workdir, 10_000_000)
+    _emit(results_path, {"event": "e2e_hybrid_dataset_ready",
+                         "n_reads": info["n_reads"]})
     out_h = os.path.join(workdir, "bench_hybrid.vcf")
     out_c = os.path.join(workdir, "bench_cpuonly.vcf")
     args = ["-m", "platypus_tpu.cli", "callVariants",
             f"--bamFiles={info['bam']}", f"--refFile={info['ref']}",
             "--regions=chr20:1000-10001000", "--nCPU=4"]
+    backend = "cpu" if cpu_mode else "tpu"
+
+    # The "hybrid" arm is the AUTO DEFAULT (what a user gets): the runner
+    # adds a device worker only when the host workers leave a physical core
+    # free (runner._n_device_workers).  Record how the default resolved on
+    # this host so the A/B is interpretable.
+    from platypus_tpu.config import PlatypusConfig
+    from platypus_tpu.engine.runner import _n_device_workers
+
+    n_dev_default = _n_device_workers(PlatypusConfig(), 4) if not cpu_mode else 0
 
     def run(out, hybrid):
         env = dict(os.environ)
-        env["PLATYPUS_TPU_HYBRID_WORKER"] = "1" if hybrid else "0"
+        if hybrid:
+            env.pop("PLATYPUS_TPU_HYBRID_WORKER", None)  # auto default
+        else:
+            env["PLATYPUS_TPU_HYBRID_WORKER"] = "0"
+        if cpu_mode:
+            env["PLATYPUS_TPU_PLATFORM"] = "cpu"
         t0 = time.perf_counter()
         subprocess.run([sys.executable] + args + ["-o", out], env=env,
                        check=True, capture_output=True)
@@ -417,13 +458,22 @@ def _e2e_hybrid_child_main():
     # covers the kernel and single-process e2e children, so this child
     # stays under ~2 min on a cached dataset.
     run(out_h, hybrid=True)   # warm arm-specific compiles/caches
-    walls = {"hybrid": run(out_h, True), "cpu_only": run(out_c, False)}
+    walls = {}
+    for arm, hybrid, out in (("hybrid", True, out_h),
+                             ("cpu_only", False, out_c)):
+        walls[arm] = run(out, hybrid)
+        _emit(results_path, {"event": "e2e_hybrid_arm", "arm": arm,
+                             "wall_s": walls[arm], "n_reads": info["n_reads"],
+                             "reads_per_second": info["n_reads"] / walls[arm],
+                             "backend": backend})
     with open(out_h) as fh1, open(out_c) as fh2:
         d1 = [l for l in fh1 if not l.startswith("#")]
         d2 = [l for l in fh2 if not l.startswith("#")]
     _emit(results_path, {
         "event": "e2e_hybrid",
         "n_reads": info["n_reads"],
+        "backend": backend,
+        "device_workers_in_default_arm": n_dev_default,
         "hybrid_reads_per_second": info["n_reads"] / walls["hybrid"],
         "cpu_only_reads_per_second": info["n_reads"] / walls["cpu_only"],
         "identical_data_lines": d1 == d2,
@@ -449,17 +499,37 @@ def main():
 
     results_path = tempfile.mktemp(prefix="platypus_bench_", suffix=".jsonl")
     backend = "tpu"
-    _run_child(results_path, DEVICE_DEADLINE_S)
-    rows = _read_results(results_path)
-    if not _best_rates(rows):
-        # Tunnel stalls usually clear within a minute; one spaced retry.
-        time.sleep(20)
-        _run_child(results_path, DEVICE_DEADLINE_S * 0.75)
+    # Persistent retry loop: keep attempting the device phase with spaced
+    # backoff until a trial lands or the budget runs out.  The compile cache
+    # makes a retry after a tunnel stall cost seconds, not minutes.
+    t_start = time.monotonic()
+    attempt = 0
+    while True:
+        elapsed = time.monotonic() - t_start
+        remaining = DEVICE_BUDGET_S - elapsed
+        if remaining <= 30:
+            break
+        _run_child(results_path, min(DEVICE_DEADLINE_S, remaining))
         rows = _read_results(results_path)
+        if _best_rates(rows):
+            break
+        attempt += 1
+        sleep = min(120.0, 15.0 * (2 ** attempt))
+        if time.monotonic() - t_start + sleep + 60 > DEVICE_BUDGET_S:
+            break
+        time.sleep(sleep)
+    rows = _read_results(results_path)
     if not _best_rates(rows):
         backend = "cpu-fallback"
         _run_child(results_path, DEVICE_DEADLINE_S, platform="cpu")
         rows = _read_results(results_path)
+    else:
+        # Trust the backend the child actually recorded over the parent's
+        # assumption (JAX can silently fall back to CPU at init).
+        trial_backends = {r.get("backend") for r in rows
+                          if r.get("event") == "trial"}
+        if trial_backends and "tpu" not in trial_backends:
+            backend = "cpu-fallback"
 
     best = _best_rates(rows)
     if not best:
@@ -472,23 +542,27 @@ def main():
     headline_kernel = max(best, key=best.get)
     rate = best[headline_kernel]
 
-    # Informational end-to-end caller numbers (own children + deadlines;
-    # their absence never blocks the kernel headline): single-process TPU
-    # e2e, then the hybrid-pool nCPU=4 A/B (TPU device worker vs CPU-only).
-    if backend != "cpu-fallback":
-        for child_flag, deadline in (
-            ("PLATYPUS_BENCH_E2E_CHILD", DEVICE_DEADLINE_S),
-            ("PLATYPUS_BENCH_E2E_HYBRID_CHILD", DEVICE_DEADLINE_S * 1.25),
-        ):
-            env = dict(os.environ, PLATYPUS_BENCH_RESULTS=results_path)
-            env[child_flag] = "1"
-            try:
-                subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, capture_output=True,
-                               timeout=deadline, text=True)
-            except subprocess.TimeoutExpired:
-                pass
-        rows = _read_results(results_path)
+    # End-to-end caller numbers (own children + deadlines; their absence
+    # never blocks the kernel headline): single-process e2e, then the
+    # hybrid-pool nCPU=4 A/B.  These run EVEN on cpu-fallback — the e2e
+    # caller is mostly host work and the evidence is labeled with its
+    # backend, so a bad tunnel costs the chip attribution, not the events
+    # (round 3 lost both events to the fallback skip).
+    for child_flag, deadline in (
+        ("PLATYPUS_BENCH_E2E_CHILD", E2E_DEADLINE_S),
+        ("PLATYPUS_BENCH_E2E_HYBRID_CHILD", HYBRID_DEADLINE_S),
+    ):
+        env = dict(os.environ, PLATYPUS_BENCH_RESULTS=results_path)
+        env[child_flag] = "1"
+        if backend == "cpu-fallback":
+            env["PLATYPUS_BENCH_PLATFORM"] = "cpu"
+        try:
+            subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True,
+                           timeout=deadline, text=True)
+        except subprocess.TimeoutExpired:
+            pass
+    rows = _read_results(results_path)
 
     hap, go, read, qual, rl = make_inputs()
     ref_rate, ref_scores = bench_reference_cpu(hap, go, read, qual, rl)
@@ -511,6 +585,14 @@ def main():
                 print(f"WARNING: {kernel}: {mismatch}/{n} score mismatches "
                       "vs reference kernel", file=sys.stderr)
 
+    # On cpu-fallback the host AVX2 kernel is the fastest path our framework
+    # actually has on the available hardware — report it as the headline
+    # rather than the XLA-on-CPU emulation number (round 3 published 0.57x
+    # from the latter while the AVX2 path was 3x baseline on the same box).
+    if backend == "cpu-fallback" and native_rate > rate:
+        headline_kernel, rate = "native_avx2_1core", native_rate
+        vs_baseline = rate / ref_rate if ref_rate else 1.0
+
     unit = (f"alignments/s (100bp reads, band 16, batch {B}, "
             f"{headline_kernel} kernel on {backend})")
     out = {
@@ -518,6 +600,7 @@ def main():
         "value": round(rate, 1),
         "unit": unit,
         "vs_baseline": round(vs_baseline, 3),
+        "backend": backend,
     }
     for k, v in sorted(best.items()):
         out[f"rate_{k}"] = round(v, 1)
@@ -526,23 +609,55 @@ def main():
     if native_rate:
         out["rate_native_avx2_1core"] = round(native_rate, 1)
         out["native_avx2_scores_match_reference"] = native_ok
+
+    # device_precision: prefer an event measured on the chip — a green value
+    # from a CPU run is exactly the false reassurance the check was built to
+    # prevent, so the backend is always surfaced next to the verdict.
+    prec = None
     for r in rows:
-        if r.get("event") == "e2e":
-            out["e2e_caller_reads_per_second"] = round(r["reads_per_second"], 1)
-            out["e2e_unit"] = (f"reads/s (1Mb 30x synthetic, nCPU=1, "
-                               f"{r['backend']} backend)")
         if r.get("event") == "device_precision":
-            out["device_precision_ok"] = r["ok"]
-            out["device_precision_gl_err"] = round(r["gl_rel_max_abs_err"], 8)
-        if r.get("event") == "e2e_hybrid":
+            if prec is None or (r.get("backend") == "tpu"
+                                and prec.get("backend") != "tpu"):
+                prec = r
+    if prec is not None:
+        out["device_precision_ok"] = prec["ok"]
+        out["device_precision_backend"] = prec.get("backend", "unknown")
+        out["device_precision_gl_err"] = round(prec["gl_rel_max_abs_err"], 8)
+
+    # e2e: best of the incremental run events.
+    e2e_runs = [r for r in rows if r.get("event") == "e2e_run"]
+    if e2e_runs:
+        r = min(e2e_runs, key=lambda r: r["wall_s"])
+        out["e2e_caller_reads_per_second"] = round(r["reads_per_second"], 1)
+        out["e2e_backend"] = r["backend"]
+        out["e2e_unit"] = (f"reads/s (1Mb 30x synthetic, nCPU=1, "
+                           f"{r['backend']} backend)")
+
+    # hybrid A/B: the final comparison event if it landed, else per-arm
+    # partials.
+    hyb = next((r for r in rows if r.get("event") == "e2e_hybrid"), None)
+    arms = {r["arm"]: r for r in rows if r.get("event") == "e2e_hybrid_arm"}
+    if hyb is not None:
+        out["e2e_hybrid_ncpu4_reads_per_second"] = round(
+            hyb["hybrid_reads_per_second"], 1)
+        out["e2e_cpu_only_ncpu4_reads_per_second"] = round(
+            hyb["cpu_only_reads_per_second"], 1)
+        out["e2e_hybrid_identical_data_lines"] = hyb["identical_data_lines"]
+        out["e2e_hybrid_backend"] = hyb.get("backend", "unknown")
+        if "device_workers_in_default_arm" in hyb:
+            out["e2e_hybrid_device_workers_default"] = (
+                hyb["device_workers_in_default_arm"])
+        out["e2e_hybrid_unit"] = ("reads/s (10Mb 30x synthetic, nCPU=4 "
+                                  "auto default vs CPU-only forced, "
+                                  "one timed run each, same session)")
+    else:
+        if "hybrid" in arms:
             out["e2e_hybrid_ncpu4_reads_per_second"] = round(
-                r["hybrid_reads_per_second"], 1)
+                arms["hybrid"]["reads_per_second"], 1)
+            out["e2e_hybrid_backend"] = arms["hybrid"].get("backend", "unknown")
+        if "cpu_only" in arms:
             out["e2e_cpu_only_ncpu4_reads_per_second"] = round(
-                r["cpu_only_reads_per_second"], 1)
-            out["e2e_hybrid_identical_data_lines"] = r["identical_data_lines"]
-            out["e2e_hybrid_unit"] = ("reads/s (10Mb 30x synthetic, nCPU=4 "
-                                      "+ TPU device worker vs CPU-only, "
-                                      "one timed run each, same session)")
+                arms["cpu_only"]["reads_per_second"], 1)
     print(json.dumps(out))
     try:
         os.unlink(results_path)

@@ -356,10 +356,15 @@ def _n_device_workers(config: PlatypusConfig, n_host: int) -> int:
     TPU collapses under concurrent clients, so never more than one).
 
     Auto (-1): one device worker when the run is not pinned to a non-TPU
-    backend.  The worker itself checks its backend at startup and simply
-    behaves as a normal CPU worker when no TPU is attached, so auto is
-    safe on CPU-only hosts — but we skip it there to avoid oversubscribing
-    the host by one process for nothing."""
+    backend AND the host workers leave at least one physical core free.
+    The device worker is not a free rider: its region prep, read decode and
+    VCF output are host Python, so on a host already saturated by nCPU host
+    workers it steals cycles from them — every interleaved A/B on a 4-core
+    box at nCPU=4 measured hybrid 5-10% SLOWER than CPU-only
+    (docs/BENCHMARKS.md "Hybrid pool").  With spare cores the worker's host
+    share is absorbed by an idle core and the chip's alignment throughput is
+    additive.  PLATYPUS_TPU_HYBRID_WORKER=1 (or --tpuWorkers=1) still forces
+    it on for saturated hosts."""
     mode = getattr(config, "tpu_workers", -1)
     env = os.environ.get("PLATYPUS_TPU_HYBRID_WORKER")
     if env is not None:
@@ -372,6 +377,8 @@ def _n_device_workers(config: PlatypusConfig, n_host: int) -> int:
     if mode == -1 and pinned and pinned != "tpu":
         return 0
     if mode == -1 and config.worker_platform not in ("auto", "default"):
+        return 0
+    if mode == -1 and n_host >= (os.cpu_count() or 1):
         return 0
     return 1
 
