@@ -361,9 +361,10 @@ def finish_window(
     if loglik.size == 0:
         loglik = np.zeros((H, len(reads)), np.float64)
 
-    n_reads = np.zeros(I, np.int64)
-    for i in range(I):
-        n_reads[i] = int(((reads.sample_idx == i) & reads.is_good).sum())
+    # Per-sample good-read counts in one pass (== the per-sample
+    # (sample_idx == i) & is_good sums).
+    n_reads = np.bincount(reads.sample_idx[reads.is_good],
+                          minlength=I).astype(np.int64)
 
     # GL/GOF always come from the float64 host oracle (one pass over all
     # samples' reads; sample_idx is sorted by construction in
@@ -402,6 +403,7 @@ def finish_window(
     # ---- variant posteriors --------------------------------------------
     posteriors: Dict[Variant, float] = {}
     vars_by_pos: Dict[int, List[Variant]] = {}
+    post_ctx = None  # window-level posterior precompute, built on demand
     for v in enumerate_window_variants(all_haps):
         prior = priors.get(v)
         if prior is None:
@@ -410,9 +412,10 @@ def finish_window(
             post = lk.posterior_phred_from_log_ratio(inference.ratios[v], prior)
         else:
             has_var = np.array([v in s for s in hap_var_sets])
-            post = lk.variant_posterior_phred(
-                likelihoods, frequencies, has_var, hap1_idx, hap2_idx, n_reads, prior
-            )
+            if post_ctx is None:
+                post_ctx = lk.WindowPosteriorContext(
+                    likelihoods, frequencies, hap1_idx, hap2_idx, n_reads)
+            post = post_ctx.posterior_phred(has_var, prior)
         if post >= config.min_posterior:
             posteriors[v] = post
             vars_by_pos.setdefault(v.ref_pos, []).append(v)

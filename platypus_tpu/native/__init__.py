@@ -157,6 +157,16 @@ def _load_and_bind(path: str) -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.ptpu_genotype_call.restype = None
+    lib.ptpu_genotype_call.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     return lib
 
 
@@ -825,6 +835,46 @@ def _verify_native_em(lib) -> bool:
         if want[2] != got[2]:
             return False
     return True
+
+
+def native_genotype_call(lik_row: np.ndarray, freqs: np.ndarray,
+                         h1: np.ndarray, h2: np.ndarray,
+                         hap_is_ref: np.ndarray, var_in_hap: np.ndarray,
+                         gof: np.ndarray, gof_off: int,
+                         n_individuals: int):
+    """Per-sample genotype call + marginal class likelihoods via C++
+    (genotype.cpp); None when the library is unavailable.  Bit-exactness
+    vs the Python oracle is verified at first use by the dispatcher in
+    vcfout/records.py.
+
+    Returns (lik_out [n_classes] f64, phased [2] i32, scalars [5] f64 =
+    best_likelihood, non_ref_post, ref_post, sum_lik, best_gof)."""
+    lib = load()
+    if lib is None:
+        return None
+    G = len(h1)
+    n_vars = var_in_hap.shape[1]
+    n_classes = (n_vars + 1) * (n_vars + 2) // 2
+    lik_out = np.empty(n_classes, np.float64)
+    phased = np.empty(2, np.int32)
+    scalars = np.empty(5, np.float64)
+    # All inputs are built contiguous with these dtypes by the caller; the
+    # conversions below are no-ops then (and correctness guards otherwise).
+    lr = np.ascontiguousarray(lik_row, np.float64)
+    fq = np.ascontiguousarray(freqs, np.float64)
+    h1c = np.ascontiguousarray(h1, np.int64)
+    h2c = np.ascontiguousarray(h2, np.int64)
+    hr = np.ascontiguousarray(hap_is_ref, np.int64)
+    vih = np.ascontiguousarray(var_in_hap).view(np.uint8)
+    gf = np.ascontiguousarray(gof, np.float64)
+    # .ctypes.data inlined (= _np_ptr): ~10 pointer fetches per emitted
+    # record make the extra frame visible.
+    lib.ptpu_genotype_call(
+        lr.ctypes.data, fq.ctypes.data, h1c.ctypes.data, h2c.ctypes.data, G,
+        hr.ctypes.data, vih.ctypes.data, n_vars,
+        gf.ctypes.data, gf.shape[1], gof_off, n_individuals,
+        lik_out.ctypes.data, phased.ctypes.data, scalars.ctypes.data)
+    return lik_out, phased, scalars
 
 
 def native_em(likelihoods: np.ndarray, h1: np.ndarray, h2: np.ndarray,

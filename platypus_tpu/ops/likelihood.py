@@ -104,6 +104,10 @@ def genotype_log_likelihoods_segments(
     same = (hap1_idx == hap2_idx)[:, None]
     diff = np.abs(l1 - l2)
     mx = np.maximum(l1, l2)
+    # (Measured: subset-gather / precomputed-exp variants all LOSE to this
+    # full-array form — numpy's vectorised exp/log cost ~1 ns/element
+    # while advanced-indexing gathers cost several, so the mixture term is
+    # cheapest computed densely.)
     with np.errstate(over="ignore"):
         exact = np.log(0.5 * (np.exp(l1) + np.exp(l2)))
     per_read = np.where(
@@ -189,6 +193,49 @@ def em_haplotype_frequencies(
     return freq, csr, iters
 
 
+class WindowPosteriorContext:
+    """Per-window precompute for variant posteriors: the variant-model
+    weights w_var and the per-individual dot products P(data | variant
+    model) depend only on the window's EM frequencies, so a window with V
+    variants shares them instead of recomputing V times
+    (cpopulation.pyx:459-594's outer loop hoisted).  Bit-identical to
+    per-variant `variant_posterior_phred` calls: the hoisted values come
+    from the same expressions over the same operands."""
+
+    __slots__ = ("likelihoods", "frequencies", "h1", "h2", "factor",
+                 "rows", "log_pv")
+
+    def __init__(self, likelihoods: np.ndarray, frequencies: np.ndarray,
+                 hap1_idx: np.ndarray, hap2_idx: np.ndarray,
+                 n_reads: np.ndarray):
+        self.likelihoods = likelihoods
+        self.frequencies = frequencies
+        self.h1 = hap1_idx
+        self.h2 = hap2_idx
+        self.factor = 1.0 + (hap1_idx != hap2_idx)
+        w_var = self.factor * frequencies[hap1_idx] * frequencies[hap2_idx]
+        self.rows = [i for i in range(likelihoods.shape[0]) if n_reads[i] != 0]
+        log_pv = []
+        for i in self.rows:
+            pv = float(np.dot(w_var, likelihoods[i]))
+            log_pv.append(math.log(pv) if pv > 0 else -708.0)
+        self.log_pv = log_pv
+
+    def posterior_phred(self, hap_has_variant: np.ndarray, prior: float) -> float:
+        freqs_prime = np.where(hap_has_variant, 0.0, self.frequencies)
+        sum_freqs = freqs_prime.sum()
+        if sum_freqs > 0:
+            freqs_prime = freqs_prime / sum_freqs
+        w_novar = self.factor * freqs_prime[self.h1] * freqs_prime[self.h2]
+        sum_log_var = 0.0
+        sum_log_novar = 0.0
+        for j, i in enumerate(self.rows):
+            pn = float(np.dot(w_novar, self.likelihoods[i]))
+            sum_log_var += self.log_pv[j]
+            sum_log_novar += math.log(pn) if pn > 0 else -708.0
+        return posterior_phred_from_log_ratio(sum_log_novar - sum_log_var, prior)
+
+
 def variant_posterior_phred(
     likelihoods: np.ndarray,    # [I, G] relative likelihoods
     frequencies: np.ndarray,    # [n_haps]
@@ -200,27 +247,9 @@ def variant_posterior_phred(
 ) -> float:
     """Model-averaged segregation test -> phred posterior
     (cpopulation.pyx:459-594)."""
-    freqs_prime = np.where(hap_has_variant, 0.0, frequencies)
-    sum_freqs = freqs_prime.sum()
-    if sum_freqs > 0:
-        freqs_prime = freqs_prime / sum_freqs
-
-    factor = 1.0 + (hap1_idx != hap2_idx)
-    w_var = factor * frequencies[hap1_idx] * frequencies[hap2_idx]
-    w_novar = factor * freqs_prime[hap1_idx] * freqs_prime[hap2_idx]
-
-    log_min_float = -708.0
-    sum_log_var = 0.0
-    sum_log_novar = 0.0
-    for i in range(likelihoods.shape[0]):
-        if n_reads[i] == 0:
-            continue
-        pv = float(np.dot(w_var, likelihoods[i]))
-        pn = float(np.dot(w_novar, likelihoods[i]))
-        sum_log_var += math.log(pv) if pv > 0 else log_min_float
-        sum_log_novar += math.log(pn) if pn > 0 else log_min_float
-
-    return posterior_phred_from_log_ratio(sum_log_novar - sum_log_var, prior)
+    ctx = WindowPosteriorContext(likelihoods, frequencies, hap1_idx,
+                                 hap2_idx, n_reads)
+    return ctx.posterior_phred(hap_has_variant, prior)
 
 
 def posterior_phred_from_log_ratio(log_ratio: float, prior: float) -> float:

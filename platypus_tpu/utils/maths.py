@@ -11,9 +11,17 @@ so plain Python/NumPy is the right tool here.
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 _TWO_PI = 2.0 * math.pi
 
+# round_ref fast-path tables: an exact decimal tie at `ndigits` requires the
+# value to be odd/2**(ndigits+1) (any factor of 5 left in the denominator is
+# not binary-representable), so ties are detected exactly by a power-of-two
+# scale.  Indexed by ndigits.
+_TIE_SCALE = (2.0, 4.0, 8.0, 16.0)
+_POW10 = (1.0, 10.0, 100.0, 1000.0)
+_POW5_INT = (1, 5, 25, 125)
 
 
 def round_ref(x: float, ndigits: int = 0) -> float:
@@ -22,10 +30,34 @@ def round_ref(x: float, ndigits: int = 0) -> float:
     rounded on the exact binary value.  Python 3's round() rounds ties to
     even, silently diverging on exactly-representable halves — e.g.
     BRF = 1/8 emits 0.12 under banker's rounding where the reference
-    emits 0.13.  Decimal(float) is the exact binary value, so quantizing
-    with ROUND_HALF_UP reproduces the py2.7 dtoa-based behaviour."""
-    from decimal import ROUND_HALF_UP, Decimal
+    emits 0.13.
 
+    Fast path: CPython's two-arg round() is correctly rounded (dtoa)
+    half-even on the exact binary value, which equals HALF_UP everywhere
+    except exact ties; a double is an exact tie at `ndigits` iff
+    x * 2**(ndigits+1) is an odd integer, and that scale is exact in
+    binary.  The Decimal quantize below is the semantic definition and
+    the fallback (tests pin the two paths against each other)."""
+    if 0 <= ndigits <= 3:
+        s = x * _TIE_SCALE[ndigits]
+        if -9e15 < s < 9e15:
+            si = int(s)
+            if si != s or not (si & 1):
+                return round(x, ndigits)
+            # Exact tie x = si/2**(n+1), i.e. x*10**n = si*5**n/2 is an odd
+            # half-integer: round away from zero.  q = (|si|*5**n + 1)/2 is
+            # the result scaled by 10**n; keep q below 2**53 so the float
+            # conversion and division are both exact/correctly rounded.
+            q = (-si if si < 0 else si) * _POW5_INT[ndigits] + 1 >> 1
+            if q < 9007199254740992:
+                r = q / _POW10[ndigits]
+                return -r if si < 0 else r
+    return _round_ref_decimal(x, ndigits)
+
+
+def _round_ref_decimal(x: float, ndigits: int = 0) -> float:
+    """Semantic definition of round_ref: HALF_UP quantize on the exact
+    binary value (Decimal(float) is exact)."""
     q = Decimal(1).scaleb(-ndigits)
     return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
 

@@ -20,6 +20,7 @@ Faithful reimplementation of /root/reference/src/cython/vcfutils.pyx:
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -588,7 +589,120 @@ def trim_left_padding(pos: int, ref: str, alts: List[str]) -> Tuple[int, str, Li
     return pos, ref, alts
 
 
+_GT_NATIVE_OK: Optional[bool] = None
+
+
+def _native_gt_verified() -> bool:
+    """First-use bit-exactness self-check of the C++ genotype kernel vs the
+    Python oracle over randomized windows (same protocol as the EM twin)."""
+    global _GT_NATIVE_OK
+    if _GT_NATIVE_OK is None:
+        _GT_NATIVE_OK = False
+        if os.environ.get("PLATYPUS_TPU_NATIVE_GT", "1") != "0" \
+                and native.load() is not None:
+            _GT_NATIVE_OK = _verify_native_gt()
+            if not _GT_NATIVE_OK:
+                import logging
+
+                logging.getLogger("platypus_tpu").warning(
+                    "native genotype kernel failed the bit-exactness "
+                    "self-check; using the Python oracle")
+    return _GT_NATIVE_OK
+
+
+class _FakeCall:
+    """Minimal WindowCall stand-in for the self-check."""
+    __slots__ = ("likelihoods", "frequencies", "hap1_idx", "hap2_idx", "gof")
+
+    def __init__(self, likelihoods, frequencies, hap1_idx, hap2_idx, gof):
+        self.likelihoods = likelihoods
+        self.frequencies = frequencies
+        self.hap1_idx = hap1_idx
+        self.hap2_idx = hap2_idx
+        self.gof = gof
+
+
+def _verify_native_gt() -> bool:
+    from ..ops.likelihood import genotype_index_pairs
+
+    rng = np.random.default_rng(20260820)
+    for _ in range(60):
+        H = int(rng.integers(1, 14))
+        I = int(rng.integers(1, 6))
+        n_vars = int(rng.integers(1, 4))
+        n_ind = I if rng.random() < 0.8 else 30
+        h1, h2 = genotype_index_pairs(H)
+        G = len(h1)
+        lik = np.maximum(1e-300, rng.random((I, G)))
+        freqs = rng.random(H)
+        gof = rng.uniform(0, 50, (G, I))
+        hap_is_ref = (rng.random(H) < 0.5).astype(np.int64)
+        var_in_hap = rng.random((H, n_vars)) < 0.5
+        call = _FakeCall(lik, freqs, h1, h2, gof)
+        i = int(rng.integers(0, I))
+        variants = [None] * n_vars
+        want = _compute_genotype_call_and_likelihoods_py(
+            call, i, variants, hap_is_ref, var_in_hap, n_ind)
+        got = _genotype_call_native(call, i, variants, hap_is_ref,
+                                    var_in_hap, n_ind)
+        if got is None:
+            return False
+        if want[0] != got[0] or want[1] != got[1]:
+            return False
+        if np.asarray(want[2]).tobytes() != np.asarray(got[2]).tobytes():
+            return False
+        if np.asarray(want[3:]).tobytes() != np.asarray(got[3:]).tobytes():
+            return False
+    return True
+
+
+def _genotype_call_native(call, sample_index, variants_this_pos,
+                          hap_is_ref_at_pos, var_in_hap, n_individuals):
+    # getattr: tests stub the `native` module out to force the Python
+    # path; the verified-flag cache must not defeat the stub.
+    fn = getattr(native, "native_genotype_call", None)
+    if fn is None:
+        return None
+    res = fn(
+        call.likelihoods[sample_index], call.frequencies,
+        call.hap1_idx, call.hap2_idx, hap_is_ref_at_pos, var_in_hap,
+        call.gof, sample_index, n_individuals)
+    if res is None:
+        return None
+    lik_out, phased, scalars = res
+    best_likelihood, non_ref_post, ref_post, sum_lik, best_gof = scalars.tolist()
+    if sum_lik == 0:
+        sum_lik = 1.0
+    return (
+        int(phased[0]), int(phased[1]), lik_out.tolist(),
+        best_likelihood / sum_lik, non_ref_post / sum_lik,
+        ref_post / sum_lik, best_gof,
+    )
+
+
 def compute_genotype_call_and_likelihoods(
+    call: WindowCall,
+    sample_index: int,
+    variants_this_pos: List[Variant],
+    hap_is_ref_at_pos: np.ndarray,       # [H] int
+    var_in_hap: np.ndarray,              # [H, nVars] bool
+    n_individuals: int,
+):
+    """vcfutils.pyx:163-334 — dispatches to the C++ kernel (genotype.cpp,
+    bit-exact, self-checked at first use) with the Python body below as
+    the oracle and fallback."""
+    if _native_gt_verified():
+        res = _genotype_call_native(call, sample_index, variants_this_pos,
+                                    hap_is_ref_at_pos, var_in_hap,
+                                    n_individuals)
+        if res is not None:
+            return res
+    return _compute_genotype_call_and_likelihoods_py(
+        call, sample_index, variants_this_pos, hap_is_ref_at_pos,
+        var_in_hap, n_individuals)
+
+
+def _compute_genotype_call_and_likelihoods_py(
     call: WindowCall,
     sample_index: int,
     variants_this_pos: List[Variant],

@@ -72,6 +72,24 @@ FORMAT_HEADERS = [
 FILTER_NAMES = {name for name, _ in FILTER_HEADERS}
 
 
+def _fmt1(x) -> str:
+    """VCFWriter._fmt_value with exact-type fast paths (identical output:
+    "%g" % x == f"{x:g}", and np.float64 still hits the isinstance float
+    branch via the fallback)."""
+    tx = type(x)
+    if tx is str:
+        return x
+    if tx is int:
+        return str(x)
+    if tx is float:
+        return "%g" % x
+    if isinstance(x, float):
+        return "%g" % x
+    if isinstance(x, bytes):
+        return x.decode()
+    return str(x)
+
+
 class VCFWriter:
     def __init__(self, out: TextIO, samples: Sequence[str],
                  options_line: Optional[str] = None, source_version: str = "0.1.0"):
@@ -118,20 +136,26 @@ class VCFWriter:
         sample_data: Dict[str, Dict[str, list]],
         record_id: str = ".",
     ) -> None:
-        info_str = ";".join(
-            f"{k}=" + ",".join(self._fmt_value(x) for x in info[k])
-            for k in sorted(info.keys())
-        )
-        filter_str = ";".join(sorted(filters)) if filters else "PASS"
+        # Hot path: one call per emitted record.  _fmt1 is _fmt_value with
+        # exact-type fast paths, and single-element value lists (the common
+        # case for INFO and most FORMAT fields) skip the join machinery.
+        fmt1 = _fmt1
+        info_parts = []
+        for k in sorted(info):
+            v = info[k]
+            if len(v) == 1:
+                info_parts.append(k + "=" + fmt1(v[0]))
+            else:
+                info_parts.append(k + "=" + ",".join([fmt1(x) for x in v]))
         cols = [
             chrom,
             str(pos + 1),
             record_id,
             ref,
             ",".join(alts) if alts else ".",
-            self._fmt_value(qual),
-            filter_str,
-            info_str,
+            fmt1(qual),
+            ";".join(sorted(filters)) if filters else "PASS",
+            ";".join(info_parts),
             ":".join(format_keys),
         ]
         for sample in self.samples:
@@ -140,8 +164,10 @@ class VCFWriter:
             for key in format_keys:
                 val = data[key]
                 if key == "GT":
-                    fields.append("".join(str(x) for x in val[0]))
+                    fields.append("".join(map(str, val[0])))
+                elif len(val) == 1:
+                    fields.append(fmt1(val[0]))
                 else:
-                    fields.append(",".join(self._fmt_value(x) for x in val))
+                    fields.append(",".join([fmt1(x) for x in val]))
             cols.append(":".join(fields))
         self.out.write("\t".join(cols) + "\n")

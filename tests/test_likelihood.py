@@ -147,3 +147,37 @@ def test_hla_map_qual_cap_conversion():
     # mLTOT * (99 + ((150-100+1)^0.5)/0.5).
     expected = lk.MLTOT * (99 + (150 - 100 + 1) ** 0.5 / 0.5)
     np.testing.assert_allclose(out[2], expected, rtol=1e-12)
+
+
+def test_round_ref_fast_path_matches_decimal_definition():
+    """round_ref's float fast path (tie detection via the exact
+    power-of-two scale) must agree with the Decimal HALF_UP definition
+    everywhere, including exact binary ties (the BRF=1/8 class), signed
+    zeros and large magnitudes."""
+    import math
+    import random
+
+    from platypus_tpu.utils.maths import _round_ref_decimal, round_ref
+
+    rng = random.Random(99)
+    cases = []
+    for nd in range(4):
+        for k in range(-400, 401):
+            cases.append(((2 * k + 1) / 2 ** (nd + 1), nd))
+    for _ in range(20000):
+        nd = rng.choice([0, 0, 1, 2, 2, 3])
+        kind = rng.random()
+        if kind < 0.4:
+            x = rng.randint(-100000, 100000) / rng.choice(
+                [2, 4, 8, 16, 32, 100, 1000])
+        elif kind < 0.8:
+            x = rng.uniform(-1e6, 1e6)
+        else:
+            x = rng.uniform(-1e16, 1e16)
+        cases.append((x, nd))
+    cases += [(0.125, 2), (-0.125, 2), (2.5, 0), (-2.5, 0), (0.0, 0),
+              (-0.0, 0), (0.49999999999999994, 0), (4503599627370495.5, 0)]
+    for x, nd in cases:
+        a = round_ref(x, nd)
+        b = _round_ref_decimal(x, nd)
+        assert a == b and math.copysign(1, a) == math.copysign(1, b), (x, nd)

@@ -284,3 +284,47 @@ def test_native_em_bitwise_matches_numpy_oracle():
         assert np.array_equal(a[0].view(np.uint64), b[0].view(np.uint64))
         assert np.array_equal(a[1].view(np.uint64), b[1].view(np.uint64))
         assert a[2] == b[2]
+
+
+def test_native_genotype_call_bitwise_matches_python_oracle():
+    """native/src/genotype.cpp must reproduce the Python per-sample
+    genotype-call oracle (vcfout/records.py) to the LAST BIT: the masked
+    base[match].sum() uses numpy's pairwise order over the gathered
+    subset, argmax keeps the first strict maximum, and the phased/GOF
+    bookkeeping follows the oracle's branch structure.  Randomized over
+    H (past the 128-element pairwise block via large H), n_vars, cohort
+    sizes on both sides of the freq-weighted threshold (n_ind > 25)."""
+    import numpy as np
+    import pytest
+
+    from platypus_tpu import native
+    from platypus_tpu.ops.likelihood import genotype_index_pairs
+    from platypus_tpu.vcfout import records
+
+    if native.load() is None:
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(42)
+    for trial in range(120):
+        H = int(rng.integers(1, 20)) if trial % 3 else int(rng.integers(14, 24))
+        I = int(rng.integers(1, 6))
+        n_vars = int(rng.integers(1, 5))
+        n_ind = I if trial % 2 else 30
+        h1, h2 = genotype_index_pairs(H)
+        G = len(h1)
+        lik = np.maximum(1e-300, rng.random((I, G)))
+        freqs = rng.random(H)
+        gof = rng.uniform(0, 50, (G, I))
+        hap_is_ref = (rng.random(H) < 0.5).astype(np.int64)
+        var_in_hap = rng.random((H, n_vars)) < 0.4
+        call = records._FakeCall(lik, freqs, h1, h2, gof)
+        i = int(rng.integers(0, I))
+        variants = [None] * n_vars
+        want = records._compute_genotype_call_and_likelihoods_py(
+            call, i, variants, hap_is_ref, var_in_hap, n_ind)
+        got = records._genotype_call_native(
+            call, i, variants, hap_is_ref, var_in_hap, n_ind)
+        assert got is not None
+        assert want[0] == got[0] and want[1] == got[1]
+        assert np.asarray(want[2]).tobytes() == np.asarray(got[2]).tobytes()
+        assert np.asarray(want[3:]).tobytes() == np.asarray(got[3:]).tobytes()
