@@ -524,11 +524,17 @@ def dispatch_alignment_requests(
     pair_scores = pending.pair_scores
     live = [r for r in requests if r is not None and r.n_pairs() > 0]
 
-    # Experimental --calculateFlankScore mode needs per-pair traceback, so
-    # those requests run through the scalar host kernel.
+    # --calculateFlankScore mode needs per-pair traceback: on TPU the
+    # Pallas traceback kernel produces scores + backpointers on device and
+    # only the tiny per-pair backtrace walks on host; elsewhere the scalar
+    # host kernel runs.
     flank_reqs = [r for r in live if r.calculate_flank_score]
     for req in flank_reqs:
-        pair_scores[id(req)] = _scalar_flank_scores(req, gapextend, nucprior)
+        scores = (_device_flank_scores(req, gapextend, nucprior)
+                  if _use_device_flank(req) else None)
+        if scores is None:
+            scores = _scalar_flank_scores(req, gapextend, nucprior)
+        pair_scores[id(req)] = scores
     live = [r for r in live if not r.calculate_flank_score]
 
     if live:
@@ -651,6 +657,99 @@ def score_reads_vs_haplotypes(
     if req is None:
         return np.zeros((len(haps), len(reads)), np.float64)
     return run_alignment_requests([req], gapextend, nucprior)[0]
+
+
+def _use_device_flank(req: AlignmentRequest) -> bool:
+    """Route a flank-score request through the Pallas traceback kernel?
+    Default: TPU backend only (interpret mode on CPU is slower than the
+    scalar path).  PLATYPUS_TPU_DEVICE_FLANK: 0 = never, 1 (default) =
+    TPU only, force = any backend (tests exercise the device path on the
+    CPU mesh this way)."""
+    import os
+
+    if req.sub_seq.shape[1] + 8 > 1024:
+        return False  # backpointer block would exceed the VMEM budget
+    mode = os.environ.get("PLATYPUS_TPU_DEVICE_FLANK", "1")
+    if mode == "0":
+        return False
+    if mode == "force":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _flank_pair_rows(req: AlignmentRequest):
+    """Materialise per-pair haplotype-segment / read rows for the
+    traceback kernel (host gather; flank windows are rare enough that the
+    dedup-upload machinery of the main path isn't worth it)."""
+    L2 = req.sub_seq.shape[1]
+    seg_len = L2 + 15
+    width = req.hap_matrix.shape[1]
+    cols = np.minimum(req.pair_seg[:, None] + np.arange(seg_len)[None, :],
+                      width - 1)
+    hap_rows = req.hap_matrix[req.pair_hap[:, None], cols]
+    go_rows = req.go_matrix[req.pair_hap[:, None], cols]
+    reads = req.sub_seq[req.pair_read]
+    quals = req.sub_qual[req.pair_read]
+    rlen = req.sub_len[req.pair_read].astype(np.int32)
+    return hap_rows, go_rows, reads, quals, rlen
+
+
+def _device_flank_scores(req: AlignmentRequest, gapextend: int,
+                         nucprior: int) -> Optional[np.ndarray]:
+    """Flank-corrected pair scores via the Pallas traceback kernel:
+    wavefront DP + backpointer stream on device (bit-identical to
+    ops.align_core.band_align_traceback), per-pair backtrace + flank
+    penalty (align.c:593-644) on host.  None on any device failure so the
+    caller falls back to the scalar path."""
+    from ..ops.align_core import (calculate_flank_score,
+                                  traceback_from_backpointers,
+                                  unpack_backpointers)
+    from ..ops.align_jax import _sentinel_pad_device
+    from ..ops.align_pallas import band_align_traceback_padded_pallas
+
+    try:
+        import jax.numpy as jnp
+
+        hap_rows, go_rows, reads, quals, rlen = _flank_pair_rows(req)
+        padded = _sentinel_pad_device(
+            jnp.asarray(hap_rows.astype(np.int32)),
+            jnp.asarray(go_rows.astype(np.int32)),
+            jnp.asarray(reads.astype(np.int32)),
+            jnp.asarray(quals.astype(np.int32)),
+            jnp.asarray(rlen))
+        score_d, idx_d, bp_d = band_align_traceback_padded_pallas(
+            *padded, gapextend=gapextend, nucprior=nucprior)
+        score_h = np.asarray(score_d)
+        idx_h = np.asarray(idx_d)
+        bp_h = np.asarray(bp_d)
+    except Exception:  # noqa: BLE001 — degraded device must not kill the run
+        import logging
+
+        logging.getLogger("platypus_tpu").exception(
+            "device flank-score path failed; falling back to scalar")
+        return None
+
+    out = np.empty(req.n_pairs(), np.int64)
+    for k in range(req.n_pairs()):
+        sc = int(score_h[k])
+        hap = req.haps[int(req.pair_hap[k])]
+        hap_flank = hap.end_buffer_size
+        if sc > 0 and hap_flank > 0:
+            n = int(rlen[k])
+            hap_bytes = hap_rows[k, : n + 15].tobytes()
+            read_bytes = reads[k, :n].tobytes()
+            bps = unpack_backpointers(bp_h[:, k])
+            aln1, aln2, firstpos = traceback_from_backpointers(
+                bps, int(idx_h[k]), hap_bytes, read_bytes)
+            sc -= calculate_flank_score(
+                hap.hap_len, hap_flank, quals[k][:n], hap.gap_open,
+                gapextend, nucprior, firstpos + int(req.pair_seg[k]),
+                aln1, aln2,
+            )
+        out[k] = sc
+    return out
 
 
 def _scalar_flank_scores(req: AlignmentRequest, gapextend: int, nucprior: int) -> np.ndarray:

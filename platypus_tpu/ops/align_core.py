@@ -234,8 +234,22 @@ def band_align_traceback(
         d2 = (d2 & ~3) | 3
 
     score = int(minscore + 0x8000) >> 2
+    aln1, aln2, firstpos = traceback_from_backpointers(
+        backpointers, minscoreidx, hap, read)
+    return score, aln1, aln2, firstpos
 
-    # Backtrace (align.c:523-577).
+
+def traceback_from_backpointers(
+    backpointers: np.ndarray,   # [n_steps, N_LANES] int, 8-bit state words
+    minscoreidx: int,
+    hap: bytes,
+    read: bytes,
+):
+    """Backtrace (align.c:523-577) from a filled backpointer matrix —
+    shared by the scalar DP above and the Pallas traceback kernel (which
+    produces the same words on device).  Returns (aln1, aln2, firstpos)."""
+    len2 = len(read)
+    MATCH, INSERT = 0, 1
     s = minscoreidx
     i = s // 2 - len2
     y = len2
@@ -266,7 +280,19 @@ def band_align_traceback(
             aln2.append(ord("-"))
         state = new_state
     firstpos = x
-    return score, bytes(reversed(aln1)), bytes(reversed(aln2)), firstpos
+    return bytes(reversed(aln1)), bytes(reversed(aln2)), firstpos
+
+
+def unpack_backpointers(packed: np.ndarray) -> np.ndarray:
+    """[(len2+8)*8] packed words (even phase in bits 0-7, odd phase in
+    bits 8-15, lane-major within each antidiagonal pair) -> the
+    [n_steps, N_LANES] layout traceback_from_backpointers expects."""
+    n_half = len(packed) // N_LANES
+    lanes = packed.reshape(n_half, N_LANES)
+    out = np.empty((2 * n_half, N_LANES), np.int32)
+    out[0::2] = lanes & 0xFF
+    out[1::2] = (lanes >> 8) & 0xFF
+    return out
 
 
 def calculate_flank_score(

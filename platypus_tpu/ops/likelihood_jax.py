@@ -31,9 +31,19 @@ MLTOT = -0.23025850929940459
 LOG10E = 0.43429448190325182
 
 
-def scores_to_logliks_jax(scores, mapq, cap: float = -300.0):
+def scores_to_logliks_jax(scores, mapq, cap: float = -300.0,
+                          use_map_qual_cap: bool = False):
+    """Device twin of ops.likelihood.scores_to_logliks; use_map_qual_cap
+    is the HLA mode (per-read floor at the mapping-wrong probability with
+    the smooth truncation above phred 100, chaplotype.pyx:619-676)."""
     prob_map_wrong = MLTOT * mapq
     prob_map_right = jnp.log1p(-jnp.exp(prob_map_wrong))
+    if use_map_qual_cap:
+        thr, shape = 100.0, 0.5
+        trunc = MLTOT * (thr - 1.0 + jnp.power(
+            jnp.maximum(scores - thr + 1.0, 0.0), shape) / shape)
+        out = jnp.where(scores > thr, trunc, MLTOT * scores + prob_map_right)
+        return jnp.maximum(prob_map_wrong, out)
     return jnp.maximum(cap, MLTOT * scores + prob_map_right)
 
 

@@ -133,46 +133,35 @@ def build_calling_step(mesh: Mesh, gapextend: int = 3, nucprior: int = 2,
 _INT32_BIG = np.int32(np.iinfo(np.int32).max)
 
 
-@functools.lru_cache(maxsize=None)
-def _region_call_step(mesh: Mesh, gapextend: int, nucprior: int, em_iters: int):
-    """One jitted sharded program for a region's window batch: on-device
-    pair gather -> banded alignment (pairs sharded over ALL devices) ->
-    scatter-min into the [W, Hmax, Rmax] score tensor -> log-likelihoods ->
-    fused GL/EM/posterior inference (windows sharded over 'win').
+def _scatter_infer_core(scores, pair_w, pair_h, pair_r, pair_valid,
+                        aligned, short, mapq, onehot, hap_mask, h1, h2,
+                        var_mask, has_reads, em_iters: int,
+                        use_map_qual_cap: bool):
+    """Shared tail of the region programs: scatter-min per-pair scores into
+    the [W, Hmax, Rmax] tensor, convert to log-likelihoods (HLA map-qual
+    cap when requested) and run the fused GL/EM/posterior inference."""
+    W, Rmax = aligned.shape
+    Hmax = hap_mask.shape[1]
+    scores = jnp.where(pair_valid, scores, _INT32_BIG)
+    S = jnp.full((W, Hmax, Rmax), _INT32_BIG, jnp.int32)
+    S = S.at[pair_w, pair_h, pair_r].min(scores, mode="drop")
+    # Short-overlap reads score 0 (probability 1) exactly like the host
+    # scatter (engine/score.py PendingAlignments.finalize).
+    S = jnp.where(short[:, None, :], 0, S)
+    ll = scores_to_logliks_jax(S.astype(jnp.float32),
+                               mapq[:, None, :].astype(jnp.float32),
+                               use_map_qual_cap=use_map_qual_cap)
+    ll = jnp.where(aligned[:, None, :], ll, 0.0)
+    ll = jnp.where(hap_mask[:, :, None], ll, 0.0)
+    _lik, em, freq, gof, ratios, gl_rel, em_margin = infer_window_batch_core(
+        ll, onehot, hap_mask, h1, h2, var_mask, has_reads, em_iters)
+    return ll, gl_rel, em, freq, gof, ratios, em_margin
 
-    GSPMD partitions everything from the input shardings; the pair->window
-    combine is a scatter-min collective over the flattened device axis."""
 
-    def step(hap_mat, go_mat, seq_mat, qual_mat,
-             pair_hap, pair_read, pair_seg, pair_len,
-             pair_w, pair_h, pair_r, pair_valid,
-             aligned, short, mapq, onehot, hap_mask, h1, h2, var_mask,
-             has_reads):
-        W, Rmax = aligned.shape
-        Hmax = hap_mask.shape[1]
-        padded = _gather_pad_device(hap_mat, go_mat, seq_mat, qual_mat,
-                                    pair_hap, pair_read, pair_seg, pair_len)
-        scores = band_align_padded(*padded, gapextend=gapextend,
-                                   nucprior=nucprior)          # [PB] int32
-        scores = jnp.where(pair_valid, scores, _INT32_BIG)
-        S = jnp.full((W, Hmax, Rmax), _INT32_BIG, jnp.int32)
-        S = S.at[pair_w, pair_h, pair_r].min(scores, mode="drop")
-        # Short-overlap reads score 0 (probability 1) exactly like the host
-        # scatter (engine/score.py PendingAlignments.finalize).
-        S = jnp.where(short[:, None, :], 0, S)
-        ll = scores_to_logliks_jax(S.astype(jnp.float32),
-                                   mapq[:, None, :].astype(jnp.float32))
-        ll = jnp.where(aligned[:, None, :], ll, 0.0)
-        ll = jnp.where(hap_mask[:, :, None], ll, 0.0)
-        _lik, em, freq, gof, ratios, gl_rel, em_margin = infer_window_batch_core(
-            ll, onehot, hap_mask, h1, h2, var_mask, has_reads, em_iters)
-        return ll, gl_rel, em, freq, gof, ratios, em_margin
-
+def _region_shardings(mesh: Mesh, n_pair_inputs: int):
     s = lambda *spec: NamedSharding(mesh, P(*spec))
     pair_s = s(("win", "lane"))   # flat data-parallel axis over all devices
-    in_shardings = (
-        s(), s(), s(), s(),                    # dedup matrices (replicated)
-        pair_s, pair_s, pair_s, pair_s,        # gather indices
+    tail = (
         pair_s, pair_s, pair_s, pair_s,        # scatter destinations
         s("win", None), s("win", None),        # aligned, short
         s("win", None),                        # mapq
@@ -186,6 +175,60 @@ def _region_call_step(mesh: Mesh, gapextend: int, nucprior: int, em_iters: int):
         s("win", None, None), s("win", None, None), s("win", None, None),
         s("win", None), s("win", None, None), s("win", None), s("win"),
     )
+    return (pair_s,) * n_pair_inputs, tail, out_shardings
+
+
+@functools.lru_cache(maxsize=None)
+def _region_call_step(mesh: Mesh, gapextend: int, nucprior: int,
+                      em_iters: int, use_map_qual_cap: bool = False):
+    """One jitted sharded program for a region's window batch: on-device
+    pair gather -> banded alignment (pairs sharded over ALL devices) ->
+    scatter-min into the [W, Hmax, Rmax] score tensor -> log-likelihoods ->
+    fused GL/EM/posterior inference (windows sharded over 'win').
+
+    GSPMD partitions everything from the input shardings; the pair->window
+    combine is a scatter-min collective over the flattened device axis."""
+
+    def step(hap_mat, go_mat, seq_mat, qual_mat,
+             pair_hap, pair_read, pair_seg, pair_len,
+             pair_w, pair_h, pair_r, pair_valid,
+             aligned, short, mapq, onehot, hap_mask, h1, h2, var_mask,
+             has_reads):
+        padded = _gather_pad_device(hap_mat, go_mat, seq_mat, qual_mat,
+                                    pair_hap, pair_read, pair_seg, pair_len)
+        scores = band_align_padded(*padded, gapextend=gapextend,
+                                   nucprior=nucprior)          # [PB] int32
+        return _scatter_infer_core(
+            scores, pair_w, pair_h, pair_r, pair_valid, aligned, short,
+            mapq, onehot, hap_mask, h1, h2, var_mask, has_reads,
+            em_iters, use_map_qual_cap)
+
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    gather_s, tail, out_shardings = _region_shardings(mesh, 4)
+    in_shardings = (s(), s(), s(), s()) + gather_s + tail
+    return jax.jit(step, in_shardings=in_shardings,
+                   out_shardings=out_shardings)
+
+
+@functools.lru_cache(maxsize=None)
+def _region_call_step_from_scores(mesh: Mesh, em_iters: int,
+                                  use_map_qual_cap: bool):
+    """Region program for windows whose pair scores were produced outside
+    the fused wavefront — the --calculateFlankScore path, where the Pallas
+    traceback kernel computes scores + backpointers and the host applies
+    the flank penalty before inference.  Identical scatter/loglik/inference
+    tail, windows sharded over 'win'."""
+
+    def step(pair_scores, pair_w, pair_h, pair_r, pair_valid,
+             aligned, short, mapq, onehot, hap_mask, h1, h2, var_mask,
+             has_reads):
+        return _scatter_infer_core(
+            pair_scores, pair_w, pair_h, pair_r, pair_valid, aligned,
+            short, mapq, onehot, hap_mask, h1, h2, var_mask, has_reads,
+            em_iters, use_map_qual_cap)
+
+    score_s, tail, out_shardings = _region_shardings(mesh, 1)
+    in_shardings = score_s + tail
     return jax.jit(step, in_shardings=in_shardings,
                    out_shardings=out_shardings)
 
@@ -212,9 +255,12 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
     their AlignmentRequests) through the sharded region step.
 
     Returns (loglik_by_idx, inference_by_idx, leftover) where leftover are
-    (w_idx, prep) pairs the mesh path does not cover (no alignable pairs,
-    flank-score or HLA map-qual-cap windows) — the caller routes those
-    through the standard host dispatch."""
+    (w_idx, prep) pairs with nothing to align (no pairs) — the caller
+    routes those through the standard host dispatch.  HLA map-qual-cap
+    windows run the same fused program with the capped loglik conversion;
+    --calculateFlankScore windows get their pair scores from the Pallas
+    traceback kernel (+ host flank penalty) and then ride the shared
+    scatter/inference program, so every alignable window is mesh-covered."""
     from ..ops.kmer import HASH_NUCS
     from ..ops.likelihood import genotype_index_pairs
     from .batch import WindowInference, enumerate_window_variants, geom_bucket
@@ -225,17 +271,18 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
     groups: dict = {}
     for w_idx, prep in live:
         req = prep.request
-        if (req is None or req.n_pairs() == 0 or req.calculate_flank_score
-                or req.use_map_qual_cap):
+        if req is None or req.n_pairs() == 0:
             leftover.append((w_idx, prep))
             continue
-        groups.setdefault(req.sub_seq.shape[1], []).append((w_idx, prep))
+        key = (req.sub_seq.shape[1], bool(req.use_map_qual_cap),
+               bool(req.calculate_flank_score))
+        groups.setdefault(key, []).append((w_idx, prep))
 
     I = n_individuals
     n_win = mesh.shape["win"]
     n_dev = int(mesh.devices.size)
     round_up = lambda n, m: -(-n // m) * m
-    for L2, items in groups.items():
+    for (L2, use_cap, use_flank), items in groups.items():
         seg_len = L2 + 15
         Wb = round_up(geom_bucket(len(items)), n_win)
         Hmax = geom_bucket(max(len(p.all_haps) for _, p in items))
@@ -257,6 +304,7 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
         pair_read = np.zeros(PB, np.int32)
         pair_seg = np.zeros(PB, np.int32)
         pair_len = np.full(PB, min(8, L2), np.int32)
+        pair_scores = np.zeros(PB, np.int32) if use_flank else None
         pair_w = np.zeros(PB, np.int32)
         pair_h = np.zeros(PB, np.int32)
         pair_r = np.zeros(PB, np.int32)
@@ -285,6 +333,18 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
             pair_read[sl] = req.pair_read + a_off
             pair_seg[sl] = req.pair_seg
             pair_len[sl] = req.sub_len[req.pair_read]
+            if use_flank:
+                # Flank-corrected scores: Pallas traceback kernel + host
+                # penalty (engine/score.py), scalar oracle as fallback.
+                from ..engine.score import (_device_flank_scores,
+                                            _scalar_flank_scores,
+                                            _use_device_flank)
+
+                sc = (_device_flank_scores(req, gapextend, nucprior)
+                      if _use_device_flank(req) else None)
+                if sc is None:
+                    sc = _scalar_flank_scores(req, gapextend, nucprior)
+                pair_scores[sl] = sc
             pair_w[sl] = k
             pair_h[sl] = req.pair_hap
             pair_r[sl] = req.align_rows[req.pair_read]
@@ -307,20 +367,29 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
             p_off += np_pairs
 
         h1, h2 = genotype_index_pairs(Hmax)
-        step = _region_call_step(mesh, gapextend, nucprior, em_iters)
+        tail_args = (
+            jnp.asarray(pair_w), jnp.asarray(pair_h),
+            jnp.asarray(pair_r), jnp.asarray(pair_valid),
+            jnp.asarray(aligned), jnp.asarray(short), jnp.asarray(mapq),
+            jnp.asarray(onehot), jnp.asarray(hap_mask),
+            jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
+            jnp.asarray(var_mask), jnp.asarray(has_reads),
+        )
         with mesh:
-            ll_d, glrel_d, em_d, freq_d, gof_d, ratio_d, margin_d = step(
-                jnp.asarray(hap_mat), jnp.asarray(go_mat),
-                jnp.asarray(seq_mat), jnp.asarray(qual_mat),
-                jnp.asarray(pair_hap), jnp.asarray(pair_read),
-                jnp.asarray(pair_seg), jnp.asarray(pair_len),
-                jnp.asarray(pair_w), jnp.asarray(pair_h),
-                jnp.asarray(pair_r), jnp.asarray(pair_valid),
-                jnp.asarray(aligned), jnp.asarray(short), jnp.asarray(mapq),
-                jnp.asarray(onehot), jnp.asarray(hap_mask),
-                jnp.asarray(h1, jnp.int32), jnp.asarray(h2, jnp.int32),
-                jnp.asarray(var_mask), jnp.asarray(has_reads),
-            )
+            if use_flank:
+                step = _region_call_step_from_scores(mesh, em_iters, use_cap)
+                ll_d, glrel_d, em_d, freq_d, gof_d, ratio_d, margin_d = step(
+                    jnp.asarray(pair_scores), *tail_args)
+            else:
+                step = _region_call_step(mesh, gapextend, nucprior, em_iters,
+                                         use_cap)
+                ll_d, glrel_d, em_d, freq_d, gof_d, ratio_d, margin_d = step(
+                    jnp.asarray(hap_mat), jnp.asarray(go_mat),
+                    jnp.asarray(seq_mat), jnp.asarray(qual_mat),
+                    jnp.asarray(pair_hap), jnp.asarray(pair_read),
+                    jnp.asarray(pair_seg), jnp.asarray(pair_len),
+                    *tail_args,
+                )
         ll_h = np.asarray(ll_d, np.float64)
         em_h = np.asarray(em_d, np.float64)
         freq_h = np.asarray(freq_d, np.float64)

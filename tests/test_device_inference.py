@@ -218,3 +218,72 @@ def test_f64_guard_margins():
     assert n_checked >= 30
     assert max_ratio_phred_dev < _PP_BOUNDARY_EPS / 2, max_ratio_phred_dev
     assert max_freq_dev < _FR_BOUNDARY_EPS / 2, max_freq_dev
+
+
+def test_mesh_covers_flank_and_capped_windows(tmp_path):
+    """--calculateFlankScore (and HLA map-qual-cap) windows must ride the
+    mesh: pair scores from the traceback path feed the shared
+    scatter/inference program (_region_call_step_from_scores), and only
+    pair-less windows may be left over (VERDICT r3 item 5)."""
+    from synth import SimHaplotype, make_reference, simulate_reads, write_synth_bam
+
+    from platypus_tpu.config import PlatypusConfig, derive_runtime
+    from platypus_tpu.engine.caller import finish_window
+    from platypus_tpu.engine.region import prepare_region_call
+    from platypus_tpu.engine.runner import open_bams
+    from platypus_tpu.io.fasta import FastaFile
+    from platypus_tpu.parallel.mesh import make_mesh, mesh_call_region
+
+    workdir = str(tmp_path)
+    ref_path, ref_seq = make_reference(workdir, length=6000, seed=21)
+    alt = SimHaplotype(ref_seq, [
+        (1200, 1, b"A" if ref_seq[1200] != ord("A") else b"C"),
+        (2500, 0, b"TG"),
+        (3900, 2, b""),
+    ])
+    reads = simulate_reads([SimHaplotype(ref_seq, []), alt], 800, 5200,
+                           read_len=80, coverage=24, seed=9)
+    bam_path = write_synth_bam(workdir, reads, ref_len=6000)
+
+    config = PlatypusConfig(bam_files=[bam_path], ref_file=ref_path,
+                            output="-", calculate_flank_score=1)
+    bam_files, samples_by_bam, samples = open_bams(config)
+    ref = FastaFile(config.ref_file)
+    rt = derive_runtime(config, n_individuals=len(samples))
+    rt.rlen = config.rlen
+    state = prepare_region_call("chr20", 0, 6000, bam_files,
+                                samples_by_bam, ref, config, rt)
+    assert state is not None and state.live
+    assert any(p.request is not None and p.request.calculate_flank_score
+               for _, p in state.live)
+
+    ll_by, inf_by, leftover = mesh_call_region(state.live, len(samples),
+                                               make_mesh(8))
+    assert all(p.request is None or p.request.n_pairs() == 0
+               for _, p in leftover), "alignable flank windows left behind"
+    assert ll_by
+
+    # The flank-corrected mesh loglik must reproduce the host dispatch
+    # (which itself pins device-vs-scalar flank parity) closely enough for
+    # identical calls.
+    host_ll = {w: ll for (w, _p), ll in
+               zip(state.live, state.pending.finalize())} if state.pending \
+        else {}
+    n_calls = 0
+    for w_idx, prep in state.live:
+        if w_idx not in inf_by:
+            continue
+        if w_idx in host_ll:
+            np.testing.assert_allclose(ll_by[w_idx], host_ll[w_idx],
+                                       rtol=2e-4, atol=2e-4)
+        host = finish_window(prep, ll_by[w_idx], ref, config)
+        dev = finish_window(prep, ll_by[w_idx], ref, config,
+                            inference=inf_by[w_idx])
+        if host is None:
+            continue
+        assert host.genotype_calls == dev.genotype_calls
+        assert set(host.variant_posteriors) == set(dev.variant_posteriors)
+        n_calls += len(dev.variant_posteriors)
+    assert n_calls >= 3
+    for bam in bam_files:
+        bam.close()
