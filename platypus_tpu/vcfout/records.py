@@ -29,7 +29,7 @@ from ..candidates.variant import ASSEMBLER_VAR, FILE_VAR, PLATYPUS_VAR, Variant
 from ..config import PlatypusConfig
 from ..engine.caller import WindowCall
 from ..io.bam import CIGAR_D, CIGAR_EQ, CIGAR_I, CIGAR_M, CIGAR_N, CIGAR_S, CIGAR_X
-from ..utils.maths import beta_binomial_cdf, mann_whitney_rank_sum_z, round_ref
+from ..utils.maths import beta_binomial_cdf, round_ref
 from .. import native
 from .writer import FILTER_NAMES, VCFWriter
 
@@ -354,8 +354,6 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
         min_quals: List[int] = []
         n_reads_per_sample: List[int] = []
         n_var_reads_per_sample: List[int] = []
-        alt_read_pos: List[int] = []
-        ref_read_pos: List[int] = []
 
         for i in range(n_ind):
             gt_idx = call.genotype_calls[i]
@@ -378,8 +376,6 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
                 tcf += int(c[9]); tcr += int(c[10]); tcf_sb += int(c[11])
                 tcr_sb += int(c[12]); rmsmq += rms
                 min_quals.extend(minq)
-                alt_read_pos.extend(alt_d)
-                ref_read_pos.extend(ref_d)
                 n_reads_per_sample.append(int(c[0]))
                 n_var_reads_per_sample.append(int(c[2]))
                 continue
@@ -404,15 +400,6 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
                 tcf_sb += n_reads_this - n_rev
 
             supp = supported_mask(grows, variant)
-            if n_reads_this:
-                # Variant position within each read, folded to distance from
-                # the nearer read end (pooled over samples for the
-                # ReadPosRankSum Mann-Whitney test).
-                rlens = reads.rlen[grows].astype(np.int64)
-                off = np.clip(var_min - reads.pos[grows], 0, rlens - 1)
-                dist = np.minimum(off, rlens - 1 - off)
-                alt_read_pos.extend(int(d) for d in dist[supp])
-                ref_read_pos.extend(int(d) for d in dist[~supp])
             srows = grows[supp]
             srev = rev[supp]
             n_var_reads_this = len(srows)
@@ -438,8 +425,11 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
             n_reads_per_sample.append(n_reads_this)
             n_var_reads_per_sample.append(n_var_reads_this)
 
-        z = mann_whitney_rank_sum_z(alt_read_pos, ref_read_pos)
-        vinfo["ReadPosRankSum"] = ["." if z is None else round_ref(z, 2)]
+        # ReadPosRankSum is declared in the reference's INFO header but
+        # NEVER computed for variant lines (only a "." placeholder on
+        # REFCALL blocks, variantcaller.pyx:844) — verified by running the
+        # reference itself (docs/REFERENCE_RUN.md).  The Mann-Whitney
+        # machinery stays available in utils/maths for the offline tools.
         vinfo["ABPV"] = [round_ref(allele_bias_pvalue(tc_ab, tr_ab), 2)]
         vinfo["SbPval"] = [round_ref(strand_bias_pvalue(tcf_sb, tcr_sb, nf_sb, nr_sb), 2)]
         vinfo["TR"] = [tr]
@@ -847,7 +837,6 @@ def output_call_to_vcf(
         nf: List = []
         nr: List = []
         tr: List = []
-        rprs: List = []
         for v in variants:
             line_filter.extend(f for f in vcf_filter[v] if f in FILTER_NAMES)
             fr.extend(info[v]["FR"])
@@ -855,7 +844,6 @@ def output_call_to_vcf(
             nr.extend(info[v]["NR"])
             nf.extend(info[v]["NF"])
             tr.extend(info[v]["TR"])
-            rprs.extend(info[v]["ReadPosRankSum"])
         line_info["WS"] = [call.window.start_pos]
         line_info["WE"] = [call.window.end_pos]
         line_info["FR"] = fr
@@ -863,7 +851,6 @@ def output_call_to_vcf(
         line_info["NF"] = nf
         line_info["NR"] = nr
         line_info["TR"] = tr
-        line_info["ReadPosRankSum"] = rprs
         line_filter = sorted(set(line_filter))
         qual = max(int(float(p)) for p in line_info["PP"])
 

@@ -72,19 +72,28 @@ FORMAT_HEADERS = [
 FILTER_NAMES = {name for name, _ in FILTER_HEADERS}
 
 
+def _py2_float_str(x: float) -> str:
+    """The reference emits floats through py2's str(): 12-significant-digit
+    'g' with a trailing .0 for integral values (MQ=60.0, SbPval=1.0,
+    GL 0.0, QD at full 12-digit precision).  Verified against the RUNNING
+    reference (docs/REFERENCE_RUN.md)."""
+    s = "%.12g" % x
+    if "." not in s and "e" not in s and "n" not in s:
+        s += ".0"
+    return s
+
+
 def _fmt1(x) -> str:
-    """VCFWriter._fmt_value with exact-type fast paths (identical output:
-    "%g" % x == f"{x:g}", and np.float64 still hits the isinstance float
-    branch via the fallback)."""
+    """VCFWriter._fmt_value with exact-type fast paths."""
     tx = type(x)
     if tx is str:
         return x
     if tx is int:
         return str(x)
     if tx is float:
-        return "%g" % x
+        return _py2_float_str(x)
     if isinstance(x, float):
-        return "%g" % x
+        return _py2_float_str(x)
     if isinstance(x, bytes):
         return x.decode()
     return str(x)
@@ -118,7 +127,7 @@ class VCFWriter:
     @staticmethod
     def _fmt_value(v) -> str:
         if isinstance(v, float):
-            return f"{v:g}"
+            return _py2_float_str(v)
         if isinstance(v, bytes):
             return v.decode()
         return str(v)
