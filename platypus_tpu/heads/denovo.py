@@ -165,16 +165,25 @@ def passes_bayesian_filter(rec: TrioRecord, sex_of_child: str) -> bool:
 
 def read_pedigree(ped_path: str) -> Tuple[Dict[str, str], str]:
     """Parse a PED file; returns ({Child/Mother/Father: sample}, child sex).
-    The child is the individual whose parents appear in the file."""
+
+    Two formats are accepted:
+    * the reference extension's own 4-column format — one line of
+      `child father mother sex` (bayesianDeNovoFilter.py:217-243);
+    * standard 6-column PED (the child is the individual whose parents
+      appear in the file)."""
     rows = []
     with open(ped_path) as fh:
         for line in fh:
             cols = line.split()
-            if len(cols) >= 5 and not line.startswith("#"):
+            if cols and not line.startswith("#"):
                 rows.append(cols)
-    by_id = {r[1]: r for r in rows}
     for r in rows:
-        if r[2] in by_id and r[3] in by_id:
+        if len(r) == 4:
+            sex = "M" if r[3] in ("1", "M") else "F"
+            return {"Child": r[0], "Father": r[1], "Mother": r[2]}, sex
+    by_id = {r[1]: r for r in rows if len(r) >= 5}
+    for r in rows:
+        if len(r) >= 5 and r[2] in by_id and r[3] in by_id:
             sex = "M" if r[4] in ("1", "M") else "F"
             return {"Child": r[1], "Father": r[2], "Mother": r[3]}, sex
     raise ValueError(f"No complete trio found in {ped_path}")

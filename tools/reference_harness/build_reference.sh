@@ -52,22 +52,13 @@ build cwindow cwindow.c
 build variantFilter variantFilter.c
 build variantcaller variantcaller.c
 
-# ctabix (vendored tabix sources; only needed for --sourceFile input
-# VCFs).  Best-effort: a failure leaves a stub that raises on use.
-if gcc $CFLAGS -Itabix -shared ctabix.c tabix_util.c tabix/*.pysam.c \
-       -o ctabix.so -lz -lm 2>ctabix.err; then
-    echo "built ctabix.so"
-else
-    echo "ctabix build failed (see ctabix.err); installing stub"
-    cat > ctabix.py <<'PYEOF'
-class Tabixfile:  # pragma: no cover - only hit with --sourceFile
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            "ctabix unavailable in the py3 harness build")
-def asTuple(*a, **k):
-    raise NotImplementedError("ctabix unavailable in the py3 harness build")
-PYEOF
-fi
+# ctabix + TabProxies (vendored tabix sources; needed for --sourceFile
+# input VCFs and HLA typing).
+gcc $CFLAGS -Itabix -shared ctabix.c tabix_util.c tabix/*.pysam.c \
+    -o ctabix.so -lz -lm
+echo "built ctabix.so"
+gcc $CFLAGS -shared TabProxies.c -o TabProxies.so -lz
+echo "built TabProxies.so"
 
 # py2 -> py3 for the pure-python drivers.
 for f in Platypus.py runner.py variantutils.py window.py vcf.py filez.py \

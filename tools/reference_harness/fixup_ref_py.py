@@ -92,6 +92,33 @@ FIXES = [
     ("vcf.py",
      "                if v != None: output.append( ','.join(map(str,v)) )",
      "                if v != None: output.append( ','.join(map(self._py2str,v)) )"),
+    # The engine passes bytes chromosome names into the tabix fetch; the
+    # vendored tabix needs the plain name in its region string.
+    ("variantutils.py",
+     "vcfLines = vcfFile.fetch(chromosome, start, end, parser=ctabix.asVCF())",
+     "vcfLines = vcfFile.fetch(chromosome.decode('latin-1') if "
+     "isinstance(chromosome, bytes) else chromosome, start, end, "
+     "parser=ctabix.asVCF())"),
+    # TabProxies fields are bytes: split on bytes commas and validate with
+    # a bytes-aware base set.
+    ("variantutils.py",
+     "                alts = altCol.split(\",\")",
+     "                alts = altCol.split(b\",\" if isinstance(altCol, bytes) else \",\")"),
+    ("variantutils.py",
+     "    variants   = line.alt.split(\",\")",
+     "    variants   = line.alt.split(b\",\" if isinstance(line.alt, bytes) else \",\")"),
+    ("variantutils.py",
+     "    validBases = set(['A', 'C', 'G', 'T', 'N'])",
+     "    validBases = set(['A', 'C', 'G', 'T', 'N']) | set(b'ACGTN')"),
+    ("variantutils.py",
+     "        logger.warning(\"Invalid reference sequence at chromosome \" + chromosome)",
+     "        logger.warning(\"Invalid reference sequence at chromosome %s\" % chromosome)"),
+    ("variantutils.py",
+     "        logger.warning(\"Invalid alternative at chromosome \" + chromosome)",
+     "        logger.warning(\"Invalid alternative at chromosome %s\" % chromosome)"),
+    ("variantutils.py",
+     "        logger.warning(\"Non inetgral position at chromosome \" + chromosome)",
+     "        logger.warning(\"Non inetgral position at chromosome %s\" % chromosome)"),
     # Region chroms are bytes; keep the numeric-chromosome sort semantics.
     ("runner.py",
      "        chrom1 = int(chrom1.replace(\"chr\", \"\"))\n"

@@ -87,6 +87,9 @@ def flip_pypy_else_blocks(text: str) -> str:
 BYTES_CONSTANTS = {
     "fastafile.c": ["\t", "|", "\n", "", "gi|", "ref"],
     "variant.c": ["N"],
+    # ctabix: char* filename (bytes) + ".tbi"; region strings built from
+    # bytes contig names.
+    "ctabix.c": [".tbi", ":", "-", ""],
 }
 
 
@@ -134,6 +137,26 @@ def main(paths):
         text = text.replace(
             "PyErr_Fetch(tmp_type, tmp_value, tmp_tb);",
             "PyErr_Fetch(&tmp_type, &tmp_value, &tmp_tb);")
+        # ctabix/TabProxies were generated by an older Cython whose
+        # __Pyx_Raise pokes curexc_traceback with NO guard at all —
+        # replace the block with the public-API equivalent.
+        text = text.replace(
+            """    if (tb) {
+        PyThreadState *tstate = PyThreadState_GET();
+        PyObject* tmp_tb = tstate->curexc_traceback;
+        if (tb != tmp_tb) {
+            Py_INCREF(tb);
+            tstate->curexc_traceback = tb;
+            Py_XDECREF(tmp_tb);
+        }
+    }""",
+            """    if (tb) {
+        PyObject *pxc_t, *pxc_v, *pxc_tb;
+        PyErr_Fetch(&pxc_t, &pxc_v, &pxc_tb);
+        Py_INCREF(tb);
+        PyErr_Restore(pxc_t, pxc_v, tb);
+        Py_XDECREF(pxc_tb);
+    }""")
         # builtins.bool is variable-size in 3.12 (PyLong-backed):
         # tp_basicsize no longer matches sizeof(PyBoolObject).  The
         # imported type object is only used for argument type checks, so
