@@ -273,12 +273,13 @@ class PreparedRegion:
 
     __slots__ = ("chrom", "start", "end", "buffers", "windows", "prepared",
                  "live", "pending", "region_t0", "loglik_by_idx",
-                 "pending_inference", "inference_by_idx")
+                 "pending_inference", "inference_by_idx", "mesh_fetch")
 
     def __init__(self, **kw):
         self.loglik_by_idx = None        # set by begin_region_inference
         self.pending_inference = None
         self.inference_by_idx = None
+        self.mesh_fetch = None           # deferred mesh fetch (closure, extra)
         for k, v in kw.items():
             setattr(self, k, v)
 
@@ -493,30 +494,38 @@ def begin_region_inference(state, config: PlatypusConfig) -> None:
     finish): once this returns, the region's inference is in flight on the
     device while the next region does its host work.  Idempotent;
     finish_region_call calls it if the runner has not."""
-    if state.loglik_by_idx is not None:
+    if state.loglik_by_idx is not None or state.mesh_fetch is not None:
         return
     buffers = state.buffers
     inference_by_idx = {}
     if state.pending is None:
         # Mesh path: one sharded program does alignment + inference for the
-        # whole region's windows (parallel/mesh.mesh_call_region).
+        # whole region's windows (parallel/mesh.mesh_call_region).  The
+        # programs are LAUNCHED here (async dispatch); the fetch is
+        # deferred to finish_region_call so the device round-trip hides
+        # behind the next region's host work — mirroring the dispatch
+        # path's begin/finalize split.
         from ..parallel.mesh import get_engine_mesh, mesh_call_region
         from .score import run_alignment_requests
 
         try:
             mesh = get_engine_mesh(config.mesh_devices)
             with metrics.timer("device_alignment"):
-                loglik_by_idx, inference_by_idx, leftover = mesh_call_region(
-                    state.live, len(buffers), mesh)
+                fetch_fn, leftover = mesh_call_region(
+                    state.live, len(buffers), mesh, defer=True)
         except Exception:  # noqa: BLE001 — fall back to single-device path
             logger.exception("mesh calling step failed; using dispatch path")
-            loglik_by_idx, inference_by_idx = {}, {}
+            fetch_fn = None
             leftover = state.live
+        extra = {}
         if leftover:
             with metrics.timer("device_alignment"):
                 lls = run_alignment_requests([p.request for _, p in leftover])
-            loglik_by_idx.update(
-                {w_idx: ll for (w_idx, _p), ll in zip(leftover, lls)})
+            extra = {w_idx: ll for (w_idx, _p), ll in zip(leftover, lls)}
+        if fetch_fn is not None:
+            state.mesh_fetch = (fetch_fn, extra)
+            return
+        loglik_by_idx = extra
     else:
         with metrics.timer("device_alignment"):
             logliks = state.pending.finalize()
@@ -569,6 +578,25 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
     ref_file.set_cache_sequence(chrom, start - 2000, end + 2000)
 
     begin_region_inference(state, config)
+    if state.loglik_by_idx is None and state.mesh_fetch is not None:
+        fetch_fn, extra = state.mesh_fetch
+        try:
+            with metrics.timer("device_alignment"):
+                loglik_by_idx, inference_by_idx = fetch_fn()
+        except Exception:  # noqa: BLE001 — fall back to the dispatch path
+            logger.exception("mesh fetch failed; using dispatch path")
+            from .score import run_alignment_requests
+
+            with metrics.timer("device_alignment"):
+                lls = run_alignment_requests(
+                    [p.request for _, p in state.live])
+            loglik_by_idx = {w_idx: ll
+                             for (w_idx, _p), ll in zip(state.live, lls)}
+            inference_by_idx = {}
+        loglik_by_idx.update(extra)
+        state.loglik_by_idx = loglik_by_idx
+        state.inference_by_idx = inference_by_idx
+        state.mesh_fetch = None
     loglik_by_idx = state.loglik_by_idx
     inference_by_idx = state.inference_by_idx or {}
     if state.pending_inference is not None:

@@ -493,24 +493,35 @@ class PendingAlignments:
             if req is None:
                 results.append(np.zeros((0, 0), np.float64))
                 continue
-            H = len(req.haps)
-            R = len(req.reads)
-            loglik = np.zeros((H, R), np.float64)
-            A = len(req.align_rows)
-            scores = np.zeros((H, A), np.int64)
-            if req.n_pairs():
-                scores[:] = np.iinfo(np.int32).max
-                short = req.sub_len < HASH_NUCS
-                scores[:, short] = 0
-                np.minimum.at(scores, (req.pair_hap, req.pair_read),
-                              self.pair_scores[id(req)])
-            sub_loglik = scores_to_logliks(
-                scores, req.reads.mapq[req.align_rows][None, :],
-                use_map_qual_cap=req.use_map_qual_cap,
-            )
-            loglik[:, req.align_rows] = sub_loglik
-            results.append(loglik)
+            results.append(window_loglik_from_pair_scores(
+                req, self.pair_scores[id(req)] if req.n_pairs() else None))
         return results
+
+
+def window_loglik_from_pair_scores(req: "AlignmentRequest",
+                                   pair_scores) -> np.ndarray:
+    """[H, R] float64 log-likelihood matrix from a request's per-pair
+    alignment scores: scatter-min into the (hap, aligned-read) table,
+    short-overlap reads score 0, then the f64 phred->ln conversion.  The
+    single source of truth for score->loglik — used by the host dispatch
+    (PendingAlignments.finalize) and by the mesh path (whose device
+    program returns the same sparse pair scores)."""
+    H = len(req.haps)
+    R = len(req.reads)
+    loglik = np.zeros((H, R), np.float64)
+    A = len(req.align_rows)
+    scores = np.zeros((H, A), np.int64)
+    if pair_scores is not None:
+        scores[:] = np.iinfo(np.int32).max
+        short = req.sub_len < HASH_NUCS
+        scores[:, short] = 0
+        np.minimum.at(scores, (req.pair_hap, req.pair_read), pair_scores)
+    sub_loglik = scores_to_logliks(
+        scores, req.reads.mapq[req.align_rows][None, :],
+        use_map_qual_cap=req.use_map_qual_cap,
+    )
+    loglik[:, req.align_rows] = sub_loglik
+    return loglik
 
 
 def dispatch_alignment_requests(

