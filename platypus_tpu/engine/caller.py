@@ -333,12 +333,69 @@ def _device_window_needs_host(inference, all_haps, hap_var_sets, n_ind,
     return False
 
 
+def precompute_window_gl(entries):
+    """Cross-window batched GL/GOF/rescale pre-pass for a region's windows.
+
+    entries: [(w_idx, prep, loglik [H, R])] -> {w_idx: (gl_by_ind, gof,
+    likelihoods, n_reads)} — exactly the values finish_window's per-window
+    GL block computes, but with the elementwise mixture matrix evaluated
+    over each H-group's concatenated read columns
+    (ops/likelihood.genotype_log_likelihoods_segments_multi), so ~10 numpy
+    dispatches amortise over the whole region instead of repeating per
+    window.  Bit-identical to the per-window path (pinned by
+    tests/test_likelihood.py)."""
+    from collections import defaultdict
+
+    out = {}
+    groups = defaultdict(list)
+    for w_idx, prep, ll in entries:
+        groups[(len(prep.all_haps), len(prep.buffers))].append(
+            (w_idx, prep, ll))
+    for (H, I), items in groups.items():
+        h1, h2 = lk.genotype_index_pairs(H)
+        G = len(h1)
+        lls = []
+        segs = []
+        metas = []
+        off = 0
+        for w_idx, prep, ll in items:
+            R = len(prep.reads)
+            if ll.size == 0:
+                ll = np.zeros((H, R), np.float64)
+            bounds = np.searchsorted(prep.reads.sample_idx, np.arange(I + 1))
+            n_reads = np.bincount(prep.reads.sample_idx[prep.reads.is_good],
+                                  minlength=I).astype(np.int64)
+            lls.append(ll)
+            for i in range(I):
+                segs.append((off + int(bounds[i]), off + int(bounds[i + 1])))
+            metas.append((w_idx, n_reads))
+            off += R
+        big = np.concatenate(lls, axis=1) if len(lls) > 1 else lls[0]
+        gl_all, gof_all = lk.genotype_log_likelihoods_segments_multi(
+            big, h1, h2, np.asarray(segs, np.int64).reshape(-1, 2))
+        n_reads_all = np.concatenate([m[1] for m in metas])
+        gl_by_ind_all = np.where((n_reads_all > 0)[:, None], gl_all, 0.0)
+        likelihoods_all = lk.rescale_likelihoods(gl_by_ind_all, n_reads_all)
+        row = 0
+        for w_idx, n_reads in metas:
+            gl_by_ind = gl_by_ind_all[row : row + I]
+            gof_seg = gof_all[row : row + I]
+            has = n_reads > 0
+            gof = np.zeros((G, I))
+            gof[:, has] = (-10.0 * gof_seg[has] / n_reads[has, None]).T
+            out[w_idx] = (gl_by_ind, gof, likelihoods_all[row : row + I],
+                          n_reads)
+            row += I
+    return out
+
+
 def finish_window(
     prep: PreparedWindow,
     loglik: np.ndarray,
     ref_file,
     config: PlatypusConfig,
     inference=None,
+    precomputed=None,
 ) -> Optional[WindowCall]:
     """Post-alignment inference: GLs, EM, posteriors (Population.setup/call,
     cpopulation.pyx:197-720).
@@ -363,9 +420,6 @@ def finish_window(
 
     # Per-sample good-read counts in one pass (== the per-sample
     # (sample_idx == i) & is_good sums).
-    n_reads = np.bincount(reads.sample_idx[reads.is_good],
-                          minlength=I).astype(np.int64)
-
     # GL/GOF always come from the float64 host oracle (one pass over all
     # samples' reads; sample_idx is sorted by construction in
     # gather_window_reads; bit-identical to per-sample
@@ -373,16 +427,22 @@ def finish_window(
     # across backends — the f32 device-inference GLs rounded differently
     # in ~1/10k records.  Device inference still supplies the EM
     # frequencies and the per-variant posterior ratios (the expensive
-    # batched parts).
-    bounds = np.searchsorted(reads.sample_idx, np.arange(I + 1))
-    gl_seg, gof_seg = lk.genotype_log_likelihoods_segments(
-        loglik, hap1_idx, hap2_idx, bounds)
-    has_reads = n_reads > 0
-    gl_by_ind = np.where(has_reads[:, None], gl_seg, 0.0)
-    gof = np.zeros((G, I))
-    gof[:, has_reads] = (
-        -10.0 * gof_seg[has_reads] / n_reads[has_reads, None]).T
-    likelihoods = lk.rescale_likelihoods(gl_by_ind, n_reads)
+    # batched parts).  The region driver usually precomputes this block
+    # for all windows at once (precompute_window_gl, bit-identical).
+    if precomputed is not None:
+        gl_by_ind, gof, likelihoods, n_reads = precomputed
+    else:
+        n_reads = np.bincount(reads.sample_idx[reads.is_good],
+                              minlength=I).astype(np.int64)
+        bounds = np.searchsorted(reads.sample_idx, np.arange(I + 1))
+        gl_seg, gof_seg = lk.genotype_log_likelihoods_segments(
+            loglik, hap1_idx, hap2_idx, bounds)
+        has_reads = n_reads > 0
+        gl_by_ind = np.where(has_reads[:, None], gl_seg, 0.0)
+        gof = np.zeros((G, I))
+        gof[:, has_reads] = (
+            -10.0 * gof_seg[has_reads] / n_reads[has_reads, None]).T
+        likelihoods = lk.rescale_likelihoods(gl_by_ind, n_reads)
 
     hap_var_sets = [set(h.variants) for h in all_haps]
     priors: Dict[Variant, float] = {}

@@ -609,6 +609,20 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
         state.pending_inference = None
 
     # Phase 3 (host): per-window inference + output, in window order.
+    # The GL/GOF/rescale block of every window computes in one batched
+    # pre-pass (bit-identical to the per-window path).
+    from .caller import precompute_window_gl
+
+    try:
+        with metrics.timer("window_finish"):
+            gl_pre = precompute_window_gl(
+                [(w_idx, prep, loglik_by_idx[w_idx])
+                 for w_idx, prep in ((i, prepared.get(i))
+                                     for i, w in enumerate(windows) if w.variants)
+                 if prep is not None and prep != "skip"])
+    except Exception:  # noqa: BLE001 — fall back to per-window computation
+        logger.exception("batched GL pre-pass failed; using per-window path")
+        gl_pre = {}
     n_written = 0
     for w_idx, window in enumerate(windows):
         try:
@@ -621,7 +635,8 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
                     with metrics.timer("window_finish"):
                         result = finish_window(prep, loglik_by_idx[w_idx], ref_file,
                                                config,
-                                               inference=inference_by_idx.get(w_idx))
+                                               inference=inference_by_idx.get(w_idx),
+                                               precomputed=gl_pre.get(w_idx))
                 if result is not None and result.variant_posteriors:
                     with metrics.timer("vcf_output"):
                         n_written += output_call_to_vcf(result, buffers, ref_file, config, writer)

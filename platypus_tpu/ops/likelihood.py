@@ -128,6 +128,46 @@ def genotype_log_likelihoods_segments(
     return gl, gof_sum
 
 
+def genotype_log_likelihoods_segments_multi(
+    loglik: np.ndarray,        # [H, R_total] columns from MANY windows,
+                               # concatenated along the read axis
+    hap1_idx: np.ndarray,      # [G]
+    hap2_idx: np.ndarray,      # [G]
+    segs: np.ndarray,          # [S, 2] (lo, hi) absolute column ranges
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cross-window batched twin of genotype_log_likelihoods_segments: the
+    per-read mixture matrix is computed ONCE over the concatenation of
+    many windows' read columns (same H), then each (window, sample)
+    segment sums its own column range.  Bit-identical to per-window calls:
+    elementwise ops see the same values (contiguous either way) and each
+    segment's pairwise sum reduces the same elements in the same order.
+
+    Returns (gl [S, G], gof_sum [S, G])."""
+    l1 = loglik[hap1_idx]
+    l2 = loglik[hap2_idx]
+    same = (hap1_idx == hap2_idx)[:, None]
+    diff = np.abs(l1 - l2)
+    mx = np.maximum(l1, l2)
+    with np.errstate(over="ignore"):
+        exact = np.log(0.5 * (np.exp(l1) + np.exp(l2)))
+    per_read = np.where(
+        same,
+        l1,
+        np.where(diff >= 3.0, LOG_HALF + mx, np.where(diff <= 1e-3, l1, exact)),
+    )
+    log10_mx = LOG10E * mx
+    S = len(segs)
+    G = len(hap1_idx)
+    gl = np.zeros((S, G))
+    gof_sum = np.zeros((S, G))
+    for s in range(S):
+        lo, hi = int(segs[s, 0]), int(segs[s, 1])
+        if hi > lo:
+            gl[s] = per_read[:, lo:hi].sum(axis=1)
+            gof_sum[s] = log10_mx[:, lo:hi].sum(axis=1)
+    return gl, gof_sum
+
+
 def rescale_likelihoods(gl_by_ind: np.ndarray, n_reads: np.ndarray) -> np.ndarray:
     """[I, G] log-likelihoods -> relative likelihoods exp(ll-max) clipped at
     1e-300; individuals with no reads get all-1 (cpopulation.pyx:290-309)."""

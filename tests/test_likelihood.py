@@ -181,3 +181,44 @@ def test_round_ref_fast_path_matches_decimal_definition():
         a = round_ref(x, nd)
         b = _round_ref_decimal(x, nd)
         assert a == b and math.copysign(1, a) == math.copysign(1, b), (x, nd)
+
+
+def test_segments_multi_bitwise_matches_per_window():
+    """The cross-window batched GL pre-pass must be bitwise identical to
+    per-window genotype_log_likelihoods_segments calls (elementwise ops on
+    concatenated columns + identical segment pairwise sums)."""
+    import numpy as np
+
+    from platypus_tpu.ops import likelihood as lk
+
+    rng = np.random.default_rng(77)
+    for _ in range(40):
+        H = int(rng.integers(1, 10))
+        h1, h2 = lk.genotype_index_pairs(H)
+        n_windows = int(rng.integers(1, 6))
+        lls, bounds_list = [], []
+        for _w in range(n_windows):
+            R = int(rng.integers(1, 200))
+            I = int(rng.integers(1, 4))
+            ll = -rng.random((H, R)) * rng.choice([2.0, 30.0])
+            cuts = np.sort(rng.integers(0, R + 1, I - 1)) if I > 1 else \
+                np.array([], int)
+            bounds = np.concatenate([[0], cuts, [R]]).astype(np.int64)
+            lls.append(ll)
+            bounds_list.append(bounds)
+        big = np.concatenate(lls, axis=1)
+        segs, off = [], 0
+        for ll, bounds in zip(lls, bounds_list):
+            for i in range(len(bounds) - 1):
+                segs.append((off + int(bounds[i]), off + int(bounds[i + 1])))
+            off += ll.shape[1]
+        gl_m, gof_m = lk.genotype_log_likelihoods_segments_multi(
+            big, h1, h2, np.asarray(segs, np.int64).reshape(-1, 2))
+        row = 0
+        for ll, bounds in zip(lls, bounds_list):
+            gl_w, gof_w = lk.genotype_log_likelihoods_segments(
+                ll, h1, h2, bounds)
+            n = len(bounds) - 1
+            assert gl_m[row:row + n].tobytes() == gl_w.tobytes()
+            assert gof_m[row:row + n].tobytes() == gof_w.tobytes()
+            row += n
