@@ -24,6 +24,7 @@ from s55util import S55, build_s55_full
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens",
                           "reference_run")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _load(path):
@@ -123,3 +124,30 @@ def test_divergent_islands_no_new_divergence(s55_fixture, island,
     mine = _load(s55_fixture[island])
     bad = {pos for _c, pos in _diff_sites(ref, mine)}
     assert bad <= allowed_sites, sorted(bad - allowed_sites)
+
+
+MB10_BAM = "/tmp/platypus_tpu_scaling/mb10/reads.bam"
+
+
+@pytest.mark.skipif(not os.path.exists(MB10_BAM),
+                    reason="mb10 dataset not built (tools/scaling_bench.py)")
+def test_synth_10mb_byte_identical_to_running_reference(tmp_path):
+    """Full 10 Mb / 3.0 M reads / 9999 records byte-parity with the
+    RUNNING reference (golden ref_synth_10mb.vcf.gz).  Gated on the
+    cached mb10 dataset; `python tools/scaling_bench.py --mb 10` builds
+    it deterministically."""
+    import gzip
+
+    out = str(tmp_path / "mine_10mb.vcf")
+    env = dict(os.environ, PLATYPUS_TPU_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, "-m", "platypus_tpu.cli", "callVariants",
+         f"--bamFiles={MB10_BAM}",
+         "--refFile=/tmp/platypus_tpu_scaling/mb10/ref.fa",
+         "--regions=chr20:1-10000001", "--nCPU=1", "-o", out],
+        check=True, capture_output=True, env=env, cwd=REPO)
+    golden = [l for l in gzip.open(
+        os.path.join(GOLDEN_DIR, "ref_synth_10mb.vcf.gz"), "rt")
+        if not l.startswith("#")]
+    mine = [l for l in open(out) if not l.startswith("#")]
+    assert mine == golden
