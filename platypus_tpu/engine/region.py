@@ -624,6 +624,10 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
         logger.exception("batched GL pre-pass failed; using per-window path")
         gl_pre = {}
     n_written = 0
+    # REFCALL NR replicates the reference's stale window pointers: the
+    # count of each buffer's most recently PROCESSED variant window
+    # (variantcaller.pyx:856-866; verified against the running reference).
+    last_window_nr = [0] * len(buffers)
     for w_idx, window in enumerate(windows):
         try:
             prep = prepared.get(w_idx)
@@ -632,6 +636,10 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
             result = None
             if window.variants:
                 if prep is not None:
+                    for _i, _buf in enumerate(buffers):
+                        _sl = _buf.window_slice(window.start_pos,
+                                                window.end_pos)
+                        last_window_nr[_i] = _sl.stop - _sl.start
                     with metrics.timer("window_finish"):
                         result = finish_window(prep, loglik_by_idx[w_idx], ref_file,
                                                config,
@@ -664,17 +672,20 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
                                 output_ref_call(
                                     _Window(chrom, bs, be, []), buffers, ref_file,
                                     config, writer,
+                                    last_window_nr=last_window_nr,
                                 )
                                 n_written += 1
                 elif config.output_ref_calls:
                     from ..vcfout.refcalls import output_ref_call
 
-                    output_ref_call(window, buffers, ref_file, config, writer, call=result)
+                    output_ref_call(window, buffers, ref_file, config, writer,
+                                    call=result, last_window_nr=last_window_nr)
                     n_written += 1
             elif config.output_ref_calls:
                 from ..vcfout.refcalls import output_ref_call
 
-                output_ref_call(window, buffers, ref_file, config, writer)
+                output_ref_call(window, buffers, ref_file, config, writer,
+                                last_window_nr=last_window_nr)
                 n_written += 1
         except Exception as exc:  # noqa: BLE001 — window-level crash containment
             logger.exception(

@@ -37,6 +37,7 @@ def output_ref_call(
     config: PlatypusConfig,
     writer: VCFWriter,
     call=None,
+    last_window_nr=None,
 ) -> None:
     min_cov = _min_coverage(buffers, window)
     phred_pvalue = int(-10 * math.log10(beta_binomial_cdf(0, min_cov, 20, 20)))
@@ -71,10 +72,15 @@ def output_ref_call(
                 "MQ", "QD", "SC", "BRF", "HapScore"):
         info[key] = ["."]
 
+    # NR on REFCALL lines replicates the reference's stale-pointer
+    # behaviour (variantcaller.pyx:856-866): it reports the read count of
+    # the buffer's most recently SET variant window (0 before any), NOT
+    # the refcall block's own coverage — the window pointers are only
+    # moved when a variant window is processed.  Verified against the
+    # RUNNING reference (docs/REFERENCE_RUN.md).
     sample_data = {}
-    for buf in buffers:
-        sl = buf.window_slice(window.start_pos, window.end_pos)
-        n = sl.stop - sl.start
+    for i, buf in enumerate(buffers):
+        n = last_window_nr[i] if last_window_nr is not None else 0
         sample_data[buf.sample] = dict(
             GT=[[".", "/", "."]], GL=[-1, -1, -1], GQ=[-1], GOF=[-1],
             NR=[n], NV=[0],

@@ -37,6 +37,28 @@ def _py2_round(x, ndigits=0):
 
 builtins.round = _py2_round
 
+# py2 sorted() any heterogeneous/unorderable objects by type name then
+# address; the engine sorts Samfile handles for deterministic iteration.
+_py3_sorted = sorted
+
+
+def _py2_sorted(iterable, **kw):
+    items = list(iterable)
+    try:
+        return _py3_sorted(items, **kw)
+    except TypeError:
+        key = kw.get("key")
+        if key is None:
+            return _py3_sorted(items,
+                               key=lambda x: (type(x).__name__, id(x)),
+                               reverse=kw.get("reverse", False))
+        return _py3_sorted(
+            items, key=lambda x: (type(key(x)).__name__, id(key(x))),
+            reverse=kw.get("reverse", False))
+
+
+builtins.sorted = _py2_sorted
+
 build_dir = sys.argv[1]
 sys.path.insert(0, build_dir)
 sys.argv = ["Platypus.py"] + sys.argv[2:]
