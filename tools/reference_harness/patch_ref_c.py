@@ -157,6 +157,15 @@ def main(paths):
         PyErr_Restore(pxc_t, pxc_v, tb);
         Py_XDECREF(pxc_tb);
     }""")
+        # The vendored pysam modules treat py2 str as the byte-field type
+        # (VCFProxy's field map applies str() to raw C fields).  On py3
+        # their py3-compat block maps PyString_Type to PyUnicode_Type,
+        # which turns fields into "b'...'" reprs — map it to PyBytes_Type
+        # instead (py2 str IS bytes).
+        if os.path.basename(path) in ("TabProxies.c", "ctabix.c"):
+            text = text.replace(
+                "#define PyString_Type                PyUnicode_Type",
+                "#define PyString_Type                PyBytes_Type")
         # builtins.bool is variable-size in 3.12 (PyLong-backed):
         # tp_basicsize no longer matches sizeof(PyBoolObject).  The
         # imported type object is only used for argument type checks, so
