@@ -691,6 +691,7 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
             logger.exception(
                 "Exception in window %s:%s-%s: %s", chrom, window.start_pos, window.end_pos, exc
             )
+    writer.drain()  # flush the 100-line look-ahead before region handoff
     metrics.timers["region_total"] += __import__("time").perf_counter() - state.region_t0
     if config.verbosity >= 3 or os.environ.get("PLATYPUS_TPU_METRICS"):
         metrics.log_summary(f"region {chrom}:{start}-{end} cumulative: ")

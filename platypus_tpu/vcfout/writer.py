@@ -100,12 +100,45 @@ def _fmt1(x) -> str:
 
 
 class VCFWriter:
+    """VCF emitter with the reference's 100-line look-ahead sort.
+
+    The reference's merge step (runner.py FileForQueueing) streams output
+    lines through a 100-line heap keyed by (chrom-as-int-if-possible,
+    pos, line), so any local inversion within 100 lines — e.g. a gap
+    REFCALL block whose start exceeds the following padded window's
+    start — comes out position-sorted, with ties broken by full-line
+    lexicographic order.  `drain()` flushes the buffer; the region driver
+    drains at region boundaries so the crash-rescue/resume durability
+    contract (all of a region's lines on disk at on_region_done) holds."""
+
     def __init__(self, out: TextIO, samples: Sequence[str],
                  options_line: Optional[str] = None, source_version: str = "0.1.0"):
         self.out = out
         self.samples = list(samples)
         self.options_line = options_line
         self.source_version = source_version
+        self._heap: list = []
+
+    @staticmethod
+    def _chrom_key(chrom: str):
+        try:
+            return int(chrom.upper().strip("CHR"))
+        except ValueError:
+            return chrom
+
+    def _emit(self, chrom: str, pos1: int, line: str) -> None:
+        import heapq
+
+        heapq.heappush(self._heap, (self._chrom_key(chrom), pos1, line))
+        if len(self._heap) > 100:
+            self.out.write(heapq.heappop(self._heap)[2])
+
+    def drain(self) -> None:
+        """Flush the look-ahead buffer (end of a region / end of run)."""
+        import heapq
+
+        while self._heap:
+            self.out.write(heapq.heappop(self._heap)[2])
 
     def write_header(self) -> None:
         w = self.out.write
@@ -179,4 +212,4 @@ class VCFWriter:
                 else:
                     fields.append(",".join([fmt1(x) for x in val]))
             cols.append(":".join(fields))
-        self.out.write("\t".join(cols) + "\n")
+        self._emit(chrom, pos + 1, "\t".join(cols) + "\n")

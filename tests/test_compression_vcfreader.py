@@ -101,6 +101,7 @@ def test_vcf_reader_own_output(tmp_path):
         {"S1": dict(GT=[["0", "/", "1"]], GL=[-10.0, 0, -8.2], GOF=[3],
                     GQ=[42], NR=[10], NV=[5])},
     )
+    w.drain()
     buf.seek(0)
     r = VCFReader(buf)
     assert r.samples == ["S1"]
