@@ -38,7 +38,6 @@ from .bam import (
     FLAG_PROPER_PAIR,
     FLAG_REVERSE,
     FLAG_SECONDARY,
-    FLAG_SUPPLEMENTARY,
     FLAG_UNMAP,
     ReadSet,
     empty_read_set,
@@ -97,8 +96,15 @@ def check_and_trim_reads(reads: ReadSet, opts: QCOptions) -> Tuple[np.ndarray, D
     bad = np.zeros(n, bool)
     qc_fail = np.zeros(n, bool)
 
-    # 1. secondary (and supplementary, which predates the reference format rev).
-    sec = (flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) != 0
+    # 1. secondary only.  Supplementary (0x800) reads are NOT dropped: the
+    # reference reuses bit 2048 as its internal "compressed" marker and
+    # clears it on every read at load (htslibWrapper.pyx:404,
+    # htslibWrapper.pxd:245), so a supplementary alignment flows through its
+    # QC as an ordinary read.  Verified against the RUNNING reference on the
+    # S55 HLA islands (dense repeats are where split/supplementary
+    # alignments live — dropping them shifted TC/BRF/GOF and lost a 2-read
+    # MNP candidate; docs/REFERENCE_RUN.md).
+    sec = (flag & FLAG_SECONDARY) != 0
     qc_fail |= sec
     bad |= sec
 

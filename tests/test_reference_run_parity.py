@@ -101,22 +101,26 @@ def test_island2_byte_identical_to_running_reference(s55_fixture):
 
 
 @pytest.mark.skipif(not os.path.exists(S55), reason="reference S55 missing")
-@pytest.mark.parametrize("island", [1, 2, 3])
+@pytest.mark.parametrize("island", [1, 2, 3, 4])
 def test_clean_islands_value_parity(s55_fixture, island):
     ref = _load(os.path.join(GOLDEN_DIR, f"ref_s55_island{island}.vcf"))
     mine = _load(s55_fixture[island])
     bad = _diff_sites(ref, mine)
-    # island 1: one extra multiallelic record in this repo (documented).
+    # island 1: one extra multiallelic record in this repo — the reference
+    # computes the call (its debug log shows PP=890) then drops it in its
+    # equivalent-representation haplotype merge (documented).
     allowed = {("HLA_island_1", 4728)} if island == 1 else set()
     assert bad <= allowed, sorted(bad - allowed)
 
 
 @pytest.mark.skipif(not os.path.exists(S55), reason="reference S55 missing")
 @pytest.mark.parametrize("island,allowed_sites", [
-    (0, {3157, 1126}),
-    (4, {696, 707, 729, 740, 749, 818, 4199, 4221, 4222, 4320, 4322, 4324,
-         4331, 4336, 4357, 4405, 4406, 4407, 4408, 4417, 4422, 4425, 4430,
-         4436, 4441, 4457, 4467}),
+    # Island 0 site 3157: same drop-in-reference class as island 1's 4728
+    # (this repo emits the 27 bp complex replacement the reference computed
+    # but merged away).  Everything else — including the former dense-repeat
+    # cluster — matched once supplementary (0x800) reads were kept like the
+    # reference keeps them (io/readbuffer.py).
+    (0, {3157}),
 ])
 def test_divergent_islands_no_new_divergence(s55_fixture, island,
                                              allowed_sites):
