@@ -92,42 +92,33 @@ def s55_fixture(tmp_path_factory):
     return outs
 
 
+# Goldens regenerated from a clean `build_reference.sh` build (the first
+# pinning used a mid-bring-up build that silently lost two MNP-class
+# records).  The committed harness is deterministic: identical output
+# across PYTHONHASHSEED 0-3 and across launcher revisions — except FILTER
+# order, which is py2/py3 set-iteration order and varies run to run in
+# the reference itself (this repo emits sorted order; the pinned files
+# happen to match it on islands 0/1/2 and permute 5 records on 3/4).
+
 @pytest.mark.skipif(not os.path.exists(S55), reason="reference S55 missing")
-def test_island2_byte_identical_to_running_reference(s55_fixture):
-    golden = [l for l in open(os.path.join(GOLDEN_DIR, "ref_s55_island2.vcf"))
+@pytest.mark.parametrize("island", [0, 1, 2])
+def test_islands_byte_identical_to_running_reference(s55_fixture, island):
+    golden = [l for l in open(os.path.join(GOLDEN_DIR,
+                                           f"ref_s55_island{island}.vcf"))
               if not l.startswith("#")]
-    mine = [l for l in open(s55_fixture[2]) if not l.startswith("#")]
+    mine = [l for l in open(s55_fixture[island]) if not l.startswith("#")]
     assert mine == golden
 
 
 @pytest.mark.skipif(not os.path.exists(S55), reason="reference S55 missing")
-@pytest.mark.parametrize("island", [1, 2, 3, 4])
-def test_clean_islands_value_parity(s55_fixture, island):
+@pytest.mark.parametrize("island", [0, 1, 2, 3, 4])
+def test_all_islands_value_parity_no_allowances(s55_fixture, island):
+    """Every record at every site on every island: same (pos, ref, alt),
+    same QUAL/INFO/FORMAT values, FILTER equal as a set."""
     ref = _load(os.path.join(GOLDEN_DIR, f"ref_s55_island{island}.vcf"))
     mine = _load(s55_fixture[island])
     bad = _diff_sites(ref, mine)
-    # island 1: one extra multiallelic record in this repo — the reference
-    # computes the call (its debug log shows PP=890) then drops it in its
-    # equivalent-representation haplotype merge (documented).
-    allowed = {("HLA_island_1", 4728)} if island == 1 else set()
-    assert bad <= allowed, sorted(bad - allowed)
-
-
-@pytest.mark.skipif(not os.path.exists(S55), reason="reference S55 missing")
-@pytest.mark.parametrize("island,allowed_sites", [
-    # Island 0 site 3157: same drop-in-reference class as island 1's 4728
-    # (this repo emits the 27 bp complex replacement the reference computed
-    # but merged away).  Everything else — including the former dense-repeat
-    # cluster — matched once supplementary (0x800) reads were kept like the
-    # reference keeps them (io/readbuffer.py).
-    (0, {3157}),
-])
-def test_divergent_islands_no_new_divergence(s55_fixture, island,
-                                             allowed_sites):
-    ref = _load(os.path.join(GOLDEN_DIR, f"ref_s55_island{island}.vcf"))
-    mine = _load(s55_fixture[island])
-    bad = {pos for _c, pos in _diff_sites(ref, mine)}
-    assert bad <= allowed_sites, sorted(bad - allowed_sites)
+    assert not bad, sorted(bad)
 
 
 MB10_BAM = "/tmp/platypus_tpu_scaling/mb10/reads.bam"
