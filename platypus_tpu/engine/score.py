@@ -158,7 +158,14 @@ class CigarRefs:
             n = int(self.offsets[seg + 1]) - o
             s = self.starts[seg]
             off = rs.cigar_off[s : s + n + 1]
-            first_op = rs.cigar_flat[off[:-1]] & 0xF
+            # Zero-cigar rows (unmapped mates in the bad pile) can sit at
+            # the END of the flat array, where their start offset equals
+            # len(cigar_flat) — clip the gather; the one-op length check
+            # below already masks those rows to False.
+            if len(rs.cigar_flat) == 0:
+                continue
+            first_op = rs.cigar_flat[
+                np.minimum(off[:-1], len(rs.cigar_flat) - 1)] & 0xF
             out[o : o + n] = ((off[1:] - off[:-1]) == 1) & (
                 (first_op == 0) | (first_op == 7) | (first_op == 8))
         return out

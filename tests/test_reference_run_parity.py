@@ -111,6 +111,31 @@ def test_islands_byte_identical_to_running_reference(s55_fixture, island):
 
 
 @pytest.mark.skipif(not os.path.exists(S55), reason="reference S55 missing")
+def test_nofilterdups_byte_identical_to_running_reference(s55_fixture,
+                                                          tmp_path):
+    """--filterDuplicates=0 over the whole S55 corpus, byte-compared to the
+    running reference (golden ref_s55_noFilterDups.vcf, 377 records).
+
+    Regression: keeping the duplicate read shifts the bad-pile layout so
+    an unmapped mate (zero cigar ops) lands at the END of a pile, which
+    crashed CigarRefs.single_m_mask's offset gather and silently dropped
+    two windows (island 1 4728/4846) via window crash containment."""
+    fx = build_s55_full(str(tmp_path))
+    out = str(tmp_path / "nodups.vcf")
+    env = dict(os.environ, PLATYPUS_TPU_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, "-m", "platypus_tpu.cli", "callVariants",
+         f"--bamFiles={fx['bam']}", f"--refFile={fx['ref']}",
+         "--filterDuplicates=0", "--nCPU=1", "-o", out],
+        check=True, capture_output=True, env=env, cwd=REPO)
+    golden = [l for l in open(os.path.join(GOLDEN_DIR,
+                                           "ref_s55_noFilterDups.vcf"))
+              if not l.startswith("#")]
+    mine = [l for l in open(out) if not l.startswith("#")]
+    assert mine == golden
+
+
+@pytest.mark.skipif(not os.path.exists(S55), reason="reference S55 missing")
 @pytest.mark.parametrize("island", [0, 1, 2, 3, 4])
 def test_all_islands_value_parity_no_allowances(s55_fixture, island):
     """Every record at every site on every island: same (pos, ref, alt),
