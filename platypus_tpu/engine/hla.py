@@ -35,36 +35,80 @@ logger = logging.getLogger("platypus_tpu")
 HLA_MAX_HAPLOTYPES = 150
 
 
-def _per_sample_hap_scores(haps, reads, n_individuals: int,
-                           good_only_rows=None) -> np.ndarray:
-    """[H, I] sum over each sample's good reads of single-hap log-likelihood
-    (computeBestScoreForHaplotype uses good reads, no QC/overlap gates)."""
+def _rank_haplotypes_two_rounds(
+    haps: List[Haplotype], reads, n_individuals: int, original_max: int,
+    per_round_out: int, window_size: int, target_coverage: int,
+) -> List[Haplotype]:
+    """The reference's two-round region ranking (variantFilter.pyx:700-744
+    and :863-901, shared by the HLA-source and assembler rankers):
+
+    round 1 scores every haplotype alone — per sample, the sequential sum
+    of single-read log-likelihoods over ALL good window reads
+    (computeBestScoreForHaplotype, :213-234; an empty sample contributes
+    0.0), best over samples — into a min-heap of (score, hap) capped at
+    originalMaxHaplotypes-1, and emits the top per_round_out;
+
+    round 2 re-scores every haplotype PAIRED with round 1's best hap —
+    per sample, reads subsampled at max(1, meanCov // targetCoverage)
+    with meanCov = firstReadLen * nReads // windowSize, summing
+    log(0.5*(e^s1 + e^s2)) (computeBestScoreForGenotype, :237-283; empty
+    samples skipped, all-empty -> -1e20) — pushed into the SAME heap
+    (round-1 entries still in it), and appends another top per_round_out.
+    The pairing is what surfaces the complementary allele of a
+    heterozygote: reads the best hap cannot explain dominate the score."""
     loglik = score_reads_vs_haplotypes(haps, reads, use_map_qual_cap=False)
-    out = np.full((len(haps), n_individuals), 0.0)
-    for i in range(n_individuals):
-        rows = np.nonzero((reads.sample_idx == i) & reads.is_good)[0]
-        if len(rows):
-            out[:, i] = loglik[:, rows].sum(axis=1)
-    return out
+    sample_rows = [
+        np.nonzero((reads.sample_idx == i) & reads.is_good)[0]
+        for i in range(n_individuals)
+    ]
 
+    heap: List[Tuple[float, Haplotype]] = []
 
-def _rank_haplotypes(haps: List[Haplotype], reads, n_individuals: int,
-                     original_max: int) -> List[Haplotype]:
-    """Heap ranking by best per-sample likelihood sum
-    (variantFilter.pyx:704-744 semantics, single-hap scoring)."""
-    scores = _per_sample_hap_scores(haps, reads, n_individuals)
-    best = scores.max(axis=1) if scores.shape[1] else np.zeros(len(haps))
-    heap: List[Tuple[float, int]] = []
-    for idx, s in enumerate(best):
-        item = (float(s), idx)
+    def push(item):
         if len(heap) < original_max:
             heapq.heappush(heap, item)
         else:
             heapq.heappushpop(heap, item)
-    out = []
-    for rank, (_s, idx) in enumerate(sorted(heap, reverse=True)):
-        if rank < HLA_MAX_HAPLOTYPES // 2:
-            out.append(haps[idx])
+
+    for idx, hap in enumerate(haps):
+        best = -1e20
+        for rows in sample_rows:
+            s = 0.0
+            for r in rows:
+                s += float(loglik[idx, r])
+            best = max(best, s)
+        push((best, hap))
+
+    out: List[Haplotype] = []
+    for rank, (_s, hap) in enumerate(sorted(heap, reverse=True)):
+        if rank < per_round_out:
+            out.append(hap)
+        else:
+            break
+
+    best_hap = sorted(heap, reverse=True)[0][1]
+    best_idx = next(i for i, h in enumerate(haps) if h is best_hap)
+
+    log, exp = np.log, np.exp
+    for idx, hap in enumerate(haps):
+        best = -1e20
+        for rows in sample_rows:
+            if len(rows) == 0:
+                continue
+            mean_cov = int(reads.rlen[rows[0]]) * len(rows) // window_size
+            rate = max(1, mean_cov // target_coverage)
+            s = 0.0
+            for r in rows[::rate]:
+                s += float(log(0.5 * (exp(loglik[best_idx, r])
+                                      + exp(loglik[idx, r]))))
+            best = max(best, s)
+        push((best, hap))
+
+    for rank, (_s, hap) in enumerate(sorted(heap, reverse=True)):
+        if rank < per_round_out:
+            out.append(hap)
+        else:
+            break
     return out
 
 
@@ -81,11 +125,10 @@ def get_all_hla_haplotypes_in_region(
     ]
     if len(haps) <= HLA_MAX_HAPLOTYPES:
         return haps
-    ranked = _rank_haplotypes(haps, reads, n_individuals, rt.original_max_haplotypes - 1)
-    # The reference runs a second genotype-based ranking round appending
-    # more haplotypes; approximate with a double-depth single ranking.
-    return ranked + _rank_haplotypes(haps, reads, n_individuals,
-                                     rt.original_max_haplotypes - 1)
+    return _rank_haplotypes_two_rounds(
+        haps, reads, n_individuals, rt.original_max_haplotypes - 1,
+        HLA_MAX_HAPLOTYPES // 2, end - start, config.coverage_sampling_level,
+    )
 
 
 def get_all_assembler_haplotypes_in_region(
@@ -109,9 +152,11 @@ def get_all_assembler_haplotypes_in_region(
                 haps.append(Haplotype(chrom, start, end, combo, ref_file, rt.rlen))
     if len(haps) <= rt.max_haplotypes - 1:
         return haps
-    ranked = _rank_haplotypes(haps, reads, n_individuals, rt.original_max_haplotypes - 1)
-    return ranked + _rank_haplotypes(haps, reads, n_individuals,
-                                     rt.original_max_haplotypes - 1)
+    return _rank_haplotypes_two_rounds(
+        haps, reads, n_individuals, rt.original_max_haplotypes - 1,
+        (rt.max_haplotypes - 1) // 2, end - start,
+        config.coverage_sampling_level,
+    )
 
 
 def call_hla_window_long_vars(window: Window, buffers, ref_file,

@@ -125,9 +125,11 @@ def test_hla_typing_on_real_panel(hla_real):
     import io as iomod
 
     out = iomod.StringIO()
+    # start-1: the pinned golden was produced via the CLI region
+    # "6L:800-3528", whose 1-based start is 0-based 799.
     with BamFile(hla_real["bam"]) as bam, FastaFile(hla_real["ref"]) as ref:
         n = call_hla_variants_in_region(
-            "6L", hla_real["start"], hla_real["end"], [bam],
+            "6L", hla_real["start"] - 1, hla_real["end"], [bam],
             {bam: ["S55"]}, ref, config, rt, out,
         )
     assert n == 1
@@ -146,3 +148,12 @@ def test_hla_typing_on_real_panel(hla_real):
     assert cols[4] != "."
     # GL is a finite log-likelihood.
     assert float(sample[1].split(",")[0]) < 0
+    # Byte-parity with the RUNNING reference (docs/REFERENCE_RUN.md): the
+    # golden was produced by executing the actual 0.8.1 release on this
+    # fixture; the two-round pair-ranking (variantFilter.pyx:700-744)
+    # makes the typing line — alleles, GT, GL to the last bit — identical.
+    golden_path = os.path.join(os.path.dirname(__file__), "goldens",
+                               "reference_run", "ref_hla_typing.vcf")
+    golden = [l for l in open(golden_path)
+              if not l.startswith("#")]
+    assert [line + "\n"] == golden
