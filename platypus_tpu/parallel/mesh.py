@@ -276,6 +276,10 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
 
     from ..engine.score import window_loglik_from_pair_scores
 
+    import os as _os
+    import time as _time
+    _timers = _os.environ.get("PLATYPUS_TPU_MESH_TIMERS")
+    _t0 = _time.perf_counter()
     loglik_by_idx: dict = {}
     inference_by_idx: dict = {}
     leftover: list = []
@@ -375,10 +379,14 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
             if R:
                 onehot[k, prep.reads.sample_idx, np.arange(R)] = 1.0
             hap_mask[k, :H] = True
-            hap_sets = [frozenset(h.variants) for h in prep.all_haps]
-            for vi, v in enumerate(variants_by_item[k]):
-                for h in range(H):
-                    var_mask[k, vi, h] = v in hap_sets[h]
+            # Iterate actual (variant, hap) memberships instead of the
+            # dense V x H containment loop: same mask, O(sum |hap.variants|).
+            vidx = {v: vi for vi, v in enumerate(variants_by_item[k])}
+            for h, hap in enumerate(prep.all_haps):
+                for v in hap.variants:
+                    vi = vidx.get(v)
+                    if vi is not None:
+                        var_mask[k, vi, h] = True
             n_good = (np.bincount(prep.reads.sample_idx[prep.reads.is_good],
                                   minlength=I) if R else np.zeros(I, np.int64))
             has_reads[k] = n_good > 0
@@ -413,6 +421,9 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
                 )
         launched.append((items, variants_by_item, h1, h2, pair_scores,
                          sc_d, em_d, freq_d, ratio_d, margin_d))
+    if _timers:
+        print(f"[mesh] pack+launch {len(groups)} groups: "
+              f"{_time.perf_counter() - _t0:.3f}s", flush=True)
 
     # Phase 2: one batched fetch of every group's outputs, then unpack.
     # With defer=True the fetch is handed back as a closure so the caller
@@ -421,8 +432,13 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
     def _fetch():
         import jax
 
+        _tf = _time.perf_counter()
         flat = [d for g in launched for d in g[5:] if d is not None]
         fetched = iter(jax.device_get(flat))
+        if _timers:
+            print(f"[mesh] device_get: {_time.perf_counter() - _tf:.3f}s",
+                  flush=True)
+        _tu = _time.perf_counter()
         for (items, variants_by_item, h1, h2, pair_scores,
              sc_d, em_d, freq_d, ratio_d, margin_d) in launched:
             scores_h = (np.asarray(next(fetched)) if sc_d is not None
@@ -450,6 +466,9 @@ def mesh_call_region(live, n_individuals: int, mesh: Mesh,
                             for vi, v in enumerate(variants_by_item[k])},
                     em_margin=float(margin_h[k]),
                 )
+        if _timers:
+            print(f"[mesh] unpack: {_time.perf_counter() - _tu:.3f}s",
+                  flush=True)
         return loglik_by_idx, inference_by_idx
 
     if defer:
