@@ -1006,16 +1006,51 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
     merge_vcf_files(temp_files + rescue_files, config.output)
 
 
+def _config_from_reference_header(text: str) -> PlatypusConfig:
+    """Parse the REFERENCE's platypusOptions header (py2 dict repr with
+    option-dest keys) into a PlatypusConfig, so a crashed run of the
+    original Platypus can be resumed by this caller (migration path).
+    Unknown reference-only keys are ignored; camelCase keys map through
+    the CLI flag table."""
+    import ast
+    import dataclasses
+    import re
+
+    from ..cli import _FLAG_MAP
+
+    d = ast.literal_eval(text)
+    fields = {f.name for f in dataclasses.fields(PlatypusConfig)}
+    extra = {"rlen": "rlen", "sourceFile": "source_file", "output": "output"}
+
+    def snake(k: str) -> str:
+        return re.sub(r"(?<!^)(?=[A-Z])", "_", k).lower()
+
+    kw = {}
+    for k, v in d.items():
+        f = _FLAG_MAP.get(k) or extra.get(k) or snake(k)
+        if f not in fields or v is None:
+            continue
+        if f in ("source_file", "bam_files", "regions") and isinstance(v, str):
+            v = [v]
+        kw[f] = v
+    return PlatypusConfig(**kw)
+
+
 def continue_calling(vcf_path: str) -> None:
     """Resume an interrupted run from its partial output VCF
-    (runner.py:197-297)."""
+    (runner.py:197-297).  Accepts this caller's JSON options header or
+    the reference's py2 dict-repr header."""
     config = None
     last_chrom = None
     last_pos = 0
     with open(vcf_path) as fh:
         for line in fh:
             if line.startswith("##platypusOptions="):
-                config = PlatypusConfig.from_json(line.split("=", 1)[1].strip())
+                body = line.split("=", 1)[1].strip()
+                try:
+                    config = PlatypusConfig.from_json(body)
+                except Exception:  # noqa: BLE001 — reference-format header
+                    config = _config_from_reference_header(body)
             elif not line.startswith("#"):
                 cols = line.split("\t", 2)
                 last_chrom = cols[0]
@@ -1041,8 +1076,17 @@ def continue_calling(vcf_path: str) -> None:
         elif seen_last:
             remaining.append((chrom, start, end))
 
-    # Copy completed lines into the continuation file.
-    new_path = config.output + "_ContinuedFromFailedProcess.vcf"
+    # Copy completed lines into the continuation file.  Name derives from
+    # the INPUT file like the reference (runner.py:225: vcfFile.replace);
+    # unlike the reference — whose final temp-file merge overwrites the
+    # copied prefix, leaving only the new regions' records — the completed
+    # prefix is retained, which is what its own log promises ("Complete
+    # output (old + new)").  The resumed regions' records are byte-
+    # identical to the reference's.
+    if vcf_path.endswith(".vcf"):
+        new_path = vcf_path[:-4] + "_ContinuedFromFailedProcess.vcf"
+    else:
+        new_path = vcf_path + "_ContinuedFromFailedProcess.vcf"
     with open(vcf_path) as src, open(new_path, "w") as dst:
         for line in src:
             if line.startswith("#"):

@@ -128,8 +128,26 @@ def test_resume_from_partial_vcf(tmp_path):
         fh.writelines(lines[: first_data + 1])
 
     continue_calling(partial)
-    resumed = _parse(str(tmp_path / "full.vcf_ContinuedFromFailedProcess.vcf"))
+    resumed = _parse(str(tmp_path / "partial_ContinuedFromFailedProcess.vcf"))
     assert [(r[0], r[1], r[3], r[4]) for r in resumed] == [
+        (r[0], r[1], r[3], r[4]) for r in full
+    ]
+
+    # Migration path: resume a REFERENCE-produced partial (py2 dict-repr
+    # platypusOptions header with camelCase/dest keys) with this caller.
+    ref_header = ("##platypusOptions={'output': %r, 'refFile': %r, "
+                  "'regions': ['chr20:1001-6500'], 'bamFiles': [%r], "
+                  "'bufferSize': 2000, 'minReads': 2, 'nCPU': 1, "
+                  "'rlen': 150, 'sourceFile': None, 'maxHaplotypes': 50, "
+                  "'compressReads': 0, 'someUnknownRefOnlyOption': 7}\n"
+                  % (out, ref_path, bam))
+    ref_partial = str(tmp_path / "refstyle.vcf")
+    with open(ref_partial, "w") as fh:
+        for l in lines[: first_data + 1]:
+            fh.write(ref_header if l.startswith("##platypusOptions=") else l)
+    continue_calling(ref_partial)
+    resumed2 = _parse(str(tmp_path / "refstyle_ContinuedFromFailedProcess.vcf"))
+    assert [(r[0], r[1], r[3], r[4]) for r in resumed2] == [
         (r[0], r[1], r[3], r[4]) for r in full
     ]
 

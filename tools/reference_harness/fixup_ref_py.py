@@ -27,6 +27,13 @@ FIXES = [
     ("runner.py",
      "regions = sorted(platypusutils.getRegions(options), cmp=regionSort)",
      "regions = sorted(platypusutils.getRegions(options), key=functools.cmp_to_key(regionSort))"),
+    # continueCalling: getRegions yields BYTES chromosome names (py2
+    # str==bytes); the last-line chrom parsed from the VCF is py3 str, so
+    # the region-index match never fired.
+    ("runner.py",
+     "        if region[0] == lastChrom and region[2] == lastPos:",
+     "        if (region[0].decode('latin-1') if isinstance(region[0], "
+     "bytes) else region[0]) == lastChrom and region[2] == lastPos:"),
     # The merge step re-reads the (text-shimmed) gzip temp files and
     # writes the final VCF: text mode on py3.
     ("runner.py",
