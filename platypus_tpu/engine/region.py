@@ -481,6 +481,13 @@ def _device_inference_enabled(config: PlatypusConfig) -> bool:
         return False
     if config.device_inference == 1:
         return True
+    import sys
+
+    if "jax" not in sys.modules and \
+            os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # Pinned-cpu process with jax never loaded: the answer is known
+        # without paying the jax import (pure-native CPU worker).
+        return False
     import jax
 
     return jax.default_backend() == "tpu"

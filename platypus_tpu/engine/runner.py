@@ -133,16 +133,20 @@ def run_single_process(
     `on_region_done(region)` is invoked once per region after its output
     is durably written (flushed) OR it was abandoned by crash containment
     — the hybrid pool's rescue protocol keys off it (RegionClaimSource)."""
-    from ..ops.align_jax import configure_compilation_cache
+    # jax-touching setup only when jax is (or will be) in play: a
+    # pure-native CPU worker skips it entirely, and ops.align_jax now
+    # self-configures the persistent compile cache on lazy import.
+    if "jax" in sys.modules:
+        from ..ops.align_jax import configure_compilation_cache
 
-    configure_compilation_cache()
-    if config.use_pallas:
-        import jax
+        configure_compilation_cache()
+        if config.use_pallas:
+            import jax
 
-        if jax.default_backend() == "tpu":
-            from .score import set_alignment_kernel
+            if jax.default_backend() == "tpu":
+                from .score import set_alignment_kernel
 
-            set_alignment_kernel("pallas")
+                set_alignment_kernel("pallas")
     bam_files, samples_by_bam, samples = open_bams(config)
     ref_file = FastaFile(config.ref_file, parse_ncbi=bool(config.parse_ncbi))
     rt = derive_runtime(config, n_individuals=len(samples))
@@ -585,9 +589,18 @@ def _worker_entry(args):
     if platform == "auto":
         platform = "cpu"
     if platform and platform != "default":
-        import jax
+        # Only configure jax if something already imported it (the axon
+        # sitecustomize does, when its env trigger survived the spawn).
+        # Otherwise just set JAX_PLATFORMS so a LAZY jax import honours
+        # the pin — a pure-native CPU worker then never pays the ~1.7 s
+        # jax import at all (the parent strips the axon trigger from
+        # host workers' env before spawning them).
+        if "jax" in sys.modules:
+            import jax
 
-        jax.config.update("jax_platforms", platform)
+            jax.config.update("jax_platforms", platform)
+        else:
+            os.environ["JAX_PLATFORMS"] = platform
     if platform == "cpu":
         _cap_worker_threads(config.n_cpu)
     elif platform_override is not None:
@@ -844,12 +857,18 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
         # attached) — the single process owns the device.
         platform = os.environ.get("PLATYPUS_TPU_PLATFORM") or config.worker_platform
         if platform and platform not in ("default", "auto"):
-            import jax
+            if "jax" in sys.modules:
+                import jax
 
-            try:
-                jax.config.update("jax_platforms", platform)
-            except RuntimeError:
-                pass  # backend already initialised in-process; keep it
+                try:
+                    jax.config.update("jax_platforms", platform)
+                except RuntimeError:
+                    pass  # backend already initialised in-process; keep it
+            else:
+                # jax not loaded yet (no axon sitecustomize): pin the
+                # backend for any lazy import instead of importing now —
+                # a pure-native CPU run then never pays the jax import.
+                os.environ["JAX_PLATFORMS"] = platform
         run_single_process(config, regions, config.output, append=continuing)
         return
 
@@ -914,8 +933,27 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
                            "default" if i >= n_host else None),))
         for i in range(n_workers)
     ]
+    # Host (CPU) workers must not pay the axon sitecustomize: on this
+    # image it imports jax (+ TPU plugin registration, ~1.7 s of the
+    # ~2.1 s worker startup) into EVERY python process whose env carries
+    # PALLAS_AXON_POOL_IPS.  A native-kernel CPU worker never touches
+    # jax, so strip the trigger from its spawn env; the device worker
+    # (platform "default") keeps it.  Spawn snapshots os.environ at
+    # Process.start(), so toggle around each start call.
+    host_platform = os.environ.get("PLATYPUS_TPU_PLATFORM") or config.worker_platform
+    if host_platform == "auto":
+        host_platform = "cpu"
+    _axon_trigger = os.environ.get("PALLAS_AXON_POOL_IPS")
     for i, p in enumerate(workers):
-        p.start()
+        strip_axon = (i < n_host and host_platform == "cpu"
+                      and _axon_trigger is not None)
+        if strip_axon:
+            del os.environ["PALLAS_AXON_POOL_IPS"]
+        try:
+            p.start()
+        finally:
+            if strip_axon:
+                os.environ["PALLAS_AXON_POOL_IPS"] = _axon_trigger
         if i >= n_host:
             # Yield the device worker to the host workers: its startup
             # alone (interpreter + JAX/axon init, ~2.5 s of CPU) steals

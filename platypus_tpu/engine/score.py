@@ -34,7 +34,8 @@ import numpy as np
 
 from ..io.readbuffer import SampleReadBuffer
 from ..models.haplotype import Haplotype
-from ..ops.align_jax import band_align_padded, gather_pad_device, pad_alignment_inputs
+# NOTE: ops.align_jax (and through it jax itself, ~1.7 s import + jit
+# tracing) is imported LAZILY — a pure-native CPU worker never pays it.
 
 # Kernel selection: 'xla' (default) or 'pallas' (config.use_pallas on TPU).
 _KERNEL = "xla"
@@ -50,6 +51,8 @@ def _kernel_fn():
         from ..ops.align_pallas import band_align_padded_pallas
 
         return band_align_padded_pallas
+    from ..ops.align_jax import band_align_padded
+
     return band_align_padded
 
 
@@ -64,10 +67,19 @@ def _use_native_cpu_align() -> bool:
     if mode == "0":
         return False
     if mode != "force":
-        import jax
+        import sys
 
-        if jax.default_backend() != "cpu":
-            return False
+        if "jax" not in sys.modules and \
+                os.environ.get("JAX_PLATFORMS", "") == "cpu":
+            # Backend pinned to cpu and jax not loaded: answering via
+            # jax.default_backend() would force the ~1.7 s jax import a
+            # pure-native CPU worker otherwise never pays.
+            pass
+        else:
+            import jax
+
+            if jax.default_backend() != "cpu":
+                return False
     return native.load() is not None
 
 
@@ -473,7 +485,10 @@ class PendingAlignments:
         self.groups: list = []
 
     def finalize(self) -> List[np.ndarray]:
-        if self.groups:
+        # self.groups holds device arrays only when the jax path dispatched
+        # (native CPU alignment stores host buffers with no chunks), so an
+        # all-native run must not import jax here just to fetch nothing.
+        if any(chunks for _, _, chunks in self.groups):
             # One batched transfer for every chunk: per-array fetches each
             # pay the device round trip (~45ms over the tunnel).
             import jax
@@ -634,6 +649,8 @@ def dispatch_alignment_requests(
                     pr = np.concatenate([pr, np.zeros(pad, pr.dtype)])
                     ps = np.concatenate([ps, np.zeros(pad, ps.dtype)])
                     n = np.concatenate([n, np.full(pad, min(8, L2), np.int32)])
+                from ..ops.align_jax import gather_pad_device
+
                 padded = gather_pad_device(hap_dev, go_dev, seq_dev, qual_dev,
                                            ph, pr, ps, n)
                 dev = _kernel_fn()(*padded, gapextend=gapextend, nucprior=nucprior)

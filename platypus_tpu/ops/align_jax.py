@@ -60,6 +60,12 @@ def configure_compilation_cache() -> None:
         pass
 
 
+# Self-configure at import: this module is the gateway every lazy jax
+# user goes through (engine kernels, mesh, bench), so importing it late
+# still arms the persistent compile cache before the first compile.
+configure_compilation_cache()
+
+
 def _pad_core(hap_seg, gapopen_seg, read, qual, read_len):
     """Traced sentinel-padding body shared by the upload and gather paths:
     build the 'N'-padded hap columns, end-clamped 4*gapopen columns,
