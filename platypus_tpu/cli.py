@@ -134,6 +134,57 @@ def build_config(argv: List[str]) -> PlatypusConfig:
     return config
 
 
+def _maybe_reexec_cpu_only(argv: List[str]) -> None:
+    """CPU-pinned CLI runs re-exec once with the TPU-plugin trigger env
+    stripped, so the fresh interpreter never pays the sitecustomize jax
+    import (~2 s on this image) and the whole run stays native.
+
+    Only fires when the run is EXPLICITLY pinned to the cpu backend
+    (PLATYPUS_TPU_PLATFORM=cpu or --workerPlatform=cpu) and nothing in the
+    invocation asks for a device (hybrid workers, mesh, distributed).  The
+    re-exec'd child is marked so this never loops; PLATYPUS_TPU_NO_REEXEC=1
+    opts out entirely."""
+    if os.environ.get("_PLATYPUS_TPU_REEXECED") or os.environ.get("PLATYPUS_TPU_NO_REEXEC"):
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # no plugin trigger to strip — nothing to gain
+    # Only when this process IS the CLI (python -m platypus_tpu.cli or the
+    # platypus-tpu console script): an in-process main() call from a test
+    # or embedding application must never have its host process replaced.
+    argv0 = os.path.basename(sys.argv[0] or "")
+    if argv0 not in ("cli.py", "platypus-tpu"):
+        return
+    if argv[0] not in ("callVariants", "continueCalling"):
+        return
+
+    def flag_value(name: str) -> Optional[str]:
+        for i, a in enumerate(argv):
+            if a == f"--{name}" and i + 1 < len(argv):
+                return argv[i + 1]
+            if a.startswith(f"--{name}="):
+                return a.split("=", 1)[1]
+        return None
+
+    platform = os.environ.get("PLATYPUS_TPU_PLATFORM") or flag_value("workerPlatform")
+    if platform != "cpu":
+        return
+    if os.environ.get("PLATYPUS_TPU_HYBRID_WORKER") not in (None, "0"):
+        return
+    for dev_flag in ("tpuWorkers", "meshDevices", "distributed"):
+        v = flag_value(dev_flag)
+        if v is not None and v not in ("0", "-1"):
+            return
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PLATYPUS_TPU_PLATFORM"] = "cpu"
+    env["_PLATYPUS_TPU_REEXECED"] = "1"
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(sys.executable,
+              [sys.executable, "-m", "platypus_tpu.cli"] + argv, env)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     logging.basicConfig(level=logging.INFO,
@@ -146,6 +197,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         print(f"platypus-tpu {__version__}")
         return 0
+    _maybe_reexec_cpu_only(argv)
     command, rest = argv[0], argv[1:]
     if command == "callVariants":
         config = build_config(rest)

@@ -481,12 +481,11 @@ def _device_inference_enabled(config: PlatypusConfig) -> bool:
         return False
     if config.device_inference == 1:
         return True
-    import sys
+    from ..utils.backend import cpu_pinned
 
-    if "jax" not in sys.modules and \
-            os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        # Pinned-cpu process with jax never loaded: the answer is known
-        # without paying the jax import (pure-native CPU worker).
+    if cpu_pinned():
+        # Pinned-cpu process: the answer is known without paying the jax
+        # import (pure-native CPU worker) or an XLA client initialisation.
         return False
     import jax
 

@@ -135,8 +135,13 @@ def run_single_process(
     — the hybrid pool's rescue protocol keys off it (RegionClaimSource)."""
     # jax-touching setup only when jax is (or will be) in play: a
     # pure-native CPU worker skips it entirely, and ops.align_jax now
-    # self-configures the persistent compile cache on lazy import.
-    if "jax" in sys.modules:
+    # self-configures the persistent compile cache on lazy import.  A
+    # CPU-pinned process skips even when a sitecustomize pre-imported jax
+    # — jax.default_backend() below would initialise an XLA client the
+    # native kernels never use.
+    from ..utils.backend import cpu_pinned
+
+    if "jax" in sys.modules and not cpu_pinned():
         from ..ops.align_jax import configure_compilation_cache
 
         configure_compilation_cache()
@@ -857,6 +862,11 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
         # attached) — the single process owns the device.
         platform = os.environ.get("PLATYPUS_TPU_PLATFORM") or config.worker_platform
         if platform and platform not in ("default", "auto"):
+            if platform == "cpu":
+                # Make the pin visible to utils.backend.cpu_pinned() even
+                # when it arrived via --workerPlatform only: every jax
+                # touch on the CPU path gates on it.
+                os.environ["PLATYPUS_TPU_PLATFORM"] = "cpu"
             if "jax" in sys.modules:
                 import jax
 

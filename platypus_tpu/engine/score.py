@@ -67,13 +67,13 @@ def _use_native_cpu_align() -> bool:
     if mode == "0":
         return False
     if mode != "force":
-        import sys
+        from ..utils.backend import cpu_pinned
 
-        if "jax" not in sys.modules and \
-                os.environ.get("JAX_PLATFORMS", "") == "cpu":
-            # Backend pinned to cpu and jax not loaded: answering via
-            # jax.default_backend() would force the ~1.7 s jax import a
-            # pure-native CPU worker otherwise never pays.
+        if cpu_pinned():
+            # Backend pinned to cpu: the answer is known without importing
+            # jax (a pure-native CPU worker never pays the ~1.7 s import)
+            # and without jax.default_backend() (which would initialise an
+            # XLA client this process never uses).
             pass
         else:
             import jax
