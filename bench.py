@@ -50,6 +50,7 @@ DEVICE_DEADLINE_S = float(os.environ.get("PLATYPUS_BENCH_DEADLINE", "240"))
 DEVICE_BUDGET_S = float(os.environ.get("PLATYPUS_BENCH_DEVICE_BUDGET", "1800"))
 E2E_DEADLINE_S = float(os.environ.get("PLATYPUS_BENCH_E2E_DEADLINE", "600"))
 HYBRID_DEADLINE_S = float(os.environ.get("PLATYPUS_BENCH_HYBRID_DEADLINE", "900"))
+REF_E2E_DEADLINE_S = float(os.environ.get("PLATYPUS_BENCH_REF_E2E_DEADLINE", "900"))
 N_SMALL, N_BIG = 2, 66
 MAX_TRIALS = 6
 ENOUGH_TRIALS = 3
@@ -480,6 +481,131 @@ def _e2e_hybrid_child_main():
     })
 
 
+def _ensure_reference_build():
+    """Build the actual Platypus 0.8.1 release (tools/reference_harness) so
+    it can be timed head-to-head; cached across runs in /tmp/refbuild."""
+    build_dir = os.environ.get("PLATYPUS_REF_BUILD", "/tmp/refbuild")
+    pkg = os.path.join(build_dir, "Platypus_0.8.1")
+    if os.path.exists(os.path.join(pkg, "variantcaller.so")) and \
+            os.path.exists(os.path.join(pkg, "Platypus.py")):
+        return pkg
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "reference_harness", "build_reference.sh")
+    tarball = os.path.join(REFERENCE_DIR, "release/AllReleases/Platypus_0.8.1.tgz")
+    if not os.path.exists(script) or not os.path.exists(tarball):
+        return None
+    try:
+        subprocess.run(["bash", script, build_dir], check=True,
+                       capture_output=True, timeout=600)
+    except Exception:
+        return None
+    return pkg if os.path.exists(os.path.join(pkg, "variantcaller.so")) else None
+
+
+def _e2e_reference_child_main():
+    """Interleaved CPU-only end-to-end A/B against the RUNNING reference
+    release on the shared 10 Mb / 3.0 M-read dataset (the SURVEY §6
+    wall-clock contract, sanityChecks.py:187-188 machinery): two rounds of
+    (reference, repo) at nCPU=1, then two rounds 4-way (the reference as 4
+    share-nothing processes — its own multiprocessing model, runner.py:470-
+    504 — because its py2 multiprocessing aborts under the py3 harness).
+    Each completed arm run is emitted immediately; the final event adds the
+    byte-identity check of data lines."""
+    results_path = os.environ["PLATYPUS_BENCH_RESULTS"]
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "tests"))
+    sys.path.insert(0, here)
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from scaling_bench import build_dataset
+
+    workdir = "/tmp/platypus_tpu_scaling/mb10"
+    info = build_dataset(workdir, 10_000_000)
+    pkg = _ensure_reference_build()
+    _emit(results_path, {"event": "e2e_ref_setup", "n_reads": info["n_reads"],
+                         "reference_built": pkg is not None})
+    if pkg is None:
+        return
+    run_ref = os.path.join(here, "tools", "reference_harness",
+                           "run_reference.py")
+    region_all = "chr20:1000-10001000"
+    # 4-way share-nothing split: round-robin the 100 kb chunks over 4
+    # comma-list region arguments, one per process (the reference's own
+    # assignment rule, runner.py:470-474; its txt-file region parser does
+    # not survive the py3 harness, the comma-list one does).
+    chunks = [f"chr20:{s}-{min(s + 100_000, 10_001_000)}"
+              for s in range(1000, 10_001_000, 100_000)]
+    chunk_args = [",".join(chunks[i::4]) for i in range(4)]
+
+    def ref_args(regions, out):
+        return [sys.executable, run_ref, pkg, "callVariants",
+                f"--bamFiles={info['bam']}", f"--refFile={info['ref']}",
+                f"--regions={regions}", f"--output={out}", "--nCPU=1"]
+
+    def repo_args(out, ncpu):
+        return [sys.executable, "-m", "platypus_tpu.cli", "callVariants",
+                f"--bamFiles={info['bam']}", f"--refFile={info['ref']}",
+                f"--regions={region_all}", f"--output={out}",
+                f"--nCPU={ncpu}"]
+
+    repo_env = dict(os.environ, PLATYPUS_TPU_PLATFORM="cpu")
+
+    def timed(cmd_or_cmds, env=None):
+        t0 = time.perf_counter()
+        if isinstance(cmd_or_cmds[0], list):
+            procs = [subprocess.Popen(c, stdout=subprocess.DEVNULL,
+                                      stderr=subprocess.DEVNULL, env=env)
+                     for c in cmd_or_cmds]
+            for p in procs:
+                p.wait()
+        else:
+            subprocess.run(cmd_or_cmds, check=True, capture_output=True,
+                           env=env)
+        return time.perf_counter() - t0
+
+    out_ref1 = os.path.join(workdir, "bench_ref_n1.vcf")
+    out_repo1 = os.path.join(workdir, "bench_repo_n1.vcf")
+    out_repo4 = os.path.join(workdir, "bench_repo_n4.vcf")
+    best = {}
+
+    def record(arm, wall):
+        best[arm] = min(best.get(arm, float("inf")), wall)
+        _emit(results_path, {"event": "e2e_ref_arm", "arm": arm,
+                             "wall_s": wall, "n_reads": info["n_reads"],
+                             "reads_per_second": info["n_reads"] / wall})
+
+    # Warm both sides once (page cache, compile/import caches) untimed.
+    timed(repo_args(out_repo1, 1), env=repo_env)
+    for _ in range(2):  # interleaved nCPU=1 rounds
+        record("ref_n1", timed(ref_args(region_all, out_ref1)))
+        record("repo_n1", timed(repo_args(out_repo1, 1), env=repo_env))
+    for _ in range(2):  # interleaved whole-box rounds
+        outs = [os.path.join(workdir, f"bench_ref_n4_{i}.vcf")
+                for i in range(4)]
+        record("ref_n4", timed([ref_args(chunk_args[i], outs[i])
+                                for i in range(4)]))
+        record("repo_n4", timed(repo_args(out_repo4, 4), env=repo_env))
+
+    def data_lines(path):
+        with open(path) as fh:
+            return [l for l in fh if not l.startswith("#")]
+
+    # The 4-way arm must have actually done the work: the union of the four
+    # share-nothing outputs has to reproduce the nCPU=1 record set.
+    n4_union = sorted(
+        l for i in range(4)
+        for l in data_lines(os.path.join(workdir, f"bench_ref_n4_{i}.vcf")))
+    ref1_lines = data_lines(out_ref1)
+    _emit(results_path, {
+        "event": "e2e_ref",
+        "n_reads": info["n_reads"],
+        "walls": {k: round(v, 2) for k, v in best.items()},
+        "vs_reference_ncpu1": round(best["ref_n1"] / best["repo_n1"], 3),
+        "vs_reference_4way": round(best["ref_n4"] / best["repo_n4"], 3),
+        "identical_data_lines": ref1_lines == data_lines(out_repo1),
+        "ref_4way_complete": n4_union == sorted(ref1_lines),
+    })
+
+
 def main():
     # Export the malloc tuning before any child starts: on lazily-paged VMs
     # fresh-mmap'd NumPy buffers pay first-touch faults on every allocation
@@ -492,6 +618,9 @@ def main():
         return
     if os.environ.get("PLATYPUS_BENCH_E2E_HYBRID_CHILD"):
         _e2e_hybrid_child_main()
+        return
+    if os.environ.get("PLATYPUS_BENCH_E2E_REF_CHILD"):
+        _e2e_reference_child_main()
         return
     if os.environ.get("PLATYPUS_BENCH_CHILD"):
         _child_main()
@@ -551,6 +680,7 @@ def main():
     for child_flag, deadline in (
         ("PLATYPUS_BENCH_E2E_CHILD", E2E_DEADLINE_S),
         ("PLATYPUS_BENCH_E2E_HYBRID_CHILD", HYBRID_DEADLINE_S),
+        ("PLATYPUS_BENCH_E2E_REF_CHILD", REF_E2E_DEADLINE_S),
     ):
         env = dict(os.environ, PLATYPUS_BENCH_RESULTS=results_path)
         env[child_flag] = "1"
@@ -658,6 +788,28 @@ def main():
         if "cpu_only" in arms:
             out["e2e_cpu_only_ncpu4_reads_per_second"] = round(
                 arms["cpu_only"]["reads_per_second"], 1)
+
+    # Head-to-head vs the RUNNING reference release (interleaved, same
+    # session, same 10 Mb dataset).  Ratio >1 means this repo is faster.
+    ref = next((r for r in rows if r.get("event") == "e2e_ref"), None)
+    if ref is not None:
+        out["e2e_vs_reference_ncpu1"] = ref["vs_reference_ncpu1"]
+        out["e2e_vs_reference_4way"] = ref["vs_reference_4way"]
+        out["e2e_ref_identical_data_lines"] = ref["identical_data_lines"]
+        out["e2e_ref_walls_s"] = ref["walls"]
+        out["e2e_ref_unit"] = ("wall ratio reference/repo (10Mb 30x, CPU "
+                               "only, best of 2 interleaved rounds; 4way = "
+                               "4 share-nothing ref processes vs --nCPU=4)")
+    else:
+        ref_arms = {}
+        for r in rows:
+            if r.get("event") == "e2e_ref_arm":
+                a = r["arm"]
+                if a not in ref_arms or r["wall_s"] < ref_arms[a]:
+                    ref_arms[a] = r["wall_s"]
+        if ref_arms:
+            out["e2e_ref_walls_s"] = {k: round(v, 2)
+                                      for k, v in ref_arms.items()}
     print(json.dumps(out))
     try:
         os.unlink(results_path)
