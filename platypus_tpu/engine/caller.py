@@ -333,17 +333,21 @@ def _device_window_needs_host(inference, all_haps, hap_var_sets, n_ind,
     return False
 
 
-def precompute_window_gl(entries):
-    """Cross-window batched GL/GOF/rescale pre-pass for a region's windows.
+def precompute_window_gl(entries, want_em: bool = True):
+    """Cross-window batched GL/GOF/rescale (+EM) pre-pass for a region's
+    windows.
 
     entries: [(w_idx, prep, loglik [H, R])] -> {w_idx: (gl_by_ind, gof,
-    likelihoods, n_reads)} — exactly the values finish_window's per-window
-    GL block computes, but with the elementwise mixture matrix evaluated
-    over each H-group's concatenated read columns
+    likelihoods, n_reads, em)} — exactly the values finish_window's
+    per-window GL block computes, but with the elementwise mixture matrix
+    evaluated over each H-group's concatenated read columns
     (ops/likelihood.genotype_log_likelihoods_segments_multi), so ~10 numpy
     dispatches amortise over the whole region instead of repeating per
-    window.  Bit-identical to the per-window path (pinned by
-    tests/test_likelihood.py)."""
+    window.  With want_em (the host-inference path), every window's EM
+    also runs in ONE threaded native call (native_em_batch; per-window
+    arithmetic bit-exact vs the numpy oracle) — em is (freq, csr, iters)
+    or None when the native library is out.  Bit-identical to the
+    per-window path (pinned by tests/test_likelihood.py)."""
     from collections import defaultdict
 
     out = {}
@@ -351,6 +355,8 @@ def precompute_window_gl(entries):
     for w_idx, prep, ll in entries:
         groups[(len(prep.all_haps), len(prep.buffers))].append(
             (w_idx, prep, ll))
+    em_keys = []
+    em_entries = []
     for (H, I), items in groups.items():
         h1, h2 = lk.genotype_index_pairs(H)
         G = len(h1)
@@ -383,10 +389,20 @@ def precompute_window_gl(entries):
             has = n_reads > 0
             gof = np.zeros((G, I))
             gof[:, has] = (-10.0 * gof_seg[has] / n_reads[has, None]).T
-            out[w_idx] = (gl_by_ind, gof, likelihoods_all[row : row + I],
-                          n_reads)
+            likelihoods = likelihoods_all[row : row + I]
+            out[w_idx] = [gl_by_ind, gof, likelihoods, n_reads, None]
+            if want_em:
+                em_keys.append(w_idx)
+                em_entries.append((likelihoods, h1, h2, H, n_reads))
             row += I
-    return out
+    if em_entries:
+        from .. import native
+
+        em_results = native.native_em_batch(em_entries)
+        if em_results is not None:
+            for w_idx, em in zip(em_keys, em_results):
+                out[w_idx][4] = em
+    return {k: tuple(v) for k, v in out.items()}
 
 
 def finish_window(
@@ -429,8 +445,11 @@ def finish_window(
     # frequencies and the per-variant posterior ratios (the expensive
     # batched parts).  The region driver usually precomputes this block
     # for all windows at once (precompute_window_gl, bit-identical).
+    pre_em = None
     if precomputed is not None:
-        gl_by_ind, gof, likelihoods, n_reads = precomputed
+        gl_by_ind, gof, likelihoods, n_reads = precomputed[:4]
+        if len(precomputed) > 4:
+            pre_em = precomputed[4]
     else:
         n_reads = np.bincount(reads.sample_idx[reads.is_good],
                               minlength=I).astype(np.int64)
@@ -452,6 +471,8 @@ def finish_window(
     if inference is not None:
         em_lik = inference.em
         frequencies = inference.frequencies
+    elif pre_em is not None:
+        frequencies, em_lik, _iters = pre_em
     else:
         frequencies, em_lik, _iters = lk.em_haplotype_frequencies(
             likelihoods, hap1_idx, hap2_idx, H, n_reads, max_iters=100

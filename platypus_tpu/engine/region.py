@@ -621,11 +621,16 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
 
     try:
         with metrics.timer("window_finish"):
+            # EM precompute only when the region will take the host EM
+            # path; device-inference regions would waste the work (their
+            # rare f64-guard-tripped windows recompute per window).
+            want_em = not inference_by_idx and state.pending_inference is None
             gl_pre = precompute_window_gl(
                 [(w_idx, prep, loglik_by_idx[w_idx])
                  for w_idx, prep in ((i, prepared.get(i))
                                      for i, w in enumerate(windows) if w.variants)
-                 if prep is not None and prep != "skip"])
+                 if prep is not None and prep != "skip"],
+                want_em=want_em)
     except Exception:  # noqa: BLE001 — fall back to per-window computation
         logger.exception("batched GL pre-pass failed; using per-window path")
         gl_pre = {}

@@ -157,6 +157,17 @@ def _load_and_bind(path: str) -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.ptpu_em_f64_batch.restype = None
+    lib.ptpu_em_f64_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,        # lik_flat, lik_off
+        ctypes.c_void_p, ctypes.c_void_p,        # nd_arr, G_arr
+        ctypes.c_void_p, ctypes.c_void_p,        # h1_flat, h2_flat
+        ctypes.c_void_p, ctypes.c_void_p,        # h_off, H_arr
+        ctypes.c_void_p, ctypes.c_int32,         # freq_off, n_windows
+        ctypes.c_void_p, ctypes.c_int32,         # eps_arr, max_iters
+        ctypes.c_void_p, ctypes.c_void_p,        # freq_out, w_out
+        ctypes.c_void_p, ctypes.c_int32,         # iters_out, n_threads
+    ]
     lib.ptpu_genotype_call.restype = None
     lib.ptpu_genotype_call.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p,
@@ -918,3 +929,87 @@ def native_em(likelihoods: np.ndarray, h1: np.ndarray, h2: np.ndarray,
         return None
     csr[has_data] = w
     return freq, csr, int(iters)
+
+
+def native_em_batch(entries, max_iters: int = 100, n_threads: int = 0):
+    """EM for MANY independent windows in one native call (threaded across
+    windows; per-window arithmetic identical to native_em, which is
+    bit-exact vs the numpy oracle).
+
+    entries: [(likelihoods [I, G] f64, h1, h2, n_haps, n_reads [I])]
+    Returns [(freq, csr, iters)] aligned with entries, or None when the
+    library is unavailable / unverified (callers fall back per window)."""
+    global _EM_VERIFIED
+    if os.environ.get("PLATYPUS_TPU_NATIVE_EM", "1") == "0":
+        return None
+    lib = load()
+    if lib is None:
+        return None
+    if _EM_VERIFIED is None:
+        _EM_VERIFIED = _verify_native_em(lib)
+    if not _EM_VERIFIED:
+        return None
+
+    results: list = [None] * len(entries)
+    live = []          # (entry index, lik_block, h1, h2, H, has_data, I, G)
+    for idx, (likelihoods, h1, h2, n_haps, n_reads) in enumerate(entries):
+        I, G = likelihoods.shape
+        has_data = n_reads > 0
+        nd = int(has_data.sum())
+        if nd == 0:
+            results[idx] = (np.full(n_haps, 1.0 / n_haps),
+                            np.zeros_like(likelihoods), 0)
+            continue
+        lik = likelihoods if nd == I else likelihoods[has_data]
+        live.append((idx, np.ascontiguousarray(lik, np.float64),
+                     h1, h2, n_haps, has_data, I, G, nd))
+    if not live:
+        return results
+
+    W = len(live)
+    nd_arr = np.fromiter((e[8] for e in live), np.int32, count=W)
+    G_arr = np.fromiter((e[7] for e in live), np.int32, count=W)
+    H_arr = np.fromiter((e[4] for e in live), np.int32, count=W)
+    lik_off = np.zeros(W + 1, np.int64)
+    np.cumsum(nd_arr.astype(np.int64) * G_arr, out=lik_off[1:])
+    freq_off = np.zeros(W + 1, np.int64)
+    np.cumsum(H_arr, out=freq_off[1:])
+    lik_flat = np.concatenate([e[1].ravel() for e in live])
+    # Shared h1/h2 tables: one block per distinct H.
+    h_tables: dict = {}
+    blocks1, blocks2 = [], []
+    pos = 0
+    for _idx, _lik, h1, h2, H, *_ in live:
+        if H not in h_tables:
+            h_tables[H] = pos
+            blocks1.append(np.ascontiguousarray(h1, np.int64))
+            blocks2.append(np.ascontiguousarray(h2, np.int64))
+            pos += len(h1)
+    h1_flat = np.concatenate(blocks1)
+    h2_flat = np.concatenate(blocks2)
+    h_off = np.fromiter((h_tables[e[4]] for e in live), np.int64, count=W)
+    eps_arr = np.fromiter((min(1e-3, 1.0 / (e[6] * 4)) for e in live),
+                          np.float64, count=W)
+    freq_out = np.empty(int(freq_off[-1]), np.float64)
+    w_out = np.empty(int(lik_off[-1]), np.float64)
+    iters_out = np.empty(W, np.int32)
+    if not n_threads:
+        budget = int(os.environ.get("PLATYPUS_TPU_WORKER_THREADS", "0")) \
+            or (os.cpu_count() or 1)
+        n_threads = min(4, budget)
+    lib.ptpu_em_f64_batch(
+        _np_ptr(lik_flat), _np_ptr(lik_off), _np_ptr(nd_arr), _np_ptr(G_arr),
+        _np_ptr(h1_flat), _np_ptr(h2_flat), _np_ptr(h_off), _np_ptr(H_arr),
+        _np_ptr(freq_off), W, _np_ptr(eps_arr), max_iters,
+        _np_ptr(freq_out), _np_ptr(w_out), _np_ptr(iters_out), n_threads)
+    for k, (idx, _lik, _h1, _h2, H, has_data, I, G, nd) in enumerate(live):
+        freq = freq_out[freq_off[k] : freq_off[k] + H].copy()
+        w = w_out[lik_off[k] : lik_off[k + 1]].reshape(nd, G)
+        if nd == I:
+            csr = w.copy()
+        else:
+            csr = np.zeros((I, G), np.float64)
+            csr[has_data] = w
+        it = int(iters_out[k])
+        results[idx] = None if it < 0 else (freq, csr, it)
+    return results

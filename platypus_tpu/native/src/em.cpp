@@ -11,13 +11,20 @@
 // equality against the numpy oracle over randomized shapes, and any
 // divergence makes the wrapper fall back to numpy.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "np_sum.h"
 
 using ptpu::np_pairwise_sum;
+
+static int em_f64_one(const double* lik, int nd, int G,
+                      const int64_t* h1, const int64_t* h2, int n_haps,
+                      double eps, int max_iters,
+                      double* freq_out, double* w_out);
 
 extern "C" {
 
@@ -30,6 +37,58 @@ int ptpu_em_f64(const double* lik, int nd, int G,
                 const int64_t* h1, const int64_t* h2, int n_haps,
                 double eps, int max_iters,
                 double* freq_out, double* w_out) {
+    return em_f64_one(lik, nd, G, h1, h2, n_haps, eps, max_iters,
+                      freq_out, w_out);
+}
+
+// Batched EM over a region's independent windows in ONE native call
+// (the reference runs its EM as compiled C per window inside
+// callVariantsInWindow, cpopulation.pyx:678-716; this is the batched
+// equivalent).  Window w's likelihoods are lik_flat[lik_off[w] ..] as an
+// [nd_arr[w], G_arr[w]] row-major block; h1/h2 index pairs live at
+// h_off[w] in the shared flat tables; frequencies land at freq_off[w].
+// w_out shares lik_flat's layout.  Windows are independent, so they run
+// on a small thread pool; arithmetic is em_f64_one per window,
+// bit-identical to the single-window entry.
+void ptpu_em_f64_batch(const double* lik_flat, const int64_t* lik_off,
+                       const int32_t* nd_arr, const int32_t* G_arr,
+                       const int64_t* h1_flat, const int64_t* h2_flat,
+                       const int64_t* h_off, const int32_t* H_arr,
+                       const int64_t* freq_off, int n_windows,
+                       const double* eps_arr, int max_iters,
+                       double* freq_out, double* w_out, int32_t* iters_out,
+                       int n_threads) {
+    std::atomic<int> next(0);
+    auto run = [&]() {
+        for (;;) {
+            int w = next.fetch_add(1);
+            if (w >= n_windows) return;
+            iters_out[w] = em_f64_one(
+                lik_flat + lik_off[w], nd_arr[w], G_arr[w],
+                h1_flat + h_off[w], h2_flat + h_off[w], H_arr[w],
+                eps_arr[w], max_iters,
+                freq_out + freq_off[w], w_out + lik_off[w]);
+        }
+    };
+    int nt = n_threads;
+    if (nt < 1) nt = 1;
+    if (nt > n_windows) nt = n_windows;
+    if (nt <= 1) {
+        run();
+        return;
+    }
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int t = 0; t < nt; ++t) threads.emplace_back(run);
+    for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
+
+static int em_f64_one(const double* lik, int nd, int G,
+                      const int64_t* h1, const int64_t* h2, int n_haps,
+                      double eps, int max_iters,
+                      double* freq_out, double* w_out) {
     if (nd <= 0 || G <= 0 || n_haps <= 0) return -1;
     std::vector<double> gw(G), resp(G), new_freq(n_haps);
     std::vector<double> freq(n_haps, 1.0 / n_haps);
@@ -79,5 +138,3 @@ int ptpu_em_f64(const double* lik, int nd, int G,
     std::memcpy(freq_out, freq.data(), sizeof(double) * n_haps);
     return iters;
 }
-
-}  // extern "C"

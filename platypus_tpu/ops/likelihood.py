@@ -330,13 +330,26 @@ def call_genotypes(
     return out
 
 
+_GT_PAIR_CACHE: dict = {}
+
+
 def genotype_index_pairs(n_haps: int) -> Tuple[np.ndarray, np.ndarray]:
     """All unordered hap pairs in the reference's enumeration order
-    (cgenotype.pyx:193-218: i <= j, i-major)."""
+    (cgenotype.pyx:193-218: i <= j, i-major).  Memoized — the engine asks
+    for the same few H values tens of thousands of times per run; callers
+    treat the arrays as read-only constants."""
+    cached = _GT_PAIR_CACHE.get(n_haps)
+    if cached is not None:
+        return cached
     h1 = []
     h2 = []
     for i in range(n_haps):
         for j in range(i, n_haps):
             h1.append(i)
             h2.append(j)
-    return np.array(h1, dtype=np.int64), np.array(h2, dtype=np.int64)
+    pair = (np.array(h1, dtype=np.int64), np.array(h2, dtype=np.int64))
+    pair[0].setflags(write=False)
+    pair[1].setflags(write=False)
+    if len(_GT_PAIR_CACHE) < 512:
+        _GT_PAIR_CACHE[n_haps] = pair
+    return pair
