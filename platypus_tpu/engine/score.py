@@ -121,6 +121,9 @@ class WindowReads:
         return int(self.rlen.shape[0])
 
     _single_m: Optional[np.ndarray] = None
+    # Region-precomputed non-single-M cigar CSR for the native INFO pass:
+    # (nsm_idx [R] int32 into the REGION-level tables, nsm_flat, nsm_off).
+    nsm_ctx: Optional[tuple] = None
 
     def single_m(self) -> np.ndarray:
         """[R] bool: cigar is exactly one M/=/X op — the common case the
@@ -249,6 +252,64 @@ class RegionReadMatrix:
                     return None
         return RegionReadMatrix(buffers)
 
+    _nsm: Optional[tuple] = None
+
+    def _nsm_tables(self):
+        """Region-level single-M mask + non-single-M cigar CSR, built once
+        (the per-window _window_nsm_csr re-derivation measured as one of
+        the largest vcf_output costs).  Window slices gather nsm_idx rows;
+        the flat/off tables are shared by every window of the region."""
+        if self._nsm is not None:
+            return self._nsm
+        N = len(self.rlen)
+        single_m = np.zeros(N, bool)
+        nsm_idx = np.full(N, -1, np.int32)
+        flats = []
+        lens_parts = []
+        n_nsm = 0
+        for _s_idx, _tag, rs, base in self.segs:
+            n = len(rs)
+            if n == 0:
+                continue
+            off = rs.cigar_off
+            flat = rs.cigar_flat
+            n_ops = (off[1:] - off[:-1]).astype(np.int64)
+            if len(flat):
+                first_op = flat[np.minimum(off[:-1], len(flat) - 1)] & 0xF
+                sm = (n_ops == 1) & ((first_op == 0) | (first_op == 7)
+                                     | (first_op == 8))
+            else:
+                sm = np.zeros(n, bool)
+            single_m[base : base + n] = sm
+            rows = np.nonzero(~sm)[0]
+            if len(rows):
+                nsm_idx[base + rows] = n_nsm + np.arange(len(rows),
+                                                         dtype=np.int32)
+                n_nsm += len(rows)
+                row_lens = n_ops[rows]
+                total = int(row_lens.sum())
+                if total:
+                    # One fancy-index gather of all non-single-M cigar words
+                    # (repeat/cumsum expansion of the per-row slices).
+                    starts = off[rows].astype(np.int64)
+                    idx = np.repeat(starts + row_lens, row_lens)
+                    cum = np.arange(total, dtype=np.int64) - np.repeat(
+                        np.cumsum(row_lens), row_lens)
+                    flats.append(flat[(idx + cum)])
+                lens_parts.append(row_lens)
+        if n_nsm == 0:
+            nsm_flat = np.zeros(1, np.uint32)
+            nsm_off = np.zeros(1, np.int64)
+        else:
+            nsm_flat = np.ascontiguousarray(
+                np.concatenate(flats) if flats else np.zeros(0, np.uint32),
+                np.uint32)
+            all_lens = np.concatenate(lens_parts)
+            nsm_off = np.zeros(n_nsm + 1, np.int64)
+            np.cumsum(all_lens, out=nsm_off[1:])
+        self._nsm = (single_m, nsm_idx, nsm_flat, nsm_off)
+        return self._nsm
+
     def gather(self, window_start: int, window_end: int) -> WindowReads:
         slice_of = {"good": lambda b: b.window_slice(window_start, window_end),
                     "bad": lambda b: b.bad_window_slice(window_start, window_end),
@@ -271,10 +332,14 @@ class RegionReadMatrix:
         seq = self.seq[:, :L].take(rows, axis=0)
         qual = self.qual[:, :L].take(rows, axis=0)
         cigar_refs = CigarRefs([(rs, sl.start, sl.stop) for rs, sl in live])
-        return WindowReads(seq, qual, rlen, self.pos[rows], self.end[rows],
-                           self.mapq[rows], self.rev[rows], self.qc[rows],
-                           self.broken[rows], self.sample_idx[rows],
-                           self.good[rows], cigar_refs)
+        out = WindowReads(seq, qual, rlen, self.pos[rows], self.end[rows],
+                          self.mapq[rows], self.rev[rows], self.qc[rows],
+                          self.broken[rows], self.sample_idx[rows],
+                          self.good[rows], cigar_refs)
+        single_m, nsm_idx, nsm_flat, nsm_off = self._nsm_tables()
+        out._single_m = single_m[rows]
+        out.nsm_ctx = (np.ascontiguousarray(nsm_idx[rows]), nsm_flat, nsm_off)
+        return out
 
 
 def gather_window_reads(

@@ -119,6 +119,11 @@ def compute_haplotype_score(call: WindowCall) -> int:
     if last == -1:
         scores = {h: 0.0 for h in range(H)}
     else:
+        # NOTE: this exact expression (fancy-index copy, then multiply,
+        # then pairwise sum) is part of the byte contract: numpy's SIMD
+        # pairwise sum is alignment-sensitive in the last ulp, and real
+        # windows sit exactly on the dist==50 cluster boundary below — a
+        # "faster" view-based slice changed emitted HapScore values.
         rows = np.nonzero(call.reads.sample_idx == last)[0]
         sums = (LOG10E * call.loglik[:, rows]).sum(axis=1)
         scores = {h: -float(sums[h]) for h in range(H)}
@@ -260,7 +265,11 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
     # the fallback and oracle.
     info_ctx = None
     if native.load() is not None and reads.qual.size:
-        info_ctx = native.native_info_context(reads, *_window_nsm_csr(reads))
+        # The region gather precomputes the non-single-M CSR (shared flat
+        # tables + one idx gather per window); windows built outside the
+        # region matrix derive it here.
+        nsm = reads.nsm_ctx or _window_nsm_csr(reads)
+        info_ctx = native.native_info_context(reads, *nsm)
     use_native_info = info_ctx is not None
 
     # Cumulative count of low-qual (<5) columns per read: turns each
