@@ -402,6 +402,37 @@ def precompute_window_gl(entries, want_em: bool = True):
         if em_results is not None:
             for w_idx, em in zip(em_keys, em_results):
                 out[w_idx][4] = em
+            # With the EM frequencies in hand, every window's variant
+            # posterior log-ratios also run as ONE threaded native call
+            # (sequential per-genotype dots — the reference's own order).
+            from ..parallel.batch import enumerate_window_variants
+
+            prep_by_idx = {w_idx: prep for w_idx, prep, _ll in entries}
+            post_keys, post_entries, post_meta = [], [], []
+            for w_idx, em in zip(em_keys, em_results):
+                if em is None:
+                    continue
+                prep = prep_by_idx[w_idx]
+                _gl, _gof, likelihoods, n_reads, _em = out[w_idx]
+                hap_var_sets = [set(h.variants) for h in prep.all_haps]
+                vars_list = list(enumerate_window_variants(prep.all_haps))
+                if not vars_list:
+                    continue
+                vih = np.empty((len(vars_list), len(hap_var_sets)), np.uint8)
+                for vi, v in enumerate(vars_list):
+                    for h, s in enumerate(hap_var_sets):
+                        vih[vi, h] = v in s
+                h1, h2 = lk.genotype_index_pairs(len(hap_var_sets))
+                rows = np.nonzero(n_reads)[0].astype(np.int64)
+                post_keys.append(w_idx)
+                post_entries.append((likelihoods, em[0], h1, h2, rows, vih))
+                post_meta.append((vars_list, hap_var_sets))
+            if post_entries:
+                ratios = native.native_posteriors_batch(post_entries)
+                if ratios is not None:
+                    for w_idx, (vars_list, hvs), r in zip(post_keys, post_meta,
+                                                          ratios):
+                        out[w_idx].append((vars_list, hvs, r))
     return {k: tuple(v) for k, v in out.items()}
 
 
@@ -446,10 +477,13 @@ def finish_window(
     # batched parts).  The region driver usually precomputes this block
     # for all windows at once (precompute_window_gl, bit-identical).
     pre_em = None
+    pre_post = None
     if precomputed is not None:
         gl_by_ind, gof, likelihoods, n_reads = precomputed[:4]
         if len(precomputed) > 4:
             pre_em = precomputed[4]
+        if len(precomputed) > 5:
+            pre_post = precomputed[5]
     else:
         n_reads = np.bincount(reads.sample_idx[reads.is_good],
                               minlength=I).astype(np.int64)
@@ -463,7 +497,8 @@ def finish_window(
             -10.0 * gof_seg[has_reads] / n_reads[has_reads, None]).T
         likelihoods = lk.rescale_likelihoods(gl_by_ind, n_reads)
 
-    hap_var_sets = [set(h.variants) for h in all_haps]
+    hap_var_sets = (pre_post[1] if pre_post is not None
+                    else [set(h.variants) for h in all_haps])
     priors: Dict[Variant, float] = {}
     if inference is not None and _device_window_needs_host(
             inference, all_haps, hap_var_sets, I, config, ref_file, priors):
@@ -485,12 +520,20 @@ def finish_window(
     posteriors: Dict[Variant, float] = {}
     vars_by_pos: Dict[int, List[Variant]] = {}
     post_ctx = None  # window-level posterior precompute, built on demand
-    for v in enumerate_window_variants(all_haps):
+    if pre_post is not None and inference is None:
+        window_vars = pre_post[0]
+        host_ratios = dict(zip(pre_post[0], pre_post[2]))
+    else:
+        window_vars = enumerate_window_variants(all_haps)
+        host_ratios = {}
+    for v in window_vars:
         prior = priors.get(v)
         if prior is None:
             prior = v.calculate_prior(ref_file)
         if inference is not None and v in inference.ratios:
             post = lk.posterior_phred_from_log_ratio(inference.ratios[v], prior)
+        elif v in host_ratios:
+            post = lk.posterior_phred_from_log_ratio(host_ratios[v], prior)
         else:
             has_var = np.array([v in s for s in hap_var_sets])
             if post_ctx is None:

@@ -485,18 +485,30 @@ def build_alignment_request(
         sub_qual = reads.qual[align_rows][:, :L2]
     sub_pos = reads.pos[align_rows]
 
+    # Pack the haplotype/gap-open matrices first: the native k-mer voter
+    # reads the haplotypes straight out of hap_matrix rows (strided entry),
+    # so no flat-blob copy or offset table is built per window.
+    seg_len = L2 + 15
+    hap_len_max = max(h.hap_len for h in haps)
+    hap_matrix = np.full((H, hap_len_max + seg_len), _N_CHAR, np.uint8)
+    go_matrix = np.zeros((H, hap_len_max + seg_len), np.int32)
+    hap_lens = np.empty(H, np.int32)
+    hap_starts = np.empty(H, np.int64)
+    for h_idx, hap in enumerate(haps):
+        hap_matrix[h_idx, : hap.hap_len] = np.frombuffer(hap.sequence, np.uint8)
+        go_matrix[h_idx, : hap.hap_len] = hap.gap_open[: hap.hap_len]
+        hap_lens[h_idx] = hap.hap_len
+        hap_starts[h_idx] = hap.hap_start
+
     # The C++ voter runs a ~30-read pile in ~10us vs ~0.4ms of fixed numpy
     # overhead per (window, hap); output rows are byte-identical.  The
     # whole-window entry votes every haplotype in ONE native call.
     use_native = native_kmer_segments is not None and native.load() is not None
     if use_native:
-        from ..native import native_kmer_segments_window
+        from ..native import native_kmer_segments_strided
 
-        pr, ps, counts = native_kmer_segments_window(
-            [hap.sequence for hap in haps],
-            np.array([hap.hap_start for hap in haps], np.int64),
-            sub_seq, sub_len, sub_pos,
-        )
+        pr, ps, counts = native_kmer_segments_strided(
+            hap_matrix, hap_lens, hap_starts, sub_seq, sub_len, sub_pos)
         ph = np.repeat(np.arange(H, dtype=np.int64), counts)
     else:
         pair_hap: List[np.ndarray] = []
@@ -514,14 +526,6 @@ def build_alignment_request(
         ph = np.concatenate(pair_hap)
         pr = np.concatenate(pair_read)
         ps = np.concatenate(pair_seg)
-
-    seg_len = L2 + 15
-    hap_len_max = max(h.hap_len for h in haps)
-    hap_matrix = np.full((H, hap_len_max + seg_len), _N_CHAR, np.uint8)
-    go_matrix = np.zeros((H, hap_len_max + seg_len), np.int32)
-    for h_idx, hap in enumerate(haps):
-        hap_matrix[h_idx, : hap.hap_len] = np.frombuffer(hap.sequence, np.uint8)
-        go_matrix[h_idx, : hap.hap_len] = hap.gap_open[: hap.hap_len]
 
     return AlignmentRequest(
         haps=haps, reads=reads, use_map_qual_cap=use_map_qual_cap,

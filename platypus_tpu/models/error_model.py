@@ -50,13 +50,20 @@ def annotate_gap_open(hap_seq: bytes) -> np.ndarray:
     (chaplotype.pyx:552-590: filled back-to-front, run length capped at the
     table end, N resets the run).
 
-    Vectorised: the scalar recurrence is homopollen(i) = min(e(i) - i, cap)
-    where e(i) is the last index of the homopolymer run containing i (runs
-    are broken at every N, which the scalar code achieves by clobbering the
-    remembered previous base)."""
+    The native single-pass loop (ptpu_gap_open) is exact by construction —
+    integer run lengths + table lookups, no floats; the vectorised numpy
+    body below is the oracle/fallback: the scalar recurrence is
+    homopollen(i) = min(e(i) - i, cap) where e(i) is the last index of the
+    homopolymer run containing i (runs are broken at every N, which the
+    scalar code achieves by clobbering the remembered previous base)."""
     n = len(hap_seq)
     if n == 0:
         return np.zeros(0, dtype=np.int32)
+    from .. import native
+
+    out = native.native_gap_open(hap_seq, _HOMOPOLQ_ARR)
+    if out is not None:
+        return out
     arr = np.frombuffer(bytes(hap_seq), np.uint8)
     is_n = arr == ord("N")
     # boundary[i]: position i ends its run (next char differs or either is N).

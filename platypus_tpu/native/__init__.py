@@ -106,6 +106,14 @@ def _load_and_bind(path: str) -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
     ]
+    lib.ptpu_kmer_segments_strided.restype = ctypes.c_int32
+    lib.ptpu_kmer_segments_strided.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+    ]
     lib.ptpu_scan_indel_walk.restype = ctypes.c_void_p
     lib.ptpu_scan_indel_walk.argtypes = (
         [ctypes.c_void_p, ctypes.c_int32]
@@ -156,6 +164,15 @@ def _load_and_bind(path: str) -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_double, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.ptpu_posteriors_batch.restype = None
+    lib.ptpu_posteriors_batch.argtypes = (
+        [ctypes.c_void_p] * 17 + [ctypes.c_int32] * 2
+    )
+    lib.ptpu_gap_open.restype = None
+    lib.ptpu_gap_open.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p,
     ]
     lib.ptpu_em_f64_batch.restype = None
     lib.ptpu_em_f64_batch.argtypes = [
@@ -266,6 +283,38 @@ def native_kmer_segments_window(hap_seqs, hap_starts, read_seq: np.ndarray,
         n = lib.ptpu_kmer_segments_multi(
             flat, _np_ptr(offs), _np_ptr(starts), H,
             _np_ptr(seq), R, L, _np_ptr(rl), _np_ptr(rs),
+            _np_ptr(out_read), _np_ptr(out_seg), _np_ptr(counts), len(out_read),
+        )
+        if n <= len(out_read):
+            return out_read[:n].astype(np.int64), out_seg[:n].astype(np.int64), counts
+        cap = n
+
+
+def native_kmer_segments_strided(hap_matrix: np.ndarray, hap_len: np.ndarray,
+                                 hap_starts: np.ndarray, read_seq: np.ndarray,
+                                 read_len: np.ndarray, read_start: np.ndarray):
+    """Anchor (read, segment) pairs for every haplotype of a window from the
+    ALREADY-PACKED [H, stride] haplotype matrix (per-hap blocks identical
+    to native_kmer_segments); None when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    H = hap_matrix.shape[0]
+    if not read_seq.flags["C_CONTIGUOUS"]:
+        read_seq = np.ascontiguousarray(read_seq)
+    R, L = read_seq.shape
+    counts = np.zeros(H, np.int32)
+    bufs = _KMER_BUFS
+    cap = max(16, 8 * R * max(1, H))
+    while True:
+        if bufs[0] is None or len(bufs[0]) < cap:
+            bufs[0] = np.zeros(max(cap, 4096), np.int32)
+            bufs[1] = np.zeros(max(cap, 4096), np.int32)
+        out_read, out_seg = bufs[0], bufs[1]
+        n = lib.ptpu_kmer_segments_strided(
+            _np_ptr(hap_matrix), hap_matrix.shape[1], _np_ptr(hap_len),
+            _np_ptr(hap_starts), H,
+            _np_ptr(read_seq), R, L, _np_ptr(read_len), _np_ptr(read_start),
             _np_ptr(out_read), _np_ptr(out_seg), _np_ptr(counts), len(out_read),
         )
         if n <= len(out_read):
@@ -929,6 +978,93 @@ def native_em(likelihoods: np.ndarray, h1: np.ndarray, h2: np.ndarray,
         return None
     csr[has_data] = w
     return freq, csr, int(iters)
+
+
+def native_posteriors_batch(entries, n_threads: int = 0):
+    """Variant-posterior log-ratios for MANY windows in one threaded native
+    call (ptpu_posteriors_batch; sequential per-genotype dots — the
+    reference's own summation order).
+
+    entries: [(likelihoods [I, G] f64, freq [H] f64, h1, h2,
+               rows [n_rows] int64, var_in_hap [V, H] uint8)]
+    Returns [ratios [V] f64] aligned with entries, or None when the
+    library is unavailable."""
+    if os.environ.get("PLATYPUS_TPU_NATIVE_POSTERIOR", "1") == "0":
+        return None
+    lib = load()
+    if lib is None:
+        return None
+    W = len(entries)
+    I_arr = np.empty(W, np.int32)
+    G_arr = np.empty(W, np.int32)
+    H_arr = np.empty(W, np.int32)
+    V_arr = np.empty(W, np.int32)
+    lik_off = np.zeros(W + 1, np.int64)
+    freq_off = np.zeros(W + 1, np.int64)
+    rows_off = np.zeros(W + 1, np.int64)
+    vih_off = np.zeros(W + 1, np.int64)
+    ratio_off = np.zeros(W + 1, np.int64)
+    h_tables: dict = {}
+    blocks1, blocks2 = [], []
+    h_off = np.empty(W, np.int64)
+    pos = 0
+    liks, freqs, rows_parts, vihs = [], [], [], []
+    for k, (lik, freq, h1, h2, rows, vih) in enumerate(entries):
+        I, G = lik.shape
+        H = len(freq)
+        V = vih.shape[0]
+        I_arr[k], G_arr[k], H_arr[k], V_arr[k] = I, G, H, V
+        lik_off[k + 1] = lik_off[k] + I * G
+        freq_off[k + 1] = freq_off[k] + H
+        rows_off[k + 1] = rows_off[k] + len(rows)
+        vih_off[k + 1] = vih_off[k] + V * H
+        ratio_off[k + 1] = ratio_off[k] + V
+        liks.append(np.ascontiguousarray(lik, np.float64).ravel())
+        freqs.append(np.ascontiguousarray(freq, np.float64))
+        rows_parts.append(np.ascontiguousarray(rows, np.int64))
+        vihs.append(np.ascontiguousarray(vih, np.uint8).ravel())
+        if H not in h_tables:
+            h_tables[H] = pos
+            blocks1.append(np.ascontiguousarray(h1, np.int64))
+            blocks2.append(np.ascontiguousarray(h2, np.int64))
+            pos += len(h1)
+        h_off[k] = h_tables[H]
+    lik_flat = np.concatenate(liks) if liks else np.zeros(1, np.float64)
+    freq_flat = np.concatenate(freqs) if freqs else np.zeros(1, np.float64)
+    rows_flat = (np.concatenate(rows_parts) if rows_parts
+                 else np.zeros(1, np.int64))
+    if len(rows_flat) == 0:
+        rows_flat = np.zeros(1, np.int64)
+    vih_flat = np.concatenate(vihs) if vihs else np.zeros(1, np.uint8)
+    if len(vih_flat) == 0:
+        vih_flat = np.zeros(1, np.uint8)
+    h1_flat = np.concatenate(blocks1) if blocks1 else np.zeros(1, np.int64)
+    h2_flat = np.concatenate(blocks2) if blocks2 else np.zeros(1, np.int64)
+    ratios_out = np.empty(max(1, int(ratio_off[-1])), np.float64)
+    if not n_threads:
+        budget = int(os.environ.get("PLATYPUS_TPU_WORKER_THREADS", "0")) \
+            or (os.cpu_count() or 1)
+        n_threads = min(4, budget)
+    lib.ptpu_posteriors_batch(
+        _np_ptr(lik_flat), _np_ptr(lik_off), _np_ptr(I_arr), _np_ptr(G_arr),
+        _np_ptr(freq_flat), _np_ptr(freq_off), _np_ptr(H_arr),
+        _np_ptr(h1_flat), _np_ptr(h2_flat), _np_ptr(h_off),
+        _np_ptr(rows_flat), _np_ptr(rows_off),
+        _np_ptr(vih_flat), _np_ptr(vih_off), _np_ptr(V_arr),
+        _np_ptr(ratio_off), _np_ptr(ratios_out), W, n_threads)
+    return [ratios_out[ratio_off[k] : ratio_off[k + 1]] for k in range(W)]
+
+
+def native_gap_open(hap_seq: bytes, table: np.ndarray):
+    """Per-base gap-open phred array via the C++ single pass; None when the
+    library is unavailable (callers fall back to the numpy oracle)."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(hap_seq)
+    out = np.empty(n, np.int32)
+    lib.ptpu_gap_open(hap_seq, n, _np_ptr(table), len(table), _np_ptr(out))
+    return out
 
 
 def native_em_batch(entries, max_iters: int = 100, n_threads: int = 0):

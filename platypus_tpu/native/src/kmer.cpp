@@ -194,4 +194,28 @@ int32_t ptpu_kmer_segments_multi(
     return total;
 }
 
+// Same per-hap voting as ptpu_kmer_segments_multi, but the haplotypes
+// live as rows of an [n_haps, stride] matrix with per-hap lengths — the
+// engine already packs that matrix for the aligner, so the flat-blob
+// copy + offset table of the _multi entry is skipped entirely.
+int32_t ptpu_kmer_segments_strided(
+    const uint8_t* hap_mat, int64_t stride, const int32_t* hap_len,
+    const int64_t* hap_starts, int32_t n_haps,
+    const uint8_t* read_seq, int32_t n_reads, int32_t row_len,
+    const int32_t* read_len, const int64_t* read_start,
+    int32_t* out_read, int32_t* out_seg, int32_t* out_counts, int32_t cap) {
+    int32_t total = 0;
+    for (int32_t h = 0; h < n_haps; ++h) {
+        const int32_t written = total < cap ? total : cap;
+        const int32_t rem = cap > total ? cap - total : 0;
+        const int32_t n = ptpu_kmer_segments(
+            hap_mat + (int64_t)h * stride, hap_len[h],
+            read_seq, n_reads, row_len, read_len, read_start, hap_starts[h],
+            out_read + written, out_seg + written, rem);
+        out_counts[h] = n;
+        total += n;
+    }
+    return total;
+}
+
 }  // extern "C"

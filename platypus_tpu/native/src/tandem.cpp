@@ -105,4 +105,25 @@ void ptpu_tandem_annotate(const uint8_t* seq, int64_t length,
     }
 }
 
+// Per-base phred gap-open from the homopolymer run-length table
+// (chaplotype.pyx:552-590 semantics: value = table[min(run_end - i, cap)]
+// where run_end is the last index of the homopolymer run containing i and
+// N breaks runs on both sides).  Pure integer table lookups — exact by
+// construction vs the numpy oracle in models/error_model.py.
+void ptpu_gap_open(const uint8_t* seq, int64_t n, const int32_t* table,
+                   int32_t table_len, int32_t* out) {
+    const int64_t cap = table_len - 1;
+    int64_t run_end = n - 1;
+    for (int64_t i = n - 1; i >= 0; --i) {
+        uint8_t c = seq[i];
+        if (i < n - 1) {
+            uint8_t nxt = seq[i + 1];
+            if (c != nxt || c == 'N' || nxt == 'N') run_end = i;
+        }
+        int64_t len = run_end - i;
+        if (len > cap) len = cap;
+        out[i] = table[len];
+    }
+}
+
 }  // extern "C"
