@@ -224,6 +224,7 @@ def prepare_window(
     config: PlatypusConfig,
     rt: RuntimeState,
     region_reads=None,
+    defer_pairs: bool = False,
 ) -> Optional[PreparedWindow]:
     """Everything before device alignment: read gathering, haplotype
     enumeration/merging, pair construction.  Returns None for skipped
@@ -269,6 +270,7 @@ def prepare_window(
     request = build_alignment_request(
         all_haps, reads, use_map_qual_cap=bool(config.hla_typing),
         calculate_flank_score=bool(config.calculate_flank_score),
+        defer_pairs=defer_pairs,
     )
     return PreparedWindow(window, buffers, all_haps, ref_idx, reads, request)
 
@@ -382,6 +384,9 @@ def precompute_window_gl(entries, want_em: bool = True):
         n_reads_all = np.concatenate([m[1] for m in metas])
         gl_by_ind_all = np.where((n_reads_all > 0)[:, None], gl_all, 0.0)
         likelihoods_all = lk.rescale_likelihoods(gl_by_ind_all, n_reads_all)
+        # One argmax over the whole group's rows (exact integer tie-first
+        # comparison, row-identical to per-window np.argmax calls).
+        argmax_all = np.argmax(likelihoods_all, axis=1)
         row = 0
         for w_idx, n_reads in metas:
             gl_by_ind = gl_by_ind_all[row : row + I]
@@ -390,7 +395,10 @@ def precompute_window_gl(entries, want_em: bool = True):
             gof = np.zeros((G, I))
             gof[:, has] = (-10.0 * gof_seg[has] / n_reads[has, None]).T
             likelihoods = likelihoods_all[row : row + I]
-            out[w_idx] = [gl_by_ind, gof, likelihoods, n_reads, None]
+            calls = [int(argmax_all[row + i]) if n_reads[i] else None
+                     for i in range(I)]
+            out[w_idx] = [gl_by_ind, gof, likelihoods, n_reads, None, None,
+                          calls]
             if want_em:
                 em_keys.append(w_idx)
                 em_entries.append((likelihoods, h1, h2, H, n_reads))
@@ -413,7 +421,7 @@ def precompute_window_gl(entries, want_em: bool = True):
                 if em is None:
                     continue
                 prep = prep_by_idx[w_idx]
-                _gl, _gof, likelihoods, n_reads, _em = out[w_idx]
+                likelihoods, n_reads = out[w_idx][2], out[w_idx][3]
                 hap_var_sets = [set(h.variants) for h in prep.all_haps]
                 vars_list = list(enumerate_window_variants(prep.all_haps))
                 if not vars_list:
@@ -432,7 +440,7 @@ def precompute_window_gl(entries, want_em: bool = True):
                 if ratios is not None:
                     for w_idx, (vars_list, hvs), r in zip(post_keys, post_meta,
                                                           ratios):
-                        out[w_idx].append((vars_list, hvs, r))
+                        out[w_idx][5] = (vars_list, hvs, r)
     return {k: tuple(v) for k, v in out.items()}
 
 
@@ -478,12 +486,15 @@ def finish_window(
     # for all windows at once (precompute_window_gl, bit-identical).
     pre_em = None
     pre_post = None
+    pre_calls = None
     if precomputed is not None:
         gl_by_ind, gof, likelihoods, n_reads = precomputed[:4]
         if len(precomputed) > 4:
             pre_em = precomputed[4]
         if len(precomputed) > 5:
             pre_post = precomputed[5]
+        if len(precomputed) > 6:
+            pre_calls = precomputed[6]
     else:
         n_reads = np.bincount(reads.sample_idx[reads.is_good],
                               minlength=I).astype(np.int64)
@@ -512,9 +523,12 @@ def finish_window(
         frequencies, em_lik, _iters = lk.em_haplotype_frequencies(
             likelihoods, hap1_idx, hap2_idx, H, n_reads, max_iters=100
         )
-    genotype_calls = lk.call_genotypes(
-        likelihoods, em_lik, n_reads, use_em=bool(config.use_em_likelihoods)
-    )
+    if pre_calls is not None and not config.use_em_likelihoods:
+        genotype_calls = pre_calls
+    else:
+        genotype_calls = lk.call_genotypes(
+            likelihoods, em_lik, n_reads, use_em=bool(config.use_em_likelihoods)
+        )
 
     # ---- variant posteriors --------------------------------------------
     posteriors: Dict[Variant, float] = {}

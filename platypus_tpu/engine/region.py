@@ -448,7 +448,8 @@ def prepare_region_call(
             continue
         try:
             prepared[w_idx] = prepare_window(window, buffers, ref_file, config, rt,
-                                             region_reads=region_reads)
+                                             region_reads=region_reads,
+                                             defer_pairs=True)
         except Exception:  # noqa: BLE001 — window crash containment
             logger.exception(
                 "Exception preparing window %s:%s-%s", chrom, window.start_pos, window.end_pos
@@ -460,6 +461,13 @@ def prepare_region_call(
     # Phase 2 (device): dispatch every window's alignments in a few big
     # batched calls; results are awaited in finish_region_call.
     live = [(w_idx, p) for w_idx, p in prepared.items() if p not in (None, "skip")]
+    # Resolve every deferred window's k-mer voting in ONE threaded native
+    # call before anything reads the pair arrays.
+    from .score import fill_deferred_pairs
+
+    prep_t1 = __import__("time").perf_counter()
+    fill_deferred_pairs([p.request for _, p in live])
+    metrics.timers["window_prepare"] += __import__("time").perf_counter() - prep_t1
     metrics.count("windows", len(windows))
     metrics.count("alignment_pairs",
                   sum(p.request.n_pairs() for _, p in live if p.request is not None))

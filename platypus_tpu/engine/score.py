@@ -448,6 +448,9 @@ class AlignmentRequest:
     sub_len: np.ndarray      # [A]
     hap_matrix: np.ndarray   # [H, hapmax + seg] uint8, 'N'-padded
     go_matrix: np.ndarray    # [H, hapmax + seg] int32
+    # Set while pair voting is deferred to the region-batched native call
+    # (fill_deferred_pairs); (hap_lens, hap_starts, sub_pos).
+    deferred: object = None
 
     def n_pairs(self) -> int:
         return len(self.pair_hap)
@@ -458,6 +461,7 @@ def build_alignment_request(
     reads: WindowReads,
     use_map_qual_cap: bool = False,
     calculate_flank_score: bool = False,
+    defer_pairs: bool = False,
 ) -> Optional[AlignmentRequest]:
     """Pair construction for one window; None when nothing needs aligning."""
     H = len(haps)
@@ -502,8 +506,20 @@ def build_alignment_request(
 
     # The C++ voter runs a ~30-read pile in ~10us vs ~0.4ms of fixed numpy
     # overhead per (window, hap); output rows are byte-identical.  The
-    # whole-window entry votes every haplotype in ONE native call.
+    # whole-window entry votes every haplotype in ONE native call — or, with
+    # defer_pairs, as part of ONE threaded region-level call later
+    # (fill_deferred_pairs).
     use_native = native_kmer_segments is not None and native.load() is not None
+    if use_native and defer_pairs:
+        req = AlignmentRequest(
+            haps=haps, reads=reads, use_map_qual_cap=use_map_qual_cap,
+            calculate_flank_score=calculate_flank_score,
+            align_rows=align_rows, pair_hap=None, pair_read=None,
+            pair_seg=None, sub_seq=sub_seq, sub_qual=sub_qual,
+            sub_len=sub_len, hap_matrix=hap_matrix, go_matrix=go_matrix,
+        )
+        req.deferred = (hap_lens, hap_starts, sub_pos)
+        return req
     if use_native:
         from ..native import native_kmer_segments_strided
 
@@ -534,6 +550,41 @@ def build_alignment_request(
         sub_seq=sub_seq, sub_qual=sub_qual, sub_len=sub_len,
         hap_matrix=hap_matrix, go_matrix=go_matrix,
     )
+
+
+def fill_deferred_pairs(requests) -> None:
+    """Resolve every deferred request's pair voting in ONE threaded native
+    call (ptpu_kmer_segments_batch; per-window rows identical to the
+    strided entry).  No-op for requests without deferred state."""
+    live = [r for r in requests
+            if r is not None and getattr(r, "deferred", None) is not None]
+    if not live:
+        return
+    from ..native import native_kmer_segments_batch
+
+    entries = [(r.hap_matrix, r.deferred[0], r.deferred[1],
+                r.sub_seq, r.sub_len, r.deferred[2]) for r in live]
+    results = native_kmer_segments_batch(entries)
+    if results is None:
+        # Library vanished between build and fill — per-window fallback.
+        for r in live:
+            hap_lens, hap_starts, sub_pos = r.deferred
+            from ..native import native_kmer_segments_strided
+
+            pr, ps, counts = native_kmer_segments_strided(
+                r.hap_matrix, hap_lens, hap_starts, r.sub_seq, r.sub_len,
+                sub_pos)
+            r.pair_hap = np.repeat(
+                np.arange(len(r.haps), dtype=np.int64), counts)
+            r.pair_read = pr
+            r.pair_seg = ps
+            r.deferred = None
+        return
+    for r, (pr, ps, counts) in zip(live, results):
+        r.pair_hap = np.repeat(np.arange(len(r.haps), dtype=np.int64), counts)
+        r.pair_read = pr
+        r.pair_seg = ps
+        r.deferred = None
 
 
 class PendingAlignments:

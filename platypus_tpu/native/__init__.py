@@ -106,6 +106,10 @@ def _load_and_bind(path: str) -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
     ]
+    lib.ptpu_kmer_segments_batch.restype = None
+    lib.ptpu_kmer_segments_batch.argtypes = (
+        [ctypes.c_void_p] * 15 + [ctypes.c_int32] * 2
+    )
     lib.ptpu_kmer_segments_strided.restype = ctypes.c_int32
     lib.ptpu_kmer_segments_strided.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -320,6 +324,75 @@ def native_kmer_segments_strided(hap_matrix: np.ndarray, hap_len: np.ndarray,
         if n <= len(out_read):
             return out_read[:n].astype(np.int64), out_seg[:n].astype(np.int64), counts
         cap = n
+
+
+def native_kmer_segments_batch(entries, n_threads: int = 0):
+    """Every window of a region voted in ONE threaded native call.
+
+    entries: [(hap_matrix [H, stride] u8, hap_len [H] i32, hap_starts [H]
+    i64, read_seq [R, L] u8 contiguous, read_len [R] i32, read_start [R]
+    i64)].  Returns [(pair_read, pair_seg, counts)] per entry (per-hap
+    blocks identical to native_kmer_segments), or None when the library
+    is unavailable."""
+    lib = load()
+    if lib is None or not entries:
+        return None
+    W = len(entries)
+    ptr_cols = np.zeros((10, W), np.uint64)
+    strides = np.zeros(W, np.int64)
+    H_arr = np.zeros(W, np.int32)
+    R_arr = np.zeros(W, np.int32)
+    L_arr = np.zeros(W, np.int32)
+    caps = np.zeros(W, np.int32)
+    totals = np.zeros(W, np.int32)
+    keep = []  # keeps output buffers (and any contiguity copies) alive
+    for w, (hap_mat, hap_len, hap_starts, seq, rlen, rstart) in enumerate(entries):
+        if not seq.flags["C_CONTIGUOUS"]:
+            seq = np.ascontiguousarray(seq)
+        H = hap_mat.shape[0]
+        R, L = seq.shape
+        cap = max(16, 8 * R * max(1, H))
+        out_read = np.empty(cap, np.int32)
+        out_seg = np.empty(cap, np.int32)
+        out_counts = np.zeros(H, np.int32)
+        keep.append((seq, out_read, out_seg, out_counts))
+        ptr_cols[0, w] = hap_mat.ctypes.data
+        strides[w] = hap_mat.shape[1]
+        ptr_cols[1, w] = hap_len.ctypes.data
+        ptr_cols[2, w] = hap_starts.ctypes.data
+        H_arr[w] = H
+        ptr_cols[3, w] = seq.ctypes.data
+        R_arr[w] = R
+        L_arr[w] = L
+        ptr_cols[4, w] = rlen.ctypes.data
+        ptr_cols[5, w] = rstart.ctypes.data
+        ptr_cols[6, w] = out_read.ctypes.data
+        ptr_cols[7, w] = out_seg.ctypes.data
+        ptr_cols[8, w] = out_counts.ctypes.data
+        caps[w] = cap
+    if not n_threads:
+        budget = int(os.environ.get("PLATYPUS_TPU_WORKER_THREADS", "0")) \
+            or (os.cpu_count() or 1)
+        n_threads = min(4, budget)
+    lib.ptpu_kmer_segments_batch(
+        _np_ptr(ptr_cols[0]), _np_ptr(strides), _np_ptr(ptr_cols[1]),
+        _np_ptr(ptr_cols[2]), _np_ptr(H_arr),
+        _np_ptr(ptr_cols[3]), _np_ptr(R_arr), _np_ptr(L_arr),
+        _np_ptr(ptr_cols[4]), _np_ptr(ptr_cols[5]),
+        _np_ptr(ptr_cols[6]), _np_ptr(ptr_cols[7]), _np_ptr(ptr_cols[8]),
+        _np_ptr(caps), _np_ptr(totals), W, n_threads)
+    results = []
+    for w, (hap_mat, hap_len, hap_starts, seq, rlen, rstart) in enumerate(entries):
+        _seq, out_read, out_seg, out_counts = keep[w]
+        n = int(totals[w])
+        if n > caps[w]:
+            # Overflow (rare): redo this window through the growable entry.
+            results.append(native_kmer_segments_strided(
+                hap_mat, hap_len, hap_starts, _seq, rlen, rstart))
+        else:
+            results.append((out_read[:n].astype(np.int64),
+                            out_seg[:n].astype(np.int64), out_counts))
+    return results
 
 
 def native_bam_index(bam_path: str, bai_path: str) -> bool:

@@ -17,8 +17,10 @@
 //
 // C ABI only — loaded from Python via ctypes.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -216,6 +218,51 @@ int32_t ptpu_kmer_segments_strided(
         total += n;
     }
     return total;
+}
+
+// Whole-region batch: every window's haplotype voting in ONE call on a
+// small thread pool.  Per-window arrays are passed as pointer tables (the
+// numpy buffers already exist in the per-window requests — no repacking).
+// totals[w] returns the pair count; when it exceeds caps[w] the caller
+// re-runs that window through the strided entry with a larger buffer.
+void ptpu_kmer_segments_batch(
+    const uint64_t* hap_mat_ptrs, const int64_t* hap_strides,
+    const uint64_t* hap_len_ptrs, const uint64_t* hap_start_ptrs,
+    const int32_t* H_arr,
+    const uint64_t* seq_ptrs, const int32_t* R_arr, const int32_t* L_arr,
+    const uint64_t* rlen_ptrs, const uint64_t* rstart_ptrs,
+    const uint64_t* out_read_ptrs, const uint64_t* out_seg_ptrs,
+    const uint64_t* out_count_ptrs, const int32_t* caps, int32_t* totals,
+    int32_t n_windows, int32_t n_threads) {
+    std::atomic<int> next(0);
+    auto run = [&]() {
+        for (;;) {
+            int w = next.fetch_add(1);
+            if (w >= n_windows) return;
+            totals[w] = ptpu_kmer_segments_strided(
+                reinterpret_cast<const uint8_t*>(hap_mat_ptrs[w]),
+                hap_strides[w],
+                reinterpret_cast<const int32_t*>(hap_len_ptrs[w]),
+                reinterpret_cast<const int64_t*>(hap_start_ptrs[w]), H_arr[w],
+                reinterpret_cast<const uint8_t*>(seq_ptrs[w]), R_arr[w],
+                L_arr[w],
+                reinterpret_cast<const int32_t*>(rlen_ptrs[w]),
+                reinterpret_cast<const int64_t*>(rstart_ptrs[w]),
+                reinterpret_cast<int32_t*>(out_read_ptrs[w]),
+                reinterpret_cast<int32_t*>(out_seg_ptrs[w]),
+                reinterpret_cast<int32_t*>(out_count_ptrs[w]), caps[w]);
+        }
+    };
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt > n_windows) nt = n_windows;
+    if (nt <= 1) {
+        run();
+        return;
+    }
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int t = 0; t < nt; ++t) threads.emplace_back(run);
+    for (auto& th : threads) th.join();
 }
 
 }  // extern "C"
