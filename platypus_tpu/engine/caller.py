@@ -352,57 +352,91 @@ def precompute_window_gl(entries, want_em: bool = True):
     per-window path (pinned by tests/test_likelihood.py)."""
     from collections import defaultdict
 
+    from .. import native
+
     out = {}
-    groups = defaultdict(list)
-    for w_idx, prep, ll in entries:
-        groups[(len(prep.all_haps), len(prep.buffers))].append(
-            (w_idx, prep, ll))
     em_keys = []
     em_entries = []
-    for (H, I), items in groups.items():
+
+    # Native path: every window's GL/GOF/rescale in ONE threaded call with
+    # the reference's sequential per-read accumulation (cgenotype.pyx:131-
+    # 189 — the byte contract; numpy's pairwise sums flip near-symmetric
+    # genotype ties, first seen on the S55 "dense" corpus).
+    prepped = []
+    for w_idx, prep, ll in entries:
+        H = len(prep.all_haps)
+        I = len(prep.buffers)
+        R = len(prep.reads)
+        if ll.size == 0:
+            ll = np.zeros((H, R), np.float64)
         h1, h2 = lk.genotype_index_pairs(H)
-        G = len(h1)
-        lls = []
-        segs = []
-        metas = []
-        off = 0
-        for w_idx, prep, ll in items:
-            R = len(prep.reads)
-            if ll.size == 0:
-                ll = np.zeros((H, R), np.float64)
-            bounds = np.searchsorted(prep.reads.sample_idx, np.arange(I + 1))
-            n_reads = np.bincount(prep.reads.sample_idx[prep.reads.is_good],
-                                  minlength=I).astype(np.int64)
-            lls.append(ll)
-            for i in range(I):
-                segs.append((off + int(bounds[i]), off + int(bounds[i + 1])))
-            metas.append((w_idx, n_reads))
-            off += R
-        big = np.concatenate(lls, axis=1) if len(lls) > 1 else lls[0]
-        gl_all, gof_all = lk.genotype_log_likelihoods_segments_multi(
-            big, h1, h2, np.asarray(segs, np.int64).reshape(-1, 2))
-        n_reads_all = np.concatenate([m[1] for m in metas])
-        gl_by_ind_all = np.where((n_reads_all > 0)[:, None], gl_all, 0.0)
-        likelihoods_all = lk.rescale_likelihoods(gl_by_ind_all, n_reads_all)
-        # One argmax over the whole group's rows (exact integer tie-first
-        # comparison, row-identical to per-window np.argmax calls).
-        argmax_all = np.argmax(likelihoods_all, axis=1)
-        row = 0
-        for w_idx, n_reads in metas:
-            gl_by_ind = gl_by_ind_all[row : row + I]
-            gof_seg = gof_all[row : row + I]
+        bounds = np.searchsorted(prep.reads.sample_idx,
+                                 np.arange(I + 1)).astype(np.int64)
+        n_reads = np.bincount(prep.reads.sample_idx[prep.reads.is_good],
+                              minlength=I).astype(np.int64)
+        prepped.append((w_idx, prep, ll, h1, h2, bounds, n_reads, H, I))
+    gl_res = native.native_gl_batch(
+        [(ll, bounds, n_reads, h1, h2)
+         for _w, _p, ll, h1, h2, bounds, n_reads, _H, _I in prepped])
+    if gl_res is not None:
+        for (w_idx, prep, ll, h1, h2, bounds, n_reads, H, I), \
+                (gl_by_ind, gof_seg, likelihoods) in zip(prepped, gl_res):
+            G = len(h1)
             has = n_reads > 0
             gof = np.zeros((G, I))
             gof[:, has] = (-10.0 * gof_seg[has] / n_reads[has, None]).T
-            likelihoods = likelihoods_all[row : row + I]
-            calls = [int(argmax_all[row + i]) if n_reads[i] else None
+            calls = [int(np.argmax(likelihoods[i])) if n_reads[i] else None
                      for i in range(I)]
             out[w_idx] = [gl_by_ind, gof, likelihoods, n_reads, None, None,
                           calls]
             if want_em:
                 em_keys.append(w_idx)
                 em_entries.append((likelihoods, h1, h2, H, n_reads))
-            row += I
+    else:
+        # numpy fallback: the cross-window batched mixture matrix per
+        # (H, I) group (pairwise-sum semantics — the pre-native oracle).
+        groups = defaultdict(list)
+        for w_idx, prep, ll, h1, h2, bounds, n_reads, H, I in prepped:
+            groups[(H, I)].append((w_idx, prep, ll, n_reads, bounds))
+        for (H, I), items in groups.items():
+            h1, h2 = lk.genotype_index_pairs(H)
+            G = len(h1)
+            lls = []
+            segs = []
+            metas = []
+            off = 0
+            for w_idx, prep, ll, n_reads, bounds in items:
+                R = len(prep.reads)
+                lls.append(ll)
+                for i in range(I):
+                    segs.append((off + int(bounds[i]),
+                                 off + int(bounds[i + 1])))
+                metas.append((w_idx, n_reads))
+                off += R
+            big = np.concatenate(lls, axis=1) if len(lls) > 1 else lls[0]
+            gl_all, gof_all = lk.genotype_log_likelihoods_segments_multi(
+                big, h1, h2, np.asarray(segs, np.int64).reshape(-1, 2))
+            n_reads_all = np.concatenate([m[1] for m in metas])
+            gl_by_ind_all = np.where((n_reads_all > 0)[:, None], gl_all, 0.0)
+            likelihoods_all = lk.rescale_likelihoods(gl_by_ind_all,
+                                                     n_reads_all)
+            argmax_all = np.argmax(likelihoods_all, axis=1)
+            row = 0
+            for w_idx, n_reads in metas:
+                gl_by_ind = gl_by_ind_all[row : row + I]
+                gof_seg = gof_all[row : row + I]
+                has = n_reads > 0
+                gof = np.zeros((G, I))
+                gof[:, has] = (-10.0 * gof_seg[has] / n_reads[has, None]).T
+                likelihoods = likelihoods_all[row : row + I]
+                calls = [int(argmax_all[row + i]) if n_reads[i] else None
+                         for i in range(I)]
+                out[w_idx] = [gl_by_ind, gof, likelihoods, n_reads, None,
+                              None, calls]
+                if want_em:
+                    em_keys.append(w_idx)
+                    em_entries.append((likelihoods, h1, h2, H, n_reads))
+                row += I
     if em_entries:
         from .. import native
 

@@ -673,7 +673,14 @@ def finish_region_call(state, ref_file, config: PlatypusConfig, writer) -> int:
                         from ..candidates.windows import Window as _Window
                         from ..vcfout.refcalls import output_ref_call
 
-                        positions = sorted(result.vars_by_pos.keys())
+                        # The reference pairs ADJACENT ITERATION entries of
+                        # varsByPos.iteritems() (variantcaller.pyx:589-602)
+                        # — insertion order under the running py3-harness
+                        # reference (haplotype-major variant enumeration),
+                        # NOT positional order.  Real-read S55 runs hit the
+                        # difference: blocks span across a middle position
+                        # whose key was inserted later.
+                        positions = list(result.vars_by_pos.keys())
                         for last_pos, next_pos in zip(positions, positions[1:]):
                             last_var_end = max(
                                 v.max_ref_pos for v in result.vars_by_pos[last_pos]

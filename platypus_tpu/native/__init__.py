@@ -169,6 +169,12 @@ def _load_and_bind(path: str) -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.ptpu_gl_batch.restype = None
+    lib.ptpu_gl_batch.argtypes = (
+        [ctypes.c_void_p] * 6 + [ctypes.c_int32]
+        + [ctypes.c_void_p] * 5 + [ctypes.c_int32]
+        + [ctypes.c_void_p] * 3 + [ctypes.c_int32]
+    )
     lib.ptpu_posteriors_batch.restype = None
     lib.ptpu_posteriors_batch.argtypes = (
         [ctypes.c_void_p] * 17 + [ctypes.c_int32] * 2
@@ -1051,6 +1057,78 @@ def native_em(likelihoods: np.ndarray, h1: np.ndarray, h2: np.ndarray,
         return None
     csr[has_data] = w
     return freq, csr, int(iters)
+
+
+def native_gl_batch(entries, n_threads: int = 0):
+    """Genotype log-likelihoods + GOF sums + rescaled likelihoods for MANY
+    windows in one threaded native call, replicating the reference's
+    SEQUENTIAL per-read accumulation (cgenotype.pyx:131-189) — the byte
+    contract the numpy pairwise twin misses on near-symmetric windows.
+
+    entries: [(loglik [H, R] f64 C-contig, bounds [I+1] i64,
+               n_good [I] i64, h1, h2)] with one shared I.
+    Returns [(gl [I, G], gof_sum [I, G], lik [I, G])] or None when the
+    library is unavailable."""
+    if os.environ.get("PLATYPUS_TPU_NATIVE_GL", "1") == "0":
+        return None
+    lib = load()
+    if lib is None or not entries:
+        return None
+    W = len(entries)
+    I = len(entries[0][2])
+    H_arr = np.empty(W, np.int32)
+    R_arr = np.empty(W, np.int32)
+    G_arr = np.empty(W, np.int32)
+    ll_off = np.zeros(W + 1, np.int64)
+    out_off = np.zeros(W + 1, np.int64)
+    bounds_flat = np.empty(W * (I + 1), np.int64)
+    n_good_flat = np.empty(W * I, np.int64)
+    h_tables: dict = {}
+    blocks1, blocks2 = [], []
+    h_off = np.empty(W, np.int64)
+    pos = 0
+    lls = []
+    for k, (ll, bounds, n_good, h1, h2) in enumerate(entries):
+        H, R = ll.shape
+        G = len(h1)
+        H_arr[k], R_arr[k], G_arr[k] = H, R, G
+        ll_off[k + 1] = ll_off[k] + H * R
+        out_off[k + 1] = out_off[k] + I * G
+        bounds_flat[k * (I + 1) : (k + 1) * (I + 1)] = bounds
+        n_good_flat[k * I : (k + 1) * I] = n_good
+        lls.append(np.ascontiguousarray(ll, np.float64).ravel())
+        if H not in h_tables:
+            h_tables[H] = pos
+            blocks1.append(np.ascontiguousarray(h1, np.int64))
+            blocks2.append(np.ascontiguousarray(h2, np.int64))
+            pos += len(h1)
+        h_off[k] = h_tables[H]
+    ll_flat = np.concatenate(lls) if lls else np.zeros(1, np.float64)
+    if len(ll_flat) == 0:
+        ll_flat = np.zeros(1, np.float64)
+    h1_flat = np.concatenate(blocks1)
+    h2_flat = np.concatenate(blocks2)
+    total = max(1, int(out_off[-1]))
+    gl_out = np.empty(total, np.float64)
+    gof_out = np.empty(total, np.float64)
+    lik_out = np.empty(total, np.float64)
+    if not n_threads:
+        budget = int(os.environ.get("PLATYPUS_TPU_WORKER_THREADS", "0")) \
+            or (os.cpu_count() or 1)
+        n_threads = min(4, budget)
+    lib.ptpu_gl_batch(
+        _np_ptr(ll_flat), _np_ptr(ll_off), _np_ptr(H_arr), _np_ptr(R_arr),
+        _np_ptr(bounds_flat), _np_ptr(n_good_flat), I,
+        _np_ptr(h1_flat), _np_ptr(h2_flat), _np_ptr(h_off), _np_ptr(G_arr),
+        _np_ptr(out_off), W,
+        _np_ptr(gl_out), _np_ptr(gof_out), _np_ptr(lik_out), n_threads)
+    out = []
+    for k in range(W):
+        G = int(G_arr[k])
+        sl = slice(int(out_off[k]), int(out_off[k + 1]))
+        out.append((gl_out[sl].reshape(I, G), gof_out[sl].reshape(I, G),
+                    lik_out[sl].reshape(I, G)))
+    return out
 
 
 def native_posteriors_batch(entries, n_threads: int = 0):

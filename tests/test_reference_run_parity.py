@@ -146,6 +146,51 @@ def test_all_islands_value_parity_no_allowances(s55_fixture, island):
     assert not bad, sorted(bad)
 
 
+# --- round-5 corpus growth: the whole S55 corpus under record-multiplying
+# configurations, each byte-compared to the RUNNING reference with zero
+# allowances beyond FILTER order (the py2 set-iteration artifact — FILTER
+# is compared with its entries sorted on both sides).  2394 additional
+# real-read records vs the 357 default-island set (~6.7x growth):
+# sensitive 474, refcalls 695, assemble 324, lowqual 489, dense 412.
+# Goldens: tools/reference_harness on /tmp/refbuild (docs/REFERENCE_RUN.md).
+S55_CONFIGS = {
+    "sensitive": ["--minPosterior=1", "--minReads=1"],
+    "refcalls": ["--outputRefCalls=1"],
+    "assemble": ["--assemble=1"],
+    "lowqual": ["--minBaseQual=10", "--minPosterior=1", "--minReads=1"],
+    "dense": ["--maxVariants=12", "--minPosterior=1", "--minReads=1",
+              "--assemble=1"],
+}
+
+
+def _filter_sorted_lines(path):
+    out = []
+    for line in open(path):
+        if line.startswith("#"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        f[6] = ";".join(sorted(f[6].split(";")))
+        out.append("\t".join(f))
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(S55), reason="reference S55 missing")
+@pytest.mark.parametrize("config", sorted(S55_CONFIGS))
+def test_s55_config_corpus_byte_identical(config, tmp_path):
+    fx = build_s55_full(str(tmp_path))
+    out = str(tmp_path / f"{config}.vcf")
+    env = dict(os.environ, PLATYPUS_TPU_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, "-m", "platypus_tpu.cli", "callVariants",
+         f"--bamFiles={fx['bam']}", f"--refFile={fx['ref']}",
+         "--nCPU=1", "-o", out] + S55_CONFIGS[config],
+        check=True, capture_output=True, env=env, cwd=REPO)
+    golden = _filter_sorted_lines(
+        os.path.join(GOLDEN_DIR, f"ref_s55_{config}.vcf"))
+    mine = _filter_sorted_lines(out)
+    assert mine == golden
+
+
 MB10_BAM = "/tmp/platypus_tpu_scaling/mb10/reads.bam"
 
 
