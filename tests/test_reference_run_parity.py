@@ -1,17 +1,19 @@
-"""Parity against the RUNNING reference (VERDICT r3 item 4).
+"""Parity against the RUNNING reference (VERDICT r3 item 4, r4/r5 growth).
 
 tests/goldens/reference_run/ holds VCFs produced by actually executing the
 reference Platypus 0.8.1 release on this machine (the py3 harness in
 tools/reference_harness/ — see docs/REFERENCE_RUN.md).  These tests call
-the same re-hosted S55 real-read islands through this repo's CLI and pin
-the agreement level:
+the same re-hosted S55 real-read islands (and the full 10 Mb synthetic
+set) through this repo's CLI and pin the agreement level:
 
-* island 2: byte-identical data lines;
-* islands 1, 2, 3: zero field-value differences (FILTER *order* excluded —
-  the reference emits py2 set-iteration order, which is hash-dependent);
-* islands 0, 4: the documented divergences only (one site / one dense
-  window cluster, docs/REFERENCE_RUN.md triage) — any NEW divergence
-  fails.
+* islands 0, 1, 2: byte-identical data lines (the pinned files happen to
+  match this repo's sorted FILTER order);
+* all five islands, --filterDuplicates=0, and five record-multiplying
+  round-5 configurations (sensitive/refcalls/assemble/lowqual/dense):
+  zero field-value differences with NO allowlisted sites — FILTER is
+  compared as a set because the reference emits py2 set-iteration order,
+  which permutes run to run in the reference itself;
+* the 10 Mb / 9999-record synthetic set: byte-identical data lines.
 """
 
 import os
@@ -194,14 +196,23 @@ def test_s55_config_corpus_byte_identical(config, tmp_path):
 MB10_BAM = "/tmp/platypus_tpu_scaling/mb10/reads.bam"
 
 
-@pytest.mark.skipif(not os.path.exists(MB10_BAM),
-                    reason="mb10 dataset not built (tools/scaling_bench.py)")
 def test_synth_10mb_byte_identical_to_running_reference(tmp_path):
     """Full 10 Mb / 3.0 M reads / 9999 records byte-parity with the
-    RUNNING reference (golden ref_synth_10mb.vcf.gz).  Gated on the
-    cached mb10 dataset; `python tools/scaling_bench.py --mb 10` builds
-    it deterministically."""
+    RUNNING reference (golden ref_synth_10mb.vcf.gz).  The cached mb10
+    dataset is built on demand (deterministic; ~1 min on a fresh box) so
+    this — the strongest parity evidence — cannot silently skip."""
     import gzip
+
+    if not os.path.exists(MB10_BAM):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "scaling_bench.py"),
+             "--mb", "10", "--ncpus", "1"],
+            check=True, capture_output=True, cwd=REPO, timeout=1800,
+            env=dict(os.environ, PLATYPUS_TPU_PLATFORM="cpu",
+                     JAX_PLATFORMS="cpu"))
+        assert os.path.exists(MB10_BAM), (
+            "mb10 dataset build failed; run: python tools/scaling_bench.py "
+            "--mb 10 --ncpus 1")
 
     out = str(tmp_path / "mine_10mb.vcf")
     env = dict(os.environ, PLATYPUS_TPU_PLATFORM="cpu")
