@@ -222,18 +222,19 @@ class RegionReadMatrix:
         self.broken = np.zeros(N, bool)
         self.good = np.zeros(N, bool)
         self.sample_idx = np.zeros(N, np.int32)
-        col = np.arange(L, dtype=np.int32)
         for s_idx, tag, rs, base in self.segs:
             n = len(rs)
             if n == 0:
                 continue
             k = min(L, rs.width)
             sl = slice(base, base + n)
+            # ReadSet seq/qual rows are zero beyond each read's rlen by
+            # construction (np.zeros buffers at load; trims only lower
+            # in-read quals), so no tail masking is needed here.  The
+            # compressed path, whose lazy decompression does not share the
+            # invariant, never builds a RegionReadMatrix (build() gate).
             self.seq[sl, :k] = rs.seq[:, :k]
             self.qual[sl, :k] = rs.qual[:, :k]
-            tail = col[None, :] >= rs.rlen[:, None]
-            self.seq[sl][tail] = 0
-            self.qual[sl][tail] = 0
             self.rlen[sl] = rs.rlen
             self.pos[sl] = rs.pos
             self.end[sl] = rs.end
@@ -630,10 +631,38 @@ class PendingAlignments:
                 off += p
         self.groups = []
 
+        # Batched native scatter+convert for the common (non-HLA) windows:
+        # one threaded call instead of per-window numpy; the per-read mapq
+        # term is precomputed with the same numpy elementwise ops the
+        # fallback uses, so results are exact (tests pin e2e bytes).
+        native_out: dict = {}
+        batch = [req for req in self.requests
+                 if req is not None and req.n_pairs() > 0
+                 and not req.use_map_qual_cap]
+        if batch and native.load() is not None:
+            from ..ops.likelihood import MLTOT
+
+            entries = []
+            for req in batch:
+                mapq = np.asarray(req.reads.mapq[req.align_rows], np.float64)
+                with np.errstate(divide="ignore"):
+                    term = np.log(1.0 - np.exp(MLTOT * mapq))
+                entries.append((self.pair_scores[id(req)], req.pair_hap,
+                                req.pair_read, req.sub_len, term,
+                                req.align_rows, len(req.haps),
+                                len(req.reads)))
+            lls = native.native_loglik_batch(entries, HASH_NUCS, MLTOT)
+            if lls is not None:
+                native_out = {id(req): ll for req, ll in zip(batch, lls)}
+
         results: List[np.ndarray] = []
         for req in self.requests:
             if req is None:
                 results.append(np.zeros((0, 0), np.float64))
+                continue
+            ll = native_out.get(id(req))
+            if ll is not None:
+                results.append(ll)
                 continue
             results.append(window_loglik_from_pair_scores(
                 req, self.pair_scores[id(req)] if req.n_pairs() else None))

@@ -175,6 +175,11 @@ def _load_and_bind(path: str) -> ctypes.CDLL:
         + [ctypes.c_void_p] * 5 + [ctypes.c_int32]
         + [ctypes.c_void_p] * 3 + [ctypes.c_int32]
     )
+    lib.ptpu_loglik_batch.restype = None
+    lib.ptpu_loglik_batch.argtypes = (
+        [ctypes.c_void_p] * 11 + [ctypes.c_int32, ctypes.c_double]
+        + [ctypes.c_int32] * 2
+    )
     lib.ptpu_posteriors_batch.restype = None
     lib.ptpu_posteriors_batch.argtypes = (
         [ctypes.c_void_p] * 17 + [ctypes.c_int32] * 2
@@ -1129,6 +1134,63 @@ def native_gl_batch(entries, n_threads: int = 0):
         out.append((gl_out[sl].reshape(I, G), gof_out[sl].reshape(I, G),
                     lik_out[sl].reshape(I, G)))
     return out
+
+
+def native_loglik_batch(entries, hash_nucs: int, mltot: float,
+                        n_threads: int = 0):
+    """Pair scores -> [H, R] log-likelihood matrices for MANY windows in
+    one threaded native call (engine/score.py::window_loglik_from_pair_
+    scores semantics; the caller precomputes the per-read mapq term with
+    the same numpy ops as the fallback, so the C side is exact).
+
+    entries: [(pair_scores [P] i64, pair_hap [P] i64, pair_read [P] i64,
+               sub_len [A] i32, term [A] f64, align_rows [A] i64, H, R)]
+    Returns [loglik [H, R] f64] or None when the library is unavailable."""
+    if os.environ.get("PLATYPUS_TPU_NATIVE_LOGLIK", "1") == "0":
+        return None
+    lib = load()
+    if lib is None or not entries:
+        return None
+    W = len(entries)
+    ptrs = np.zeros((7, W), np.uint64)
+    P_arr = np.empty(W, np.int32)
+    A_arr = np.empty(W, np.int32)
+    H_arr = np.empty(W, np.int32)
+    R_arr = np.empty(W, np.int32)
+    keep = []
+    outs = []
+    for w, (ps, ph, pr, sub_len, term, rows, H, R) in enumerate(entries):
+        ps = np.ascontiguousarray(ps, np.int64)
+        ph = np.ascontiguousarray(ph, np.int64)
+        pr = np.ascontiguousarray(pr, np.int64)
+        sl = np.ascontiguousarray(sub_len, np.int32)
+        tm = np.ascontiguousarray(term, np.float64)
+        rw = np.ascontiguousarray(rows, np.int64)
+        out = np.empty((H, R), np.float64)
+        keep.append((ps, ph, pr, sl, tm, rw))
+        outs.append(out)
+        ptrs[0, w] = ps.ctypes.data
+        ptrs[1, w] = ph.ctypes.data
+        ptrs[2, w] = pr.ctypes.data
+        ptrs[3, w] = sl.ctypes.data
+        ptrs[4, w] = tm.ctypes.data
+        ptrs[5, w] = rw.ctypes.data
+        ptrs[6, w] = out.ctypes.data
+        P_arr[w] = len(ps)
+        A_arr[w] = len(sl)
+        H_arr[w] = H
+        R_arr[w] = R
+    if not n_threads:
+        budget = int(os.environ.get("PLATYPUS_TPU_WORKER_THREADS", "0")) \
+            or (os.cpu_count() or 1)
+        n_threads = min(4, budget)
+    lib.ptpu_loglik_batch(
+        _np_ptr(ptrs[0]), _np_ptr(ptrs[1]), _np_ptr(ptrs[2]),
+        _np_ptr(ptrs[3]), _np_ptr(ptrs[4]), _np_ptr(ptrs[5]),
+        _np_ptr(ptrs[6]),
+        _np_ptr(P_arr), _np_ptr(A_arr), _np_ptr(H_arr), _np_ptr(R_arr),
+        hash_nucs, mltot, W, n_threads)
+    return outs
 
 
 def native_posteriors_batch(entries, n_threads: int = 0):

@@ -124,4 +124,74 @@ void ptpu_gl_batch(const double* ll_flat, const int64_t* ll_off,
     for (auto& th : threads) th.join();
 }
 
+// Batched pair-score -> [H, R] log-likelihood conversion (engine/score.py
+// ::window_loglik_from_pair_scores semantics): scatter-min the pair
+// scores into the (hap, aligned-read) table (INT32_MAX init, short reads
+// 0), then loglik = max(-300, MLTOT*score + term[a]) at align_rows
+// columns, 0 elsewhere.  term[a] = ln(1 - 10^(-mapq/10)) is precomputed
+// by the caller with the SAME numpy elementwise ops as the fallback, so
+// the C side is pure mul/add/max — exact IEEE replication.  Pointer
+// tables into the live request arrays; threaded across windows.
+void ptpu_loglik_batch(const uint64_t* ps_ptrs, const uint64_t* ph_ptrs,
+                       const uint64_t* pr_ptrs, const uint64_t* sublen_ptrs,
+                       const uint64_t* term_ptrs, const uint64_t* rows_ptrs,
+                       const uint64_t* out_ptrs,
+                       const int32_t* P_arr, const int32_t* A_arr,
+                       const int32_t* H_arr, const int32_t* R_arr,
+                       int32_t hash_nucs, double mltot,
+                       int32_t n_windows, int32_t n_threads) {
+    std::atomic<int> next(0);
+    auto run = [&]() {
+        std::vector<int64_t> scores;
+        for (;;) {
+            int w = next.fetch_add(1);
+            if (w >= n_windows) return;
+            const int32_t P = P_arr[w], A = A_arr[w], H = H_arr[w],
+                          R = R_arr[w];
+            const int64_t* ps = reinterpret_cast<const int64_t*>(ps_ptrs[w]);
+            const int64_t* ph = reinterpret_cast<const int64_t*>(ph_ptrs[w]);
+            const int64_t* pr = reinterpret_cast<const int64_t*>(pr_ptrs[w]);
+            const int32_t* sl =
+                reinterpret_cast<const int32_t*>(sublen_ptrs[w]);
+            const double* term =
+                reinterpret_cast<const double*>(term_ptrs[w]);
+            const int64_t* rows =
+                reinterpret_cast<const int64_t*>(rows_ptrs[w]);
+            double* out = reinterpret_cast<double*>(out_ptrs[w]);
+            scores.assign((size_t)H * A, 0);
+            if (P > 0) {
+                for (size_t k = 0; k < scores.size(); ++k)
+                    scores[k] = INT32_MAX;
+                for (int32_t a = 0; a < A; ++a)
+                    if (sl[a] < hash_nucs)
+                        for (int32_t h = 0; h < H; ++h)
+                            scores[(size_t)h * A + a] = 0;
+                for (int32_t p = 0; p < P; ++p) {
+                    int64_t& slot = scores[(size_t)ph[p] * A + pr[p]];
+                    if (ps[p] < slot) slot = ps[p];
+                }
+            }
+            for (size_t k = 0; k < (size_t)H * R; ++k) out[k] = 0.0;
+            for (int32_t h = 0; h < H; ++h) {
+                for (int32_t a = 0; a < A; ++a) {
+                    double v = mltot * (double)scores[(size_t)h * A + a]
+                               + term[a];
+                    if (!(v > -300.0)) v = -300.0;
+                    out[(size_t)h * R + rows[a]] = v;
+                }
+            }
+        }
+    };
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt > n_windows) nt = n_windows;
+    if (nt <= 1) {
+        run();
+        return;
+    }
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int t = 0; t < nt; ++t) threads.emplace_back(run);
+    for (auto& th : threads) th.join();
+}
+
 }  // extern "C"
