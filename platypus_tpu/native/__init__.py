@@ -141,6 +141,7 @@ def _load_and_bind(path: str) -> ctypes.CDLL:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
     ]
     lib.ptpu_scan_fill.restype = None
     lib.ptpu_scan_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
@@ -555,6 +556,8 @@ def native_scan_m_segments(read_set, rows: np.ndarray, mlens: np.ndarray,
         _np_ptr(goff64),
         ref_seq, len(ref_seq), ref_start, min_flank, min_base_qual,
         ctypes.byref(out_n), ctypes.byref(out_blob),
+        min(4, int(os.environ.get("PLATYPUS_TPU_WORKER_THREADS", "0"))
+            or (os.cpu_count() or 1)),
     )
     try:
         n = out_n.value

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -29,6 +30,16 @@ struct ScanResult {
     std::vector<int32_t> n_added;
     std::string blob;  // removed||added bytes back to back per candidate
     std::vector<int64_t> blob_off;
+};
+
+// Chunk-local scan state: candidates + the dedup map keyed by
+// (pos, removed, added).  Chunks merge in row order, so the final
+// candidate order is first-seen over the full row range — and the
+// downstream consumer sorts variants anyway (engine/region.py), so only
+// the (key -> count) multiset is contractual.
+struct ScanChunk {
+    ScanResult res;
+    std::unordered_map<std::string, size_t> seen;
 };
 
 }  // namespace
@@ -50,13 +61,21 @@ void* ptpu_scan_m_segments(const uint8_t* seq, const uint8_t* qual,
                            const int64_t* ref_offs, const char* ref,
                            int64_t ref_len, int64_t ref_start,
                            int32_t min_flank, int32_t min_base_qual,
-                           int64_t* out_n, int64_t* out_blob) {
-    auto* res = new ScanResult();
-    std::unordered_map<std::string, size_t> seen;
+                           int64_t* out_n, int64_t* out_blob,
+                           int32_t n_threads) {
+    // Chunked scan: each thread dedups its contiguous row range locally;
+    // chunks then merge in row order (single-threaded, O(unique)).
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if ((int64_t)nt * 2048 > n_rows) nt = (int)(n_rows / 2048) + 1;
+    std::vector<ScanChunk> chunks(nt);
+
+    auto scan_range = [&](ScanChunk& chunk, int64_t row_lo, int64_t row_hi) {
+    auto* res = &chunk.res;
+    auto& seen = chunk.seen;
     std::string key;
     std::vector<int32_t> mm_cols;
 
-    for (int64_t i = 0; i < n_rows; ++i) {
+    for (int64_t i = row_lo; i < row_hi; ++i) {
         const int64_t r = rows[i];
         const int64_t read_off = read_offs[i];
         const uint8_t* srow = seq + r * L + read_off;
@@ -115,6 +134,55 @@ void* ptpu_scan_m_segments(const uint8_t* seq, const uint8_t* qual,
                 res->blob.append((const char*)srow + i0, n);
             }
             g0 = j;
+        }
+    }
+    };  // scan_range
+
+    if (nt <= 1) {
+        scan_range(chunks[0], 0, n_rows);
+    } else {
+        std::vector<std::thread> threads;
+        threads.reserve(nt);
+        const int64_t per = (n_rows + nt - 1) / nt;
+        for (int t = 0; t < nt; ++t) {
+            int64_t lo = t * per;
+            int64_t hi = lo + per < n_rows ? lo + per : n_rows;
+            if (lo < hi)
+                threads.emplace_back(scan_range, std::ref(chunks[t]), lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    }
+
+    // Merge chunks in row order.
+    auto* res = new ScanResult();
+    if (nt == 1) {
+        *res = std::move(chunks[0].res);
+    } else {
+        std::unordered_map<std::string, size_t> seen;
+        std::string key;
+        for (auto& chunk : chunks) {
+            ScanResult& c = chunk.res;
+            for (size_t k = 0; k < c.pos.size(); ++k) {
+                const int64_t cpos = c.pos[k];
+                const int32_t n = c.n_removed[k];
+                const char* kb = c.blob.data() + c.blob_off[k];
+                key.assign((const char*)&cpos, sizeof(cpos));
+                key.append(kb, n);
+                key.push_back('\xff');
+                key.append(kb + n, n);
+                auto it = seen.find(key);
+                if (it != seen.end()) {
+                    res->count[it->second] += c.count[k];
+                } else {
+                    seen.emplace(key, res->pos.size());
+                    res->pos.push_back(cpos);
+                    res->count.push_back(c.count[k]);
+                    res->n_removed.push_back(n);
+                    res->n_added.push_back(c.n_added[k]);
+                    res->blob_off.push_back((int64_t)res->blob.size());
+                    res->blob.append(kb, 2 * (size_t)n);
+                }
+            }
         }
     }
     res->blob_off.push_back((int64_t)res->blob.size());
