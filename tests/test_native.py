@@ -328,3 +328,159 @@ def test_native_genotype_call_bitwise_matches_python_oracle():
         assert want[0] == got[0] and want[1] == got[1]
         assert np.asarray(want[2]).tobytes() == np.asarray(got[2]).tobytes()
         assert np.asarray(want[3:]).tobytes() == np.asarray(got[3:]).tobytes()
+
+
+def test_native_em_batch_bitwise_matches_single_entry():
+    """ptpu_em_f64_batch (region-batched, threaded) must reproduce the
+    verified single-window native EM bit-for-bit on every entry."""
+    import numpy as np
+    import pytest
+
+    from platypus_tpu import native
+    from platypus_tpu.ops import likelihood as lk
+
+    if native.load() is None:
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    entries = []
+    for trial in range(40):
+        H = int(rng.integers(2, 12))
+        h1, h2 = lk.genotype_index_pairs(H)
+        I = int(rng.integers(1, 6))
+        lik = np.maximum(1e-300, rng.random((I, len(h1))))
+        n_reads = rng.integers(0, 30, I)
+        entries.append((lik, h1, h2, H, n_reads.astype(np.int64)))
+    batch = native.native_em_batch(entries, n_threads=4)
+    assert batch is not None
+    for (lik, h1, h2, H, n_reads), got in zip(entries, batch):
+        want = native.native_em(lik, h1, h2, H, n_reads, 100)
+        assert np.array_equal(want[0].view(np.uint64),
+                              got[0].view(np.uint64))
+        assert np.array_equal(want[1].view(np.uint64),
+                              got[1].view(np.uint64))
+        assert want[2] == got[2]
+
+
+def test_native_gl_batch_matches_reference_sequential_oracle():
+    """ptpu_gl_batch must equal a pure-python replication of the
+    reference's SEQUENTIAL per-read accumulation (cgenotype.pyx:131-189)
+    bit-for-bit, including the rescale."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from platypus_tpu import native
+    from platypus_tpu.ops import likelihood as lk
+
+    if native.load() is None:
+        pytest.skip("native library not built")
+    LOG10E = 0.43429448190325182
+    LOG_HALF = -0.69314718055994529
+    rng = np.random.default_rng(13)
+    entries = []
+    metas = []
+    I = 3
+    for trial in range(25):
+        H = int(rng.integers(1, 7))
+        h1, h2 = lk.genotype_index_pairs(H)
+        R = int(rng.integers(0, 40))
+        ll = -50.0 * rng.random((H, R))
+        # force near-equal pairs so every fast path is exercised
+        if R and H > 1:
+            ll[1, : R // 2] = ll[0, : R // 2] + rng.choice(
+                [0.0, 5e-4, 2.0, 10.0], R // 2)
+        bounds = np.sort(rng.integers(0, R + 1, I + 1)).astype(np.int64)
+        bounds[0], bounds[-1] = 0, R
+        n_good = rng.integers(0, 10, I).astype(np.int64)
+        entries.append((np.ascontiguousarray(ll), bounds, n_good, h1, h2))
+        metas.append((ll, bounds, n_good, h1, h2))
+    batch = native.native_gl_batch(entries, n_threads=4)
+    assert batch is not None
+    for (ll, bounds, n_good, h1, h2), (gl, gof, lik) in zip(metas, batch):
+        G = len(h1)
+        for i in range(I):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            want_gl = np.empty(G)
+            want_gof = np.empty(G)
+            for g in range(G):
+                a, b = int(h1[g]), int(h2[g])
+                acc = 0.0
+                gv = 0.0
+                for r in range(lo, hi):
+                    l1, l2 = float(ll[a, r]), float(ll[b, r])
+                    gv += max(LOG10E * l1, LOG10E * l2)
+                    if a == b:
+                        acc += l1
+                    elif abs(l1 - l2) >= 3.0:
+                        acc += LOG_HALF + max(l1, l2)
+                    elif abs(l1 - l2) <= 1e-3:
+                        acc += l1
+                    else:
+                        acc += math.log(0.5 * (math.exp(l1) + math.exp(l2)))
+                want_gl[g] = acc
+                want_gof[g] = gv
+            assert np.array_equal(want_gof, gof[i])
+            if n_good[i] > 0:
+                assert np.array_equal(want_gl, gl[i])
+                mx = max(want_gl.max(), -1e7)
+                want_lik = np.maximum(1e-300, np.array(
+                    [math.exp(x - mx) for x in want_gl]))
+                assert np.array_equal(want_lik, lik[i])
+            else:
+                assert np.array_equal(gl[i], np.zeros(G))
+                assert np.array_equal(lik[i], np.ones(G))
+
+
+def test_native_posteriors_batch_matches_sequential_oracle():
+    """ptpu_posteriors_batch must equal a python replication of the
+    reference's sequential posterior dots (cpopulation.pyx:459-594)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from platypus_tpu import native
+    from platypus_tpu.ops import likelihood as lk
+
+    if native.load() is None:
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(17)
+    entries = []
+    for trial in range(30):
+        H = int(rng.integers(1, 8))
+        h1, h2 = lk.genotype_index_pairs(H)
+        G = len(h1)
+        I = int(rng.integers(1, 5))
+        lik = np.maximum(1e-300, rng.random((I, G)))
+        freq = rng.random(H)
+        rows = np.nonzero(rng.random(I) < 0.8)[0].astype(np.int64)
+        V = int(rng.integers(1, 4))
+        vih = (rng.random((V, H)) < 0.5).astype(np.uint8)
+        entries.append((lik, freq, h1, h2, rows, vih))
+    batch = native.native_posteriors_batch(entries, n_threads=4)
+    assert batch is not None
+    for (lik, freq, h1, h2, rows, vih), got in zip(entries, batch):
+        G, H, V = len(h1), len(freq), vih.shape[0]
+        factor = [2.0 if h1[g] != h2[g] else 1.0 for g in range(G)]
+        w_var = [factor[g] * freq[h1[g]] * freq[h2[g]] for g in range(G)]
+        log_pv = []
+        for i in rows:
+            pv = 0.0
+            for g in range(G):
+                pv += w_var[g] * lik[i, g]
+            log_pv.append(math.log(pv) if pv > 0 else -708.0)
+        for v in range(V):
+            fp = np.where(vih[v].astype(bool), 0.0, freq)
+            s = fp.sum()  # np pairwise == np_pairwise_sum in C
+            if s > 0:
+                fp = fp / s
+            w_nv = [factor[g] * fp[h1[g]] * fp[h2[g]] for g in range(G)]
+            slv = snv = 0.0
+            for j, i in enumerate(rows):
+                pn = 0.0
+                for g in range(G):
+                    pn += w_nv[g] * lik[i, g]
+                slv += log_pv[j]
+                snv += math.log(pn) if pn > 0 else -708.0
+            assert got[v] == snv - slv
