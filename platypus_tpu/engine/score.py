@@ -321,13 +321,33 @@ class RegionReadMatrix:
             sl = slice_of[tag](self.buffers[s_idx])
             if sl.stop > sl.start:
                 live.append((rs, sl))
-                parts.append(np.arange(base + sl.start, base + sl.stop))
+                parts.append((base + sl.start, base + sl.stop))
+        single_m, nsm_idx, nsm_flat, nsm_off = self._nsm_tables()
         if not parts:
             rows = np.zeros(0, np.int64)
         elif len(parts) == 1:
-            rows = parts[0]
+            # Contiguous row range (the dominant single-sample case):
+            # basic-slice copies skip the fancy-index machinery.
+            lo, hi = parts[0]
+            rlen = self.rlen[lo:hi].copy()
+            L = int(rlen.max()) if len(rlen) else 0
+            seq = np.ascontiguousarray(self.seq[lo:hi, :L])
+            qual = np.ascontiguousarray(self.qual[lo:hi, :L])
+            cigar_refs = CigarRefs([(rs, sl.start, sl.stop)
+                                    for rs, sl in live])
+            out = WindowReads(seq, qual, rlen,
+                              self.pos[lo:hi].copy(), self.end[lo:hi].copy(),
+                              self.mapq[lo:hi].copy(), self.rev[lo:hi].copy(),
+                              self.qc[lo:hi].copy(),
+                              self.broken[lo:hi].copy(),
+                              self.sample_idx[lo:hi].copy(),
+                              self.good[lo:hi].copy(), cigar_refs)
+            out._single_m = single_m[lo:hi].copy()
+            out.nsm_ctx = (np.ascontiguousarray(nsm_idx[lo:hi]),
+                           nsm_flat, nsm_off)
+            return out
         else:
-            rows = np.concatenate(parts)
+            rows = np.concatenate([np.arange(lo, hi) for lo, hi in parts])
         rlen = self.rlen[rows]
         L = int(rlen.max()) if len(rlen) else 0
         seq = self.seq[:, :L].take(rows, axis=0)
@@ -337,7 +357,6 @@ class RegionReadMatrix:
                           self.mapq[rows], self.rev[rows], self.qc[rows],
                           self.broken[rows], self.sample_idx[rows],
                           self.good[rows], cigar_refs)
-        single_m, nsm_idx, nsm_flat, nsm_off = self._nsm_tables()
         out._single_m = single_m[rows]
         out.nsm_ctx = (np.ascontiguousarray(nsm_idx[rows]), nsm_flat, nsm_off)
         return out
