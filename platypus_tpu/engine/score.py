@@ -572,6 +572,9 @@ def build_alignment_request(
     )
 
 
+_MAPQ_TERM_TABLE = None
+
+
 def fill_deferred_pairs(requests) -> None:
     """Resolve every deferred request's pair voting in ONE threaded native
     call (ptpu_kmer_segments_batch; per-window rows identical to the
@@ -661,11 +664,19 @@ class PendingAlignments:
         if batch and native.load() is not None:
             from ..ops.likelihood import MLTOT
 
+            global _MAPQ_TERM_TABLE
+            if _MAPQ_TERM_TABLE is None:
+                # ln(1 - 10^(-q/10)) per mapq value, built with the SAME
+                # numpy elementwise ops the fallback applies — ufuncs are
+                # value-wise, so table[q] is bitwise what the fallback
+                # computes for q.  mapq is a uint8-range field.
+                with np.errstate(divide="ignore"):
+                    _MAPQ_TERM_TABLE = np.log(
+                        1.0 - np.exp(MLTOT * np.arange(256,
+                                                       dtype=np.float64)))
             entries = []
             for req in batch:
-                mapq = np.asarray(req.reads.mapq[req.align_rows], np.float64)
-                with np.errstate(divide="ignore"):
-                    term = np.log(1.0 - np.exp(MLTOT * mapq))
+                term = _MAPQ_TERM_TABLE[req.reads.mapq[req.align_rows]]
                 entries.append((self.pair_scores[id(req)], req.pair_hap,
                                 req.pair_read, req.sub_len, term,
                                 req.align_rows, len(req.haps),

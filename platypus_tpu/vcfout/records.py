@@ -379,14 +379,15 @@ def compute_vcf_info(call: WindowCall, ref_file, config: PlatypusConfig) -> Dict
                     variant.n_removed, exact_indels, var_in_genotype,
                     config.bad_reads_window,
                 )
-                tc += int(c[0]); tc_bad += int(c[1]); tr += int(c[2])
-                tc_ab += int(c[3]); tr_ab += int(c[4]); nf += int(c[5])
-                nr += int(c[6]); nf_sb += int(c[7]); nr_sb += int(c[8])
-                tcf += int(c[9]); tcr += int(c[10]); tcf_sb += int(c[11])
-                tcr_sb += int(c[12]); rmsmq += rms
+                cl = c.tolist()  # one conversion instead of 13 int() calls
+                tc += cl[0]; tc_bad += cl[1]; tr += cl[2]
+                tc_ab += cl[3]; tr_ab += cl[4]; nf += cl[5]
+                nr += cl[6]; nf_sb += cl[7]; nr_sb += cl[8]
+                tcf += cl[9]; tcr += cl[10]; tcf_sb += cl[11]
+                tcr_sb += cl[12]; rmsmq += rms
                 min_quals.extend(minq)
-                n_reads_per_sample.append(int(c[0]))
-                n_var_reads_per_sample.append(int(c[2]))
+                n_reads_per_sample.append(cl[0])
+                n_var_reads_per_sample.append(cl[2])
                 continue
 
             brows = overlap_qualgood(bad_rows_by_ind[i], var_min, var_max)
