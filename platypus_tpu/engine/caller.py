@@ -375,6 +375,36 @@ def precompute_window_gl(entries, want_em: bool = True):
         n_reads = np.bincount(prep.reads.sample_idx[prep.reads.is_good],
                               minlength=I).astype(np.int64)
         prepped.append((w_idx, prep, ll, h1, h2, bounds, n_reads, H, I))
+
+    if want_em:
+        # Fully fused path: GL -> GOF -> rescale -> argmax -> EM ->
+        # posterior ratios for every window in ONE threaded native call
+        # (ptpu_infer_batch orchestrates the verified stage kernels).
+        from ..parallel.batch import enumerate_window_variants
+
+        fused_entries = []
+        fused_meta = []
+        for w_idx, prep, ll, h1, h2, bounds, n_reads, H, I in prepped:
+            hap_var_sets = [set(h.variants) for h in prep.all_haps]
+            vars_list = list(enumerate_window_variants(prep.all_haps))
+            vih = np.empty((len(vars_list), H), np.uint8)
+            for vi, v in enumerate(vars_list):
+                for h, s in enumerate(hap_var_sets):
+                    vih[vi, h] = v in s
+            fused_entries.append((ll, bounds, n_reads, h1, h2, vih))
+            fused_meta.append((w_idx, n_reads, h1, vars_list, hap_var_sets))
+        fused = native.native_infer_batch(fused_entries)
+        if fused is not None:
+            for (w_idx, n_reads, h1, vars_list, hvs), \
+                    (gl, gof_div, lik, freq, csr, iters, argmax, ratios) \
+                    in zip(fused_meta, fused):
+                calls = [int(argmax[i]) if argmax[i] >= 0 else None
+                         for i in range(len(n_reads))]
+                post = ((vars_list, hvs, ratios) if len(vars_list) else None)
+                out[w_idx] = (gl, gof_div, lik, n_reads,
+                              (freq, csr, iters), post, calls)
+            return out
+
     gl_res = native.native_gl_batch(
         [(ll, bounds, n_reads, h1, h2)
          for _w, _p, ll, h1, h2, bounds, n_reads, _H, _I in prepped])

@@ -176,6 +176,15 @@ def _load_and_bind(path: str) -> ctypes.CDLL:
         + [ctypes.c_void_p] * 5 + [ctypes.c_int32]
         + [ctypes.c_void_p] * 3 + [ctypes.c_int32]
     )
+    lib.ptpu_infer_batch.restype = None
+    lib.ptpu_infer_batch.argtypes = (
+        [ctypes.c_void_p] * 6 + [ctypes.c_int32]           # ll/bounds/ngood
+        + [ctypes.c_void_p] * 4                            # h1/h2/h_off/G
+        + [ctypes.c_void_p] * 3                            # vih/vih_off/V
+        + [ctypes.c_void_p, ctypes.c_int32]                # eps, max_iters
+        + [ctypes.c_void_p] * 3 + [ctypes.c_int32]         # offs, n_windows
+        + [ctypes.c_void_p] * 8 + [ctypes.c_int32]         # outputs, threads
+    )
     lib.ptpu_loglik_batch.restype = None
     lib.ptpu_loglik_batch.argtypes = (
         [ctypes.c_void_p] * 11 + [ctypes.c_int32, ctypes.c_double]
@@ -1136,6 +1145,115 @@ def native_gl_batch(entries, n_threads: int = 0):
         sl = slice(int(out_off[k]), int(out_off[k + 1]))
         out.append((gl_out[sl].reshape(I, G), gof_out[sl].reshape(I, G),
                     lik_out[sl].reshape(I, G)))
+    return out
+
+
+def native_infer_batch(entries, max_iters: int = 100, n_threads: int = 0):
+    """Fused GL -> GOF -> rescale -> argmax -> EM -> posterior pass for
+    MANY windows in one threaded native call (ptpu_infer_batch; each
+    stage is the verified single-window kernel, so results match the
+    separate stage batches bit-for-bit).
+
+    entries: [(loglik [H, R] f64, bounds [I+1] i64, n_good [I] i64,
+               h1, h2, vih [V, H] u8)] with one shared I.
+    Returns [(gl [I, G], gof_div [G, I], lik [I, G], freq [H],
+              csr [I, G], iters, argmax [I], ratios [V])] or None."""
+    if os.environ.get("PLATYPUS_TPU_NATIVE_INFER", "1") == "0":
+        return None
+    lib = load()
+    if lib is None or not entries:
+        return None
+    global _EM_VERIFIED
+    if _EM_VERIFIED is None:
+        _EM_VERIFIED = _verify_native_em(lib)
+    if not _EM_VERIFIED:
+        return None
+    W = len(entries)
+    I = len(entries[0][2])
+    H_arr = np.empty(W, np.int32)
+    R_arr = np.empty(W, np.int32)
+    G_arr = np.empty(W, np.int32)
+    V_arr = np.empty(W, np.int32)
+    ll_off = np.zeros(W + 1, np.int64)
+    out_off = np.zeros(W + 1, np.int64)
+    freq_off = np.zeros(W + 1, np.int64)
+    ratio_off = np.zeros(W + 1, np.int64)
+    vih_off = np.zeros(W + 1, np.int64)
+    bounds_flat = np.empty(W * (I + 1), np.int64)
+    n_good_flat = np.empty(W * I, np.int64)
+    eps_arr = np.full(W, min(1e-3, 1.0 / (I * 4)), np.float64)
+    h_tables: dict = {}
+    blocks1, blocks2 = [], []
+    h_off = np.empty(W, np.int64)
+    pos = 0
+    lls, vihs = [], []
+    for k, (ll, bounds, n_good, h1, h2, vih) in enumerate(entries):
+        H, R = ll.shape
+        G = len(h1)
+        V = vih.shape[0]
+        H_arr[k], R_arr[k], G_arr[k], V_arr[k] = H, R, G, V
+        ll_off[k + 1] = ll_off[k] + H * R
+        out_off[k + 1] = out_off[k] + I * G
+        freq_off[k + 1] = freq_off[k] + H
+        ratio_off[k + 1] = ratio_off[k] + V
+        vih_off[k + 1] = vih_off[k] + V * H
+        bounds_flat[k * (I + 1) : (k + 1) * (I + 1)] = bounds
+        n_good_flat[k * I : (k + 1) * I] = n_good
+        lls.append(np.ascontiguousarray(ll, np.float64).ravel())
+        vihs.append(np.ascontiguousarray(vih, np.uint8).ravel())
+        if H not in h_tables:
+            h_tables[H] = pos
+            blocks1.append(np.ascontiguousarray(h1, np.int64))
+            blocks2.append(np.ascontiguousarray(h2, np.int64))
+            pos += len(h1)
+        h_off[k] = h_tables[H]
+    ll_flat = np.concatenate(lls) if lls else np.zeros(1, np.float64)
+    if len(ll_flat) == 0:
+        ll_flat = np.zeros(1, np.float64)
+    vih_flat = np.concatenate(vihs) if vihs else np.zeros(1, np.uint8)
+    if len(vih_flat) == 0:
+        vih_flat = np.zeros(1, np.uint8)
+    h1_flat = np.concatenate(blocks1)
+    h2_flat = np.concatenate(blocks2)
+    total = max(1, int(out_off[-1]))
+    gl_out = np.empty(total, np.float64)
+    gof_out = np.empty(total, np.float64)
+    lik_out = np.empty(total, np.float64)
+    csr_out = np.empty(total, np.float64)
+    freq_out = np.empty(max(1, int(freq_off[-1])), np.float64)
+    iters_out = np.empty(W, np.int32)
+    argmax_out = np.empty(W * I, np.int32)
+    ratios_out = np.empty(max(1, int(ratio_off[-1])), np.float64)
+    if not n_threads:
+        budget = int(os.environ.get("PLATYPUS_TPU_WORKER_THREADS", "0")) \
+            or (os.cpu_count() or 1)
+        n_threads = min(4, budget)
+    lib.ptpu_infer_batch(
+        _np_ptr(ll_flat), _np_ptr(ll_off), _np_ptr(H_arr), _np_ptr(R_arr),
+        _np_ptr(bounds_flat), _np_ptr(n_good_flat), I,
+        _np_ptr(h1_flat), _np_ptr(h2_flat), _np_ptr(h_off), _np_ptr(G_arr),
+        _np_ptr(vih_flat), _np_ptr(vih_off), _np_ptr(V_arr),
+        _np_ptr(eps_arr), max_iters,
+        _np_ptr(out_off), _np_ptr(freq_off), _np_ptr(ratio_off), W,
+        _np_ptr(gl_out), _np_ptr(gof_out), _np_ptr(lik_out),
+        _np_ptr(freq_out), _np_ptr(csr_out), _np_ptr(iters_out),
+        _np_ptr(argmax_out), _np_ptr(ratios_out), n_threads)
+    out = []
+    for k in range(W):
+        G = int(G_arr[k])
+        H = int(H_arr[k])
+        V = int(V_arr[k])
+        sl = slice(int(out_off[k]), int(out_off[k + 1]))
+        out.append((
+            gl_out[sl].reshape(I, G),
+            gof_out[sl].reshape(G, I),
+            lik_out[sl].reshape(I, G),
+            freq_out[freq_off[k] : freq_off[k] + H].copy(),
+            csr_out[sl].reshape(I, G),
+            int(iters_out[k]),
+            argmax_out[k * I : (k + 1) * I],
+            ratios_out[ratio_off[k] : ratio_off[k + 1]],
+        ))
     return out
 
 

@@ -17,14 +17,13 @@
 #include <thread>
 #include <vector>
 
-namespace {
-
 constexpr double kLog10E = 0.43429448190325182;
 constexpr double kLogHalf = -0.69314718055994529;
 
 // One window: ll [H, R] row-major; bounds [I+1] sample row ranges;
 // h1/h2 [G].  Outputs gl/gof_sum/lik all [I, G] row-major.
-void gl_window(const double* ll, int32_t H, int32_t R,
+// (extern so the fused inference batch in infer.cpp reuses it.)
+extern "C" void ptpu_gl_window_one(const double* ll, int32_t H, int32_t R,
                const int64_t* bounds, const int64_t* n_good, int32_t I,
                const int64_t* h1, const int64_t* h2, int32_t G,
                double* gl, double* gof, double* lik) {
@@ -82,8 +81,6 @@ void gl_window(const double* ll, int32_t H, int32_t R,
     }
 }
 
-}  // namespace
-
 extern "C" {
 
 // Flat-packed batch over a region's windows, threaded.  Window w's
@@ -104,7 +101,7 @@ void ptpu_gl_batch(const double* ll_flat, const int64_t* ll_off,
         for (;;) {
             int w = next.fetch_add(1);
             if (w >= n_windows) return;
-            gl_window(ll_flat + ll_off[w], H_arr[w], R_arr[w],
+            ptpu_gl_window_one(ll_flat + ll_off[w], H_arr[w], R_arr[w],
                       bounds_flat + (size_t)w * (I + 1),
                       n_good_flat + (size_t)w * I, I,
                       h1_flat + h_off[w], h2_flat + h_off[w], G_arr[w],

@@ -75,6 +75,28 @@ void posterior_window(const WindowSpec& w) {
 
 extern "C" {
 
+// Single-window entry for the fused inference batch (infer.cpp).
+void ptpu_posterior_window_one(const double* lik, const double* freq,
+                               const int64_t* h1, const int64_t* h2,
+                               const int64_t* rows, int32_t n_rows,
+                               const uint8_t* var_in_hap, double* ratios_out,
+                               int32_t I, int32_t G, int32_t H, int32_t V) {
+    WindowSpec spec;
+    spec.lik = lik;
+    spec.freq = freq;
+    spec.h1 = h1;
+    spec.h2 = h2;
+    spec.rows = rows;
+    spec.var_in_hap = var_in_hap;
+    spec.ratios_out = ratios_out;
+    spec.I = I;
+    spec.G = G;
+    spec.H = H;
+    spec.n_rows = n_rows;
+    spec.V = V;
+    posterior_window(spec);
+}
+
 // Flat-packed batch: window w's likelihoods start at lik_flat[lik_off[w]]
 // ([I_arr[w], G_arr[w]]), frequencies at freq_flat[freq_off[w]], h1/h2 at
 // h_off[w] in the shared tables, data-rows at rows_flat[rows_off[w]]
