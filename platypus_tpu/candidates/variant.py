@@ -16,6 +16,9 @@ from typing import Optional
 
 from ..models.error_model import indel_prior
 
+# (ref_name, ref_pos, added, removed) -> prior; see calculate_prior.
+_PRIOR_MEMO: dict = {}
+
 PLATYPUS_VAR = 1
 FILE_VAR = 2
 ASSEMBLER_VAR = 4
@@ -151,6 +154,15 @@ class Variant:
         cached = getattr(self, "_prior", None)
         if cached is not None:
             return cached
+        # Process-wide memo: left-normalisation, filtering and window merge
+        # re-instantiate equal variants, defeating the per-instance cache;
+        # the prior is a pure function of (position, alleles) and the fixed
+        # reference, so equal variants share one evaluation.
+        key = (self.ref_name, self.ref_pos, self.added, self.removed)
+        shared = _PRIOR_MEMO.get(key)
+        if shared is not None:
+            self._prior = shared
+            return shared
         n_added, n_removed = self.n_added, self.n_removed
         if n_added == 1 and n_removed == 1:
             prior = 1e-3 / 3
@@ -164,6 +176,8 @@ class Variant:
         else:
             prior = 5e-6
         self._prior = max(prior, 1e-10)
+        if len(_PRIOR_MEMO) < 1_000_000:
+            _PRIOR_MEMO[key] = self._prior
         return self._prior
 
     def _indel_prior(self, ref_file, indel_length_and_type: int) -> float:
