@@ -900,7 +900,17 @@ def run_variant_caller(config: PlatypusConfig, regions: Optional[List[Region]] =
     n_device = _n_device_workers(config, n_host)
     n_workers = n_host + n_device
     temp_files = [f"{config.output}_temp_{i}" for i in range(n_workers)]
-    ctx = multiprocessing.get_context("spawn")
+    # Worker start method: spawn is required whenever jax is (or may be)
+    # in play — XLA runtime state does not survive fork.  A CPU-pinned
+    # pool whose parent never loaded jax (the re-exec'd CLI path) forks
+    # instead: each worker saves the ~0.4 s interpreter+import startup,
+    # and the jax-free parent has no unsafe state to inherit.
+    from ..utils.backend import cpu_pinned
+
+    _can_fork = (cpu_pinned() and "jax" not in sys.modules
+                 and _n_device_workers(config, n_host) == 0
+                 and hasattr(os, "fork"))
+    ctx = multiprocessing.get_context("fork" if _can_fork else "spawn")
 
     # Device-owner service: one extra process owns the TPU and serves the
     # fused GL/EM/posterior batches to every worker (the workers themselves
