@@ -16,8 +16,11 @@ import sys
 from typing import List, Optional
 
 from .config import PlatypusConfig
-from .engine.runner import continue_calling, run_variant_caller
 from .utils.fileio import expand_bam_file_names, expand_list_arg
+
+# engine.runner is imported lazily in main(): the CPU-pinned path re-execs
+# a fresh interpreter before calling, so an eager import here would be
+# paid twice (once in the discarded pre-exec process).
 
 # CLI flag name (reference spelling) -> config field.
 _FLAG_MAP = {
@@ -201,12 +204,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     command, rest = argv[0], argv[1:]
     if command == "callVariants":
         config = build_config(rest)
+        from .engine.runner import run_variant_caller
+
         run_variant_caller(config)
         return 0
     if command == "continueCalling":
         parser = argparse.ArgumentParser(prog="platypus-tpu continueCalling")
         parser.add_argument("--vcfFile", required=True)
         args = parser.parse_args(rest)
+        from .engine.runner import continue_calling
+
         continue_calling(args.vcfFile)
         return 0
     if command == "somatic":
