@@ -227,3 +227,23 @@ def test_synth_10mb_byte_identical_to_running_reference(tmp_path):
         if not l.startswith("#")]
     mine = [l for l in open(out) if not l.startswith("#")]
     assert mine == golden
+
+
+@pytest.mark.skipif(not os.path.exists(S55), reason="reference S55 missing")
+def test_s55_ncpu4_fork_pool_byte_identical(tmp_path):
+    """--nCPU=4 through the CLI (the re-exec'd CPU-pinned path forks its
+    jax-free worker pool) must emit the same bytes as the pinned nCPU=1
+    goldens across the whole S55 corpus."""
+    fx = build_s55_full(str(tmp_path))
+    out = str(tmp_path / "n4.vcf")
+    env = dict(os.environ, PLATYPUS_TPU_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, "-m", "platypus_tpu.cli", "callVariants",
+         f"--bamFiles={fx['bam']}", f"--refFile={fx['ref']}",
+         "--nCPU=4", "-o", out],
+        check=True, capture_output=True, env=env, cwd=REPO)
+    golden = []
+    for island in range(5):
+        golden.extend(_filter_sorted_lines(
+            os.path.join(GOLDEN_DIR, f"ref_s55_island{island}.vcf")))
+    assert _filter_sorted_lines(out) == golden
