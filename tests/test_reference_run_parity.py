@@ -157,6 +157,8 @@ def test_all_islands_value_parity_no_allowances(s55_fixture, island):
 # Goldens: tools/reference_harness on /tmp/refbuild (docs/REFERENCE_RUN.md).
 S55_CONFIGS = {
     "sensitive": ["--minPosterior=1", "--minReads=1"],
+    "flank": ["--minFlank=5", "--minPosterior=1", "--minReads=1"],
+    "strict": ["--minMapQual=30", "--minBaseQual=25"],
     "refcalls": ["--outputRefCalls=1"],
     "assemble": ["--assemble=1"],
     "lowqual": ["--minBaseQual=10", "--minPosterior=1", "--minReads=1"],
