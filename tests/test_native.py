@@ -484,3 +484,51 @@ def test_native_posteriors_batch_matches_sequential_oracle():
                 slv += log_pv[j]
                 snv += math.log(pn) if pn > 0 else -708.0
             assert got[v] == snv - slv
+
+
+def test_native_loglik_batch_matches_numpy_oracle():
+    """ptpu_loglik_batch must equal window_loglik_from_pair_scores
+    bit-for-bit when fed the same precomputed mapq term (the scatter-min
+    is integer and the conversion is pure mul/add/max)."""
+    import numpy as np
+    import pytest
+
+    from platypus_tpu import native
+    from platypus_tpu.ops.kmer import HASH_NUCS
+    from platypus_tpu.ops.likelihood import MLTOT, scores_to_logliks
+
+    if native.load() is None:
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(23)
+    entries = []
+    oracles = []
+    for trial in range(30):
+        H = int(rng.integers(1, 6))
+        R = int(rng.integers(1, 60))
+        A = int(rng.integers(1, R + 1))
+        rows = np.sort(rng.choice(R, A, replace=False)).astype(np.int64)
+        # The engine only batches requests with pairs (n_pairs() > 0).
+        P = int(rng.integers(1, 4 * A * H + 1))
+        ps = rng.integers(0, 400, P).astype(np.int64)
+        ph = rng.integers(0, H, P).astype(np.int64)
+        pr = rng.integers(0, A, P).astype(np.int64)
+        sub_len = rng.integers(4, 120, A).astype(np.int32)
+        mapq = rng.integers(0, 61, A)
+        with np.errstate(divide="ignore"):
+            term = np.log(1.0 - np.exp(MLTOT * mapq.astype(np.float64)))
+        entries.append((ps, ph, pr, sub_len, term, rows, H, R))
+        # numpy oracle (the exact body of window_loglik_from_pair_scores)
+        loglik = np.zeros((H, R), np.float64)
+        scores = np.zeros((H, A), np.int64)
+        if P:
+            scores[:] = np.iinfo(np.int32).max
+            short = sub_len < HASH_NUCS
+            scores[:, short] = 0
+            np.minimum.at(scores, (ph, pr), ps)
+        sub = scores_to_logliks(scores, mapq[None, :])
+        loglik[:, rows] = sub
+        oracles.append(loglik)
+    got = native.native_loglik_batch(entries, HASH_NUCS, MLTOT, n_threads=4)
+    assert got is not None
+    for want, out in zip(oracles, got):
+        assert np.array_equal(want.view(np.uint64), out.view(np.uint64))
