@@ -158,6 +158,10 @@ def test_all_islands_value_parity_no_allowances(s55_fixture, island):
 S55_CONFIGS = {
     "sensitive": ["--minPosterior=1", "--minReads=1"],
     "flank": ["--minFlank=5", "--minPosterior=1", "--minReads=1"],
+    "hapcap": ["--maxHaplotypes=20", "--minPosterior=1", "--minReads=1"],
+    "bigwin": ["--maxSize=3000", "--largeWindows=1", "--minPosterior=1",
+               "--minReads=1"],
+    "deep": ["--minReads=5"],
     "strict": ["--minMapQual=30", "--minBaseQual=25"],
     "refcalls": ["--outputRefCalls=1"],
     "assemble": ["--assemble=1"],
